@@ -1,0 +1,74 @@
+"""Scoring configuration.
+
+TOML-compatible with the reference config format
+(``/root/reference/src/config.rs:6-40``, ``config.toml:1-5``): a
+``[scores]`` table with integer ``s_match``, ``s_mismatch``, ``g`` (gap
+extension) and ``h`` (gap open).
+
+``Scores`` is registered as a JAX pytree so it can be passed straight
+through ``jit``/``vmap``/``shard_map`` boundaries; fields are Python
+ints host-side and become int32 scalars on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import tomllib
+
+import jax
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Scores:
+    """Affine-gap scoring parameters.
+
+    The total penalty of a gap of length L is ``h + L*g`` (both are
+    usually negative), matching the reference recurrence
+    (``/root/reference/src/alignment/algo.rs:231-247``).
+    """
+
+    s_match: int = 1
+    s_mismatch: int = -2
+    g: int = -1  # gap extension
+    h: int = -5  # gap open
+
+    def as_tuple(self) -> tuple[int, int, int, int]:
+        return (self.s_match, self.s_mismatch, self.g, self.h)
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    scores: Scores = dataclasses.field(default_factory=Scores)
+
+
+def get_config(filepath: str = "config.toml") -> Config:
+    """Load a TOML config file.
+
+    Mirrors ``get_config`` (``/root/reference/src/config.rs:21-40``)
+    including its exit-on-error behaviour so CLI semantics match.
+    """
+    try:
+        with open(filepath, "rb") as f:
+            raw = tomllib.load(f)
+    except OSError:
+        print(f"Could not read config file: {filepath}", file=sys.stderr)
+        raise SystemExit(1)
+    except tomllib.TOMLDecodeError:
+        print(f"Could not parse config file: {filepath}", file=sys.stderr)
+        raise SystemExit(1)
+
+    try:
+        s = raw["scores"]
+        scores = Scores(
+            s_match=int(s["s_match"]),
+            s_mismatch=int(s["s_mismatch"]),
+            g=int(s["g"]),
+            h=int(s["h"]),
+        )
+    except (KeyError, TypeError, ValueError):
+        print(f"Could not parse config file: {filepath}", file=sys.stderr)
+        raise SystemExit(1)
+
+    return Config(scores=scores)

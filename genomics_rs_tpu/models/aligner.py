@@ -1,0 +1,114 @@
+"""Pairwise aligner: the user-facing alignment API.
+
+Combines a device wavefront fill (lax.scan oracle or Pallas kernel)
+with the host traceback, mirroring the ``alignment_table`` + ``retrace``
+pipeline of the reference (``/root/reference/src/alignment/algo.rs``)
+while staying fully jit-compiled on device for the O(m*n) part.
+
+Sequences are padded to multiples of ``PAD_MULTIPLE`` so recompilation
+only happens per length bucket, not per pair.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import numpy as np
+
+from genomics_rs_tpu.config import Scores
+from genomics_rs_tpu.ops.gotoh_scan import gotoh_fill_scan
+from genomics_rs_tpu.ops.traceback import AlignedSequences, traceback_host
+from genomics_rs_tpu.sequence import (
+    PAD_S1,
+    PAD_S2,
+    Sequence,
+    SequenceContainer,
+    round_up,
+)
+
+log = logging.getLogger(__name__)
+
+PAD_MULTIPLE = 128
+
+
+@functools.partial(jax.jit, static_argnames=("is_local", "engine"))
+def _fill(s1e, s2e, m, n, scores: Scores, is_local: bool, engine: str):
+    if engine == "scan":
+        return gotoh_fill_scan(s1e, s2e, m, n, scores, is_local)
+    elif engine == "pallas":
+        from genomics_rs_tpu.ops.gotoh_pallas import gotoh_fill_pallas
+
+        return gotoh_fill_pallas(s1e, s2e, m, n, scores, is_local)
+    raise ValueError(f"Unknown engine: {engine}")
+
+
+def _default_engine() -> str:
+    return "pallas" if jax.default_backend() == "tpu" else "scan"
+
+
+class PairwiseAligner:
+    """Global (Needleman-Wunsch) / local (Smith-Waterman) affine-gap aligner.
+
+    Args:
+      scores: scoring parameters.
+      is_local: local vs global alignment.
+      engine: "scan" (portable lax.scan), "pallas" (TPU kernel) or
+        "auto" (pallas on TPU backends, scan elsewhere).
+    """
+
+    def __init__(
+        self, scores: Scores, is_local: bool = False, engine: str = "auto"
+    ):
+        self.scores = scores
+        self.is_local = is_local
+        self.engine = _default_engine() if engine == "auto" else engine
+
+    def align(self, seq1: Sequence, seq2: Sequence) -> AlignedSequences:
+        m, n = len(seq1), len(seq2)
+        Lm = max(round_up(m, PAD_MULTIPLE), PAD_MULTIPLE)
+        Ln = max(round_up(n, PAD_MULTIPLE), PAD_MULTIPLE)
+
+        s1e = seq1.encoded(pad_to=Lm, pad_value=PAD_S1)
+        s2e = seq2.encoded(pad_to=Ln, pad_value=PAD_S2)
+
+        res = _fill(s1e, s2e, m, n, self.scores, self.is_local, self.engine)
+        dirs = np.asarray(res.dirs)
+        return traceback_host(
+            dirs,
+            int(res.start_i),
+            int(res.start_j),
+            int(res.score),
+            seq1,
+            seq2,
+            self.is_local,
+        )
+
+    def score_only(self, seq1: Sequence, seq2: Sequence) -> int:
+        """Alignment score without traceback (no dirs transfer)."""
+        m, n = len(seq1), len(seq2)
+        Lm = max(round_up(m, PAD_MULTIPLE), PAD_MULTIPLE)
+        Ln = max(round_up(n, PAD_MULTIPLE), PAD_MULTIPLE)
+        s1e = seq1.encoded(pad_to=Lm, pad_value=PAD_S1)
+        s2e = seq2.encoded(pad_to=Ln, pad_value=PAD_S2)
+        res = _fill(s1e, s2e, m, n, self.scores, self.is_local, self.engine)
+        return int(res.score)
+
+
+def align_pair(
+    container: SequenceContainer,
+    scores: Scores,
+    is_local: bool = False,
+    engine: str = "auto",
+) -> AlignedSequences:
+    """Align the first two sequences of a container.
+
+    Parity shim for the reference's Align mode entry
+    (``/root/reference/src/main.rs:123-153`` — warns and uses only the
+    first two sequences, ``algo.rs:161-163``).
+    """
+    if len(container.sequences) > 2:
+        log.warning("More than two sequences found. Only the first two will be used.")
+    aligner = PairwiseAligner(scores, is_local=is_local, engine=engine)
+    return aligner.align(container.sequences[0], container.sequences[1])

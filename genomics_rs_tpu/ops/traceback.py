@@ -1,0 +1,147 @@
+"""Host-side traceback over 2-bit direction codes.
+
+Reproduces the reference retrace (``/root/reference/src/alignment/algo.rs:287-441``)
+bit-for-bit:
+
+* arm priority S > I > D is already baked into the direction codes;
+* match/mismatch classification at cell (i, j) uses ``is_match(i, j)``
+  with the reference's off-by-one indexing and None==None semantics
+  (``algo.rs:354``, ``sequence.rs:102-115``, SURVEY §2.4-5);
+* open vs extension gap classification follows ``last_choice`` exactly
+  (``algo.rs:372-399``): ``last_choice`` starts as Match, and is set to
+  the *non-open* variant after an open;
+* movement uses the checked_sub semantics (``algo.rs:412-421``):
+  saturate at 0 per axis, break when both hit None or when (0, 0) is
+  reached after a move;
+* local mode terminates on a max==0 cell only when none of S/I/D equals
+  the max (``algo.rs:401-405``) — encoded as DIR_STOP.
+
+The traceback is O(m+n) and pointer-chasing, so it runs on host over a
+numpy view of the direction array.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+import numpy as np
+
+from genomics_rs_tpu.ops.gotoh_scan import DIR_DEL, DIR_INS, DIR_STOP, DIR_SUB
+from genomics_rs_tpu.sequence import Sequence
+
+
+class AlignmentChoice(enum.Enum):
+    """Mirror of the reference enum (``algo.rs:124-133``)."""
+
+    MATCH = "Match"
+    MISMATCH = "Mismatch"
+    INSERT = "Insert"
+    DELETE = "Delete"
+    OPEN_INSERT = "OpenInsert"
+    OPEN_DELETE = "OpenDelete"
+
+
+@dataclasses.dataclass
+class AlignedSequences:
+    """Mirror of ``AlignedSequences`` (``algo.rs:135-146``).
+
+    ``alignment`` is in traceback order (end of the alignment first),
+    entries are ``(choice, i, j)`` with the 1-indexed table coordinates
+    of the cell at which the move was taken.
+    """
+
+    s1: Sequence
+    s2: Sequence
+    alignment: list[tuple[AlignmentChoice, int, int]]
+    score: int
+    matches: int
+    mismatches: int
+    gap_extensions: int
+    opening_gaps: int
+
+
+def _is_match_ref(s1: bytes, s2: bytes, i: int, j: int) -> bool:
+    """Reference ``is_match``: None == None past both ends is a match."""
+    c1 = s1[i] if i < len(s1) else None
+    c2 = s2[j] if j < len(s2) else None
+    return c1 == c2
+
+
+def traceback_host(
+    dirs: np.ndarray,
+    start_i: int,
+    start_j: int,
+    score: int,
+    seq1: Sequence,
+    seq2: Sequence,
+    is_local: bool,
+) -> AlignedSequences:
+    """Walk ``dirs`` from the start cell and accumulate path + stats."""
+    s1 = seq1.sequence.encode("ascii")
+    s2 = seq2.sequence.encode("ascii")
+
+    i, j = int(start_i), int(start_j)
+    out = AlignedSequences(
+        s1=seq1,
+        s2=seq2,
+        alignment=[],
+        score=int(score),
+        matches=0,
+        mismatches=0,
+        gap_extensions=0,
+        opening_gaps=0,
+    )
+
+    last_choice = AlignmentChoice.MATCH
+    while True:
+        code = int(dirs[i + j, i])
+
+        if code == DIR_SUB:
+            if _is_match_ref(s1, s2, i, j):
+                last_choice = AlignmentChoice.MATCH
+                out.matches += 1
+                out.alignment.append((AlignmentChoice.MATCH, i, j))
+            else:
+                last_choice = AlignmentChoice.MISMATCH
+                out.mismatches += 1
+                out.alignment.append((AlignmentChoice.MISMATCH, i, j))
+            ni = i - 1 if i > 0 else None
+            nj = j - 1 if j > 0 else None
+        elif code == DIR_INS:
+            if last_choice == AlignmentChoice.INSERT:
+                out.gap_extensions += 1
+                choice = AlignmentChoice.INSERT
+            else:
+                out.opening_gaps += 1
+                choice = AlignmentChoice.OPEN_INSERT
+            out.alignment.append((choice, i, j))
+            last_choice = AlignmentChoice.INSERT
+            ni = i
+            nj = j - 1 if j > 0 else None
+        elif code == DIR_DEL:
+            if last_choice == AlignmentChoice.DELETE:
+                out.gap_extensions += 1
+                choice = AlignmentChoice.DELETE
+            else:
+                out.opening_gaps += 1
+                choice = AlignmentChoice.OPEN_DELETE
+            out.alignment.append((choice, i, j))
+            last_choice = AlignmentChoice.DELETE
+            ni = i - 1 if i > 0 else None
+            nj = j
+        else:  # DIR_STOP
+            if is_local:
+                break
+            raise RuntimeError(
+                f"Unexpected stop code during global retrace at ({i}, {j})"
+            )
+
+        if ni is None and nj is None:
+            break
+        i = ni if ni is not None else 0
+        j = nj if nj is not None else 0
+        if i == 0 and j == 0:
+            break
+
+    return out
