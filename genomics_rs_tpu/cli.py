@@ -1,0 +1,163 @@
+"""Command-line interface.
+
+Subcommand parity with the reference CLI
+(``/root/reference/src/main.rs:27-84``):
+
+  align       --alignment-type {local,global,1,0} --fasta-path FILE
+  suffixtree  --alphabet-file FILE --suffix-links --stats --fasta-path FILE
+  compare     --alphabet-file FILE --fasta-dir DIR --suffix-links --threads N
+
+plus the global ``--config-path`` (default ``config.toml``) and
+TPU-specific extensions (``--engine``, ``--devices``). ``is_local`` is
+true iff the flag is exactly "local" or "1" (``main.rs:142``).
+
+Deviations (documented): the BWT output directory is created if
+missing (the reference requires a pre-existing ``BWT_out/`` —
+``main.rs:199-204``); compare loads FASTA files in sorted order (the
+reference uses OS directory order).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+BANNER = r"""
+        GENOMICS-RS-TPU
+        -. .-.   .-. .-.   .-. .-.   .
+        ||\|||\ /|||\|||\ /|||\|||\ /|
+        |/ \|||\|||/ \|||\|||/ \|||\||
+        ~   `-~ `-`   `-~ `-`   `-~ `-
+"""
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="genomics-rs-tpu",
+        description="TPU-native FASTA alignment (Smith-Waterman / Needleman-Wunsch), "
+        "suffix trees + BWT, and all-pairs genome comparison",
+    )
+    p.add_argument("-c", "--config-path", default="config.toml")
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    a = sub.add_parser("align", help="pairwise alignment of two FASTA sequences")
+    a.add_argument("-a", "--alignment-type", default="local")
+    a.add_argument("-f", "--fasta-path", required=True)
+    a.add_argument("--engine", default="auto", choices=["auto", "scan", "pallas"])
+
+    s = sub.add_parser("suffixtree", help="suffix tree stats + BWT")
+    s.add_argument("-a", "--alphabet-file", required=True)
+    s.add_argument("--suffix-links", action="store_true")
+    s.add_argument("--stats", action="store_true")
+    s.add_argument("-f", "--fasta-path", required=True)
+
+    c = sub.add_parser("compare", help="all-pairs similarity matrix over a FASTA dir")
+    c.add_argument("-a", "--alphabet-file", required=True)
+    c.add_argument("-f", "--fasta-dir", required=True)
+    c.add_argument("--suffix-links", action="store_true")
+    c.add_argument("--threads", type=int, default=1)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    logging.basicConfig(
+        level=os.environ.get("LOG_LEVEL", "INFO").upper(),
+        format="%(levelname)s %(name)s: %(message)s",
+    )
+    log = logging.getLogger("genomics_rs_tpu")
+    print(f"\x1b[94m{BANNER}\x1b[0m")
+
+    from genomics_rs_tpu.config import get_config
+    from genomics_rs_tpu.sequence import SequenceContainer
+
+    config = get_config(args.config_path)
+
+    if args.mode == "align":
+        log.info("MODE: Alignment")
+        container = SequenceContainer().from_fasta(args.fasta_path)
+        sc = config.scores
+        log.info("Using the following values for scoring:")
+        log.info("Match: %d", sc.s_match)
+        log.info("Mismatch: %d", sc.s_mismatch)
+        log.info("Gap: %d", sc.g)
+        log.info("Opening Gap: %d", sc.h)
+        is_local = args.alignment_type in ("local", "1")
+        log.info("Alignment Type: %s", args.alignment_type)
+
+        from genomics_rs_tpu.display.alignment import (
+            format_aligned_sequences,
+            print_alignment_tables,
+        )
+        from genomics_rs_tpu.models.aligner import align_pair
+
+        aligned = align_pair(container, sc, is_local=is_local, engine=args.engine)
+        print_alignment_tables(aligned, sc, is_local)
+        print(format_aligned_sequences(aligned))
+        return 0
+
+    if args.mode == "suffixtree":
+        log.info("MODE: Suffix Tree")
+        log.info("Suffix links: %s", args.suffix_links)
+        container = SequenceContainer().from_fasta(args.fasta_path)
+        seq = container.sequences[0].sequence
+
+        from genomics_rs_tpu.suffixtree import make_tree
+
+        tree = make_tree(args.alphabet_file, len(seq))
+        tree.insert_string(seq, args.suffix_links, True)
+
+        if args.stats:
+            tree.compute_stats(0)
+            stem = os.path.basename(args.fasta_path).replace(".fasta", "")
+            bwt_path = os.path.join("BWT_out", f"{stem}_bwt.txt")
+            log.info("BWT Path: %s", bwt_path)
+            os.makedirs("BWT_out", exist_ok=True)
+            with open(bwt_path, "w") as f:
+                for ch in tree.stats.bwt:
+                    f.write(ch + "\n")
+
+            from genomics_rs_tpu.display.tree import format_tree_stats
+
+            print(format_tree_stats(tree.stats))
+        return 0
+
+    if args.mode == "compare":
+        log.info("MODE: Compare")
+        log.info("Alphabet file: %s", args.alphabet_file)
+        log.info("Suffix links: %s", args.suffix_links)
+        log.info("FASTA directory: %s", args.fasta_dir)
+
+        from genomics_rs_tpu.comparison.display import print_similarity_matrix
+        from genomics_rs_tpu.comparison.driver import (
+            compare_all_pairs,
+            load_fasta_dir,
+            write_similarity_tsv,
+        )
+
+        container = load_fasta_dir(args.fasta_dir)
+        log.info("Number of sequences: %d", len(container.sequences))
+        result = compare_all_pairs(container, args.alphabet_file, threads=args.threads)
+        print_similarity_matrix(result.matrix)
+        tsv = write_similarity_tsv(result)
+        print("Similarity TSV:")
+        print(tsv)
+        print("\nLCS Length TSV:")
+        num = len(result.names)
+        print(" \t" + "\t".join(str(i) for i in range(num)) + "\t")
+        for j in range(num):
+            print(
+                f"{j}\t"
+                + "\t".join(str(int(result.matrix[j, i, 3])) for i in range(num))
+                + "\t"
+            )
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,43 @@
+"""Row-major numpy Gotoh fill (small-input utility).
+
+Materialises the full I/S/D score matrices like the reference's
+``alignment_table`` (``/root/reference/src/alignment/algo.rs:151-282``)
+— used only for the small-input score-table visualisations and as an
+independent cross-check in tests. The device path never builds these.
+Uses int64 with the reference's offset "-infinity"
+(``i64::MIN + |g+h|``, ``algo.rs:166``) so printed tables match.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from genomics_rs_tpu.config import Scores
+
+I64_MIN = np.iinfo(np.int64).min
+
+
+def gotoh_tables_numpy(
+    a: str, b: str, scores: Scores, is_local: bool
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Return (I, S, D) int64 matrices of shape (len(a)+1, len(b)+1)."""
+    sm, sx, g, h = scores.s_match, scores.s_mismatch, scores.g, scores.h
+    neg = I64_MIN + abs(g + h)
+    m, n = len(a), len(b)
+    I = np.full((m + 1, n + 1), neg, dtype=np.int64)
+    S = np.full((m + 1, n + 1), neg, dtype=np.int64)
+    D = np.full((m + 1, n + 1), neg, dtype=np.int64)
+    I[0, 0] = S[0, 0] = D[0, 0] = 0
+    for i in range(1, m + 1):
+        D[i, 0] = h + i * g
+    for j in range(1, n + 1):
+        I[0, j] = h + j * g
+    floor = [0] if is_local else []
+    for i in range(1, m + 1):
+        ai = a[i - 1]
+        for j in range(1, n + 1):
+            I[i, j] = max(I[i, j - 1] + g, S[i, j - 1] + h + g, D[i, j - 1] + h + g, *floor)
+            D[i, j] = max(I[i - 1, j] + h + g, S[i - 1, j] + h + g, D[i - 1, j] + g, *floor)
+            sub = sm if ai == b[j - 1] else sx
+            S[i, j] = sub + max(I[i - 1, j - 1], S[i - 1, j - 1], D[i - 1, j - 1], *floor)
+    return I, S, D
