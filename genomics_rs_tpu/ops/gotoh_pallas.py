@@ -1,0 +1,385 @@
+"""Pallas TPU wavefront kernel for the Gotoh affine-gap fill.
+
+Same semantics as the ``lax.scan`` oracle (``gotoh_scan.py`` — which
+itself mirrors ``/root/reference/src/alignment/algo.rs:151-282`` and
+its quirks, SURVEY §2.4), but engineered for the TPU VPU:
+
+* The anti-diagonal state (I/S/D of the previous two diagonals) lives
+  in VMEM scratch for the whole sweep — no HBM round-trips between
+  diagonals.
+* Flat diagonal vectors of length ``V`` are laid out as ``(8, V//8)``
+  (sublane x lane), so every vector op uses all 8 sublanes of the VPU
+  instead of 1/8 of them. The DP shift "cell (i-1, *)" becomes a
+  lane-roll plus a sublane-roll fixup for the 8 row-boundary lanes.
+* ``s2[k-1-i]`` (the base consumed on diagonal k at row i) is *not* a
+  gather: it is carried as a vector that shifts together with the
+  wavefront, with one scalar injected per step.
+* Shifted diagonals are cached across steps: each step shifts only the
+  3 freshly computed vectors (the shift of diag k-1 computed at step k
+  is reused as "shifted diag k-2" at step k+1).
+* The local-alignment argmax is tracked *per lane* (value + diagonal
+  index) with pure vector ops; the cross-lane reduction to the
+  reference's "last row-major argmax" (``algo.rs:311-322``) happens
+  once, outside the kernel.
+* Direction codes are written as uint8 to a ``(CHUNK, 8, V//8)``
+  output block per grid step, streaming the 2-bit traceback bitmap to
+  HBM while the next chunk computes.
+
+The grid is 1-D over chunks of ``CHUNK`` anti-diagonals; TPU grid
+iterations are sequential on a core, so VMEM scratch carries the
+wavefront across grid steps.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from genomics_rs_tpu.config import Scores
+from genomics_rs_tpu.ops.gotoh_scan import (
+    DIR_DEL,
+    DIR_INS,
+    DIR_STOP,
+    DIR_SUB,
+    NEG_INF,
+    FillResult,
+)
+
+INT_MIN = -(2**31)
+#: sublane count of the flat diagonal layout.
+ROWS = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class _Shapes(NamedTuple):
+    V: int  # flat diagonal vector length (multiple of 1024)
+    C: int  # V // 8 (lane count per sublane row, multiple of 128)
+    K: int  # true number of anti-diagonals = Lm + Ln + 1
+    Kp: int  # K rounded up to a CHUNK multiple
+    chunk: int  # diagonals per grid step
+    s2len: int  # padded s2 injection buffer length
+
+
+def _plan(Lm: int, Ln: int, emit_dirs: bool) -> _Shapes:
+    V = max(_round_up(Lm + 1, 1024), 1024)
+    K = Lm + Ln + 1
+    # VMEM budget: ~11 state vectors of V*4 bytes + 2x dirs block.
+    state_bytes = 11 * V * 4
+    budget = 12 * 1024 * 1024
+    chunk = 256
+    if emit_dirs:
+        while chunk > 8 and state_bytes + 2 * chunk * V > budget:
+            chunk //= 2
+    Kp = _round_up(K, chunk)
+    s2len = _round_up(K + 1, 128)
+    return _Shapes(V=V, C=V // ROWS, K=K, Kp=Kp, chunk=chunk, s2len=s2len)
+
+
+def _shift_down_flat(x, incoming, row_idx, col_idx, C):
+    """Flat-index shift: y[v] = x[v-1], y[0] = incoming.
+
+    x is (8, C) holding flat element v = s*C + l at (s, l).
+    """
+    r = pltpu.roll(x, shift=1, axis=1)  # y[s, l] = x[s, l-1] (wraps l=0)
+    ra = pltpu.roll(x, shift=1, axis=0)  # rows shifted: ra[s] = x[s-1]
+    # lane 0 of each row takes the previous row's last lane.
+    fix = jnp.where(row_idx == 0, incoming, ra[:, C - 1 : C])
+    return jnp.where(col_idx == 0, fix, r)
+
+
+def _kernel(
+    scalars,  # SMEM int32[8]: m, n, sm, sx, g, h, pad, pad
+    s1m_ref,  # VMEM int32 (8, C): s1m[i] = s1[i-1] (flat layout)
+    s2i_ref,  # SMEM int32 (1, chunk): s2inj[k] = s2[k-1] for this chunk
+    dirs_ref,  # uint8 (chunk, 8, C) | None
+    bv_ref,  # int32 (8, C) out: per-lane best value
+    bk_ref,  # int32 (8, C) out: per-lane best diagonal index
+    fin_ref,  # int32 (8, C) out: global score capture vector
+    Ip, Sp, Dp,  # scratch (8, C): diag k-1 unshifted
+    Ish, Ssh, Dsh,  # scratch (8, C): diag k-2 shifted by one
+    s2j_ref,  # scratch (8, C): s2 base per lane on current diagonal
+    bv_s, bk_s, fin_s,  # scratch (8, C): running trackers
+    *,
+    shapes: _Shapes,
+    is_local: bool,
+    emit_dirs: bool,
+):
+    C = shapes.C
+    g_id = pl.program_id(0)
+
+    m = scalars[0]
+    n = scalars[1]
+    sm = scalars[2]
+    sx = scalars[3]
+    gg = scalars[4]
+    hh = scalars[5]
+
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 0)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 1)
+    iv = row_idx * C + col_idx  # flat DP row index i per lane
+    neg = jnp.int32(NEG_INF)
+    int_min = jnp.int32(INT_MIN)
+
+    @pl.when(g_id == 0)
+    def _init():
+        full_neg = jnp.full((ROWS, C), neg, dtype=jnp.int32)
+        Ip[:] = full_neg
+        Sp[:] = full_neg
+        Dp[:] = full_neg
+        Ish[:] = full_neg
+        Ssh[:] = full_neg
+        Dsh[:] = full_neg
+        s2j_ref[:] = jnp.full((ROWS, C), 0xFF, dtype=jnp.int32)
+        bv_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+        bk_s[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
+        fin_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+
+    zero_lane = jnp.int32(0) if is_local else neg
+
+    def body(t, _):
+        k = g_id * shapes.chunk + t
+
+        @pl.when(k < shapes.K)
+        def _step():
+            # s2 base for this diagonal: shift + inject s2[k-1]
+            # (precomputed host-side; SMEM allows unaligned scalar
+            # reads, VMEM does not).
+            inj = s2i_ref[0, t]
+            s2j = _shift_down_flat(s2j_ref[:], inj, row_idx, col_idx, C)
+            s2j_ref[:] = s2j
+
+            I1, S1, D1 = Ip[:], Sp[:], Dp[:]
+            # Shift of diag k-1 (for the (i-1, j) predecessor).
+            Iu = _shift_down_flat(I1, neg, row_idx, col_idx, C)
+            Su = _shift_down_flat(S1, neg, row_idx, col_idx, C)
+            Du = _shift_down_flat(D1, neg, row_idx, col_idx, C)
+            # Shift of diag k-2 (for (i-1, j-1)) — cached last step.
+            Id, Sd, Dd = Ish[:], Ssh[:], Dsh[:]
+
+            j = k - iv
+
+            Inew = jnp.maximum(
+                jnp.maximum(I1 + gg, S1 + hh + gg),
+                jnp.maximum(D1 + hh + gg, zero_lane),
+            )
+            Dnew = jnp.maximum(
+                jnp.maximum(Iu + hh + gg, Su + hh + gg),
+                jnp.maximum(Du + gg, zero_lane),
+            )
+            sub = jnp.where(s1m_ref[:] == s2j, sm, sx)
+            Snew = sub + jnp.maximum(
+                jnp.maximum(Id, Sd), jnp.maximum(Dd, zero_lane)
+            )
+
+            # Boundary conditions (scan oracle / algo.rs:193-220).
+            is_origin = (iv == 0) & (j == 0)
+            is_row0 = (iv == 0) & (j > 0)
+            is_col0 = (j == 0) & (iv > 0)
+            invalid = j < 0
+
+            Inew = jnp.where(is_row0, hh + j * gg, Inew)
+            Inew = jnp.where(is_col0 | invalid, neg, Inew)
+            Dnew = jnp.where(is_col0, hh + iv * gg, Dnew)
+            Dnew = jnp.where(is_row0 | invalid, neg, Dnew)
+            Snew = jnp.where(is_row0 | is_col0 | invalid, neg, Snew)
+            Inew = jnp.where(is_origin, 0, Inew)
+            Dnew = jnp.where(is_origin, 0, Dnew)
+            Snew = jnp.where(is_origin, 0, Snew)
+
+            cm = jnp.maximum(jnp.maximum(Inew, Snew), Dnew)
+            if is_local:
+                cm = jnp.maximum(cm, 0)
+
+            if emit_dirs:
+                code = jnp.where(
+                    cm == Snew,
+                    DIR_SUB,
+                    jnp.where(
+                        cm == Inew,
+                        DIR_INS,
+                        jnp.where(cm == Dnew, DIR_DEL, DIR_STOP),
+                    ),
+                )
+                dirs_ref[t] = code.astype(jnp.uint8)
+
+            # Per-lane "last argmax" tracker (>= keeps the largest k,
+            # i.e. the largest j for this row — row-major "last").
+            in_true = (iv <= m) & (j >= 0) & (j <= n)
+            val = jnp.where(in_true, cm, int_min)
+            upd = val >= bv_s[:]
+            bv_s[:] = jnp.where(upd, val, bv_s[:])
+            bk_s[:] = jnp.where(upd, k, bk_s[:])
+
+            # Global score capture at cell (m, n) on diagonal m+n.
+            fin_s[:] = jnp.where(
+                (k == m + n) & (iv == m), cm, fin_s[:]
+            )
+
+            # Rotate carries.
+            Ish[:] = Iu
+            Ssh[:] = Su
+            Dsh[:] = Du
+            Ip[:] = Inew
+            Sp[:] = Snew
+            Dp[:] = Dnew
+
+        return 0
+
+    jax.lax.fori_loop(0, shapes.chunk, body, 0)
+
+    @pl.when(g_id == pl.num_programs(0) - 1)
+    def _finalize():
+        bv_ref[:] = bv_s[:]
+        bk_ref[:] = bk_s[:]
+        fin_ref[:] = fin_s[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("is_local", "emit_dirs", "interpret")
+)
+def gotoh_fill_pallas(
+    s1e: jax.Array,
+    s2e: jax.Array,
+    m: jax.Array,
+    n: jax.Array,
+    scores: Scores,
+    is_local: bool,
+    emit_dirs: bool = True,
+    interpret: bool = False,
+) -> FillResult:
+    """Pallas-kernel wavefront fill; drop-in for ``gotoh_fill_scan``.
+
+    Returns ``FillResult`` whose ``dirs`` is shaped ``(Kp, V)`` with
+    ``dirs[i + j, i]`` = move code at table cell (i, j) — the same
+    indexing contract as the scan engine (V >= Lm + 1; rows beyond the
+    true diagonal count and lanes beyond row m are garbage/unreached).
+    """
+    Lm = s1e.shape[0]
+    Ln = s2e.shape[0]
+    shapes = _plan(Lm, Ln, emit_dirs)
+    V, C = shapes.V, shapes.C
+
+    m = jnp.asarray(m, jnp.int32)
+    n = jnp.asarray(n, jnp.int32)
+
+    # s1m[i] = s1[i-1]; i = 0 gets a sentinel that matches nothing.
+    s1m = jnp.full((V,), 0xFD, dtype=jnp.int32)
+    s1m = jax.lax.dynamic_update_slice(
+        s1m, s1e.astype(jnp.int32), (jnp.int32(1),)
+    )
+    s1m2d = s1m.reshape(ROWS, C)
+
+    # Injection stream: s2inj[k] = s2[k-1] (clamped below, 0xFF past
+    # the end) — the base entering the wavefront at row 0 on diag k.
+    ks = jnp.arange(shapes.Kp, dtype=jnp.int32)
+    s2inj = jnp.take(s2e.astype(jnp.int32), jnp.clip(ks - 1, 0, Ln - 1))
+    s2inj = jnp.where(ks - 1 >= Ln, 0xFF, s2inj)[None, :]
+
+    scalars = jnp.stack(
+        [
+            m,
+            n,
+            jnp.int32(scores.s_match),
+            jnp.int32(scores.s_mismatch),
+            jnp.int32(scores.g),
+            jnp.int32(scores.h),
+            jnp.int32(0),
+            jnp.int32(0),
+        ]
+    )
+
+    grid = shapes.Kp // shapes.chunk
+    # Index maps receive (grid idx, scalar-prefetch ref).
+    vec_spec = pl.BlockSpec(
+        (ROWS, C), lambda g, s: (0, 0), memory_space=pltpu.VMEM
+    )
+    out_shapes = []
+    out_specs = []
+    if emit_dirs:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((shapes.Kp, ROWS, C), jnp.uint8)
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (shapes.chunk, ROWS, C),
+                lambda g, s: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    out_shapes += [jax.ShapeDtypeStruct((ROWS, C), jnp.int32)] * 3
+    out_specs += [vec_spec] * 3
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(
+                (ROWS, C), lambda g, s: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, shapes.chunk),
+                lambda g, s: (0, g),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=tuple(out_specs),
+        scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)] * 10,
+    )
+
+    if emit_dirs:
+        kernel = functools.partial(
+            _kernel, shapes=shapes, is_local=is_local, emit_dirs=True
+        )
+    else:
+
+        def kernel(scalars, s1m_ref, s2_ref, bv_ref, bk_ref, fin_ref, *scr):
+            return _kernel(
+                scalars,
+                s1m_ref,
+                s2_ref,
+                None,
+                bv_ref,
+                bk_ref,
+                fin_ref,
+                *scr,
+                shapes=shapes,
+                is_local=is_local,
+                emit_dirs=False,
+            )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+    )(scalars, s1m2d, s2inj)
+
+    if emit_dirs:
+        dirs, bv, bk, fin = outs
+        dirs = dirs.reshape(shapes.Kp, V)
+    else:
+        bv, bk, fin = outs
+        dirs = jnp.zeros((0, 0), dtype=jnp.uint8)
+
+    iv = jnp.arange(V, dtype=jnp.int32)
+    bvf = bv.reshape(V)
+    bkf = bk.reshape(V)
+    finf = fin.reshape(V)
+
+    if is_local:
+        vmax = jnp.max(bvf)
+        i_best = jnp.max(jnp.where(bvf == vmax, iv, -1))
+        k_best = jnp.max(
+            jnp.where((bvf == vmax) & (iv == i_best), bkf, -1)
+        )
+        return FillResult(
+            dirs=dirs, score=vmax, start_i=i_best, start_j=k_best - i_best
+        )
+    return FillResult(dirs=dirs, score=jnp.max(finf), start_i=m, start_j=n)

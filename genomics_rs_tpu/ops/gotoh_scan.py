@@ -82,6 +82,7 @@ def gotoh_fill_scan(
     n: jax.Array,
     scores: Scores,
     is_local: bool,
+    emit_dirs: bool = True,
 ) -> FillResult:
     """Fill the (m+1)x(n+1) Gotoh table by anti-diagonals.
 
@@ -92,6 +93,10 @@ def gotoh_fill_scan(
       m, n: true lengths (traced int32 scalars), m <= Lm, n <= Ln.
       scores: scoring pytree.
       is_local: static — Smith-Waterman (True) / Needleman-Wunsch.
+      emit_dirs: static — when False, skip the per-cell direction
+        bitmap entirely (score-only mode for batched/sharded scoring
+        where O(m*n) traceback state would dominate memory);
+        ``FillResult.dirs`` is then a (0, 0) placeholder.
     """
     Lm = s1e.shape[0]
     Ln = s2e.shape[0]
@@ -198,7 +203,7 @@ def gotoh_fill_scan(
         final_score = jnp.where(k == m + n, jnp.take(cm, m), final_score)
 
         carry = (Inew, Snew, Dnew, I1, S1, D1, best, final_score)
-        return carry, code
+        return carry, (code if emit_dirs else None)
 
     init_vec = jnp.full((Mp,), neg, dtype=jnp.int32)
     init = (
@@ -214,6 +219,8 @@ def gotoh_fill_scan(
     carry, dirs = jax.lax.scan(step, init, jnp.arange(K, dtype=jnp.int32))
     (bv, bi, bj) = carry[6]
     final_score = carry[7]
+    if not emit_dirs:
+        dirs = jnp.zeros((0, 0), dtype=jnp.uint8)
 
     if is_local:
         return FillResult(dirs=dirs, score=bv, start_i=bi, start_j=bj)

@@ -1,0 +1,133 @@
+"""Batched + sharded alignment scoring.
+
+TPU-native replacement for the reference's rayon fan-out
+(``/root/reference/src/main.rs:245-261``): instead of threads mutating
+a shared matrix, fixed-shape *batches* of encoded pairs are scored with
+a ``vmap``-ed wavefront fill, and batches are sharded over the mesh's
+``data`` axis with ``shard_map``; global statistics are merged with
+``psum``/``pmax`` collectives over ICI rather than shared memory.
+
+Score-only mode (``emit_dirs=False``) keeps per-pair state O(m+n), so
+thousands of ~30 kb pairs batch comfortably in HBM; pairs that need a
+full traceback re-run the single-pair path with the direction bitmap.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from genomics_rs_tpu.config import Scores
+from genomics_rs_tpu.ops.gotoh_scan import gotoh_fill_scan
+from genomics_rs_tpu.parallel.mesh import DATA_AXIS
+
+
+class BatchScores(NamedTuple):
+    """Per-pair results plus collectively-merged batch statistics.
+
+    score:    int32[B]  alignment score per pair.
+    start_i:  int32[B]  retrace start row (m for global, argmax local).
+    start_j:  int32[B]  retrace start col.
+    max_score: int32    max score across the whole (global) batch.
+    total_cells: float32  total true DP cells across the batch (float:
+        int32 would overflow past ~2 CoV pairs and x64 is off by default).
+    """
+
+    score: jax.Array
+    start_i: jax.Array
+    start_j: jax.Array
+    max_score: jax.Array
+    total_cells: jax.Array
+
+
+def _score_one(s1e, s2e, m, n, scores: Scores, is_local: bool):
+    res = gotoh_fill_scan(s1e, s2e, m, n, scores, is_local, emit_dirs=False)
+    return res.score, res.start_i, res.start_j
+
+
+def batch_scores(
+    s1eb: jax.Array,
+    s2eb: jax.Array,
+    ms: jax.Array,
+    ns: jax.Array,
+    scores: Scores,
+    is_local: bool,
+) -> BatchScores:
+    """Score a batch of pairs on one device (vmap over the fill)."""
+    sc, si, sj = jax.vmap(_score_one, in_axes=(0, 0, 0, 0, None, None))(
+        s1eb, s2eb, ms, ns, scores, is_local
+    )
+    cells = jnp.sum(
+        (ms.astype(jnp.float32) + 1) * (ns.astype(jnp.float32) + 1)
+    )
+    return BatchScores(sc, si, sj, jnp.max(sc), cells)
+
+
+def batch_scores_sharded(
+    mesh: jax.sharding.Mesh,
+    s1eb: jax.Array,
+    s2eb: jax.Array,
+    ms: jax.Array,
+    ns: jax.Array,
+    scores: Scores,
+    is_local: bool,
+    axis_name: str = DATA_AXIS,
+) -> BatchScores:
+    """Shard the batch over ``axis_name`` and merge stats with collectives.
+
+    The batch dimension must be divisible by the mesh axis size (use
+    :func:`pad_batch`). Per-pair outputs come back sharded over the
+    same axis; ``max_score``/``total_cells`` are replicated via
+    ``pmax``/``psum`` over ICI — the TPU-native version of the
+    reference's shared-memory matrix writes.
+    """
+
+    def shard_fn(s1eb, s2eb, ms, ns):
+        local = batch_scores(s1eb, s2eb, ms, ns, scores, is_local)
+        return BatchScores(
+            score=local.score,
+            start_i=local.start_i,
+            start_j=local.start_j,
+            max_score=jax.lax.pmax(local.max_score, axis_name),
+            total_cells=jax.lax.psum(local.total_cells, axis_name),
+        )
+
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=BatchScores(
+            score=P(axis_name),
+            start_i=P(axis_name),
+            start_j=P(axis_name),
+            max_score=P(),
+            total_cells=P(),
+        ),
+        # The scan carry mixes device-varying data with unvarying
+        # constant inits; skip the varying-manual-axes check rather
+        # than pcast every init.
+        check_vma=False,
+    )
+    return sharded(s1eb, s2eb, ms, ns)
+
+
+def pad_batch(arrs, batch: int, multiple: int):
+    """Pad leading batch dim of every array in ``arrs`` up to a multiple.
+
+    Padding rows replicate row 0 (scored but discarded) so shapes stay
+    static and every shard does identical work. Returns (padded arrays,
+    padded batch size).
+    """
+    import numpy as np
+
+    pb = -(-batch // multiple) * multiple
+    if pb == batch:
+        return arrs, batch
+    out = []
+    for a in arrs:
+        pad = np.broadcast_to(a[:1], (pb - batch,) + a.shape[1:])
+        out.append(np.concatenate([a, pad], axis=0))
+    return out, pb
