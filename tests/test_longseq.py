@@ -1,0 +1,91 @@
+"""Sequence-parallel sharded fill vs the full-table oracle.
+
+Runs on the virtual 8-device CPU mesh: rows sharded over ``seq``,
+boundary rows exchanged with ppermute. Scores, and local argmax
+(value, i, j) must match the scan oracle exactly, including the
+reference's last-row-major tie-break.
+
+All trials share one padded shape so the pipeline compiles once.
+"""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+
+from genomics_rs_tpu.config import Scores
+from genomics_rs_tpu.ops.gotoh_scan import gotoh_fill_scan
+from genomics_rs_tpu.parallel.longseq import sharded_gotoh_score
+from genomics_rs_tpu.parallel.mesh import SEQ_AXIS, make_mesh
+from genomics_rs_tpu.sequence import PAD_S1, PAD_S2, Sequence
+
+SCORES = Scores(s_match=1, s_mismatch=-2, g=-1, h=-5)
+LPAD = 320  # shared padded length (multiple of 8)
+
+
+def _pad(s: str, L: int, pad_value: int) -> np.ndarray:
+    return Sequence("x", s).encoded(pad_to=L, pad_value=pad_value)
+
+
+@pytest.mark.parametrize("is_local", [False, True])
+def test_sharded_matches_oracle(is_local):
+    mesh = make_mesh(8, axis_name=SEQ_AXIS)
+    fill = jax.jit(
+        functools.partial(
+            sharded_gotoh_score, mesh, scores=SCORES, is_local=is_local
+        )
+    )
+    oracle = jax.jit(
+        functools.partial(
+            gotoh_fill_scan, scores=SCORES, is_local=is_local
+        ),
+        static_argnames=(),
+    )
+
+    rng = np.random.default_rng(17)
+    cases = [(1, 8), (317, 211)] + [
+        (int(rng.integers(3, 300)), int(rng.integers(3, 300)))
+        for _ in range(3)
+    ]
+    for trial, (m, n) in enumerate(cases):
+        a = "".join(rng.choice(list("ACGT"), m))
+        b = "".join(rng.choice(list("ACGT"), n))
+        s1e = _pad(a, LPAD, PAD_S1)
+        s2e = _pad(b, LPAD, PAD_S2)
+
+        got = fill(s1e, s2e, np.int32(m), np.int32(n))
+        ref = oracle(s1e, s2e, np.int32(m), np.int32(n))
+
+        if is_local:
+            assert int(got.best[0]) == int(ref.score), (trial, a, b)
+            assert int(got.best[1]) == int(ref.start_i), (trial, a, b)
+            assert int(got.best[2]) == int(ref.start_j), (trial, a, b)
+        else:
+            assert int(got.score) == int(ref.score), (trial, a, b)
+
+
+def test_batched_2d_mesh():
+    """(data=2, seq=4) mesh: batch of pairs, rows sharded per pair."""
+    from genomics_rs_tpu.parallel.longseq import batched_sharded_scores
+    from genomics_rs_tpu.parallel.mesh import make_mesh_2d
+
+    mesh2 = make_mesh_2d(2, 4)
+    rng = np.random.default_rng(23)
+    B, L = 4, 64
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ms = rng.integers(L // 2, L + 1, B).astype(np.int32)
+    ns = rng.integers(L // 2, L + 1, B).astype(np.int32)
+    s1b = np.full((B, L), PAD_S1, dtype=np.uint8)
+    s2b = np.full((B, L), PAD_S2, dtype=np.uint8)
+    for i in range(B):
+        s1b[i, : ms[i]] = bases[rng.integers(0, 4, ms[i])]
+        s2b[i, : ns[i]] = bases[rng.integers(0, 4, ns[i])]
+
+    out = batched_sharded_scores(mesh2, s1b, s2b, ms, ns, SCORES, False)
+    for i in range(B):
+        ref = gotoh_fill_scan(
+            s1b[i], s2b[i], ms[i], ns[i], SCORES, False
+        )
+        assert int(out.score[i]) == int(ref.score), i
