@@ -68,6 +68,10 @@ def _cpu_baseline(a: str, b: str) -> float:
 def main() -> None:
     import jax
 
+    from genomics_rs_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from genomics_rs_tpu.config import Scores
     from genomics_rs_tpu.sequence import PAD_S1, PAD_S2, Sequence, round_up
 

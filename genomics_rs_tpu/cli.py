@@ -58,6 +58,16 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("-f", "--fasta-dir", required=True)
     c.add_argument("--suffix-links", action="store_true")
     c.add_argument("--threads", type=int, default=1)
+
+    am = sub.add_parser(
+        "align-matrix",
+        help="all-pairs DP alignment-score matrix over a FASTA dir "
+        "(TPU extension: the DP-scored counterpart of compare)",
+    )
+    am.add_argument("-f", "--fasta-dir", required=True)
+    am.add_argument("-a", "--alignment-type", default="global")
+    am.add_argument("--engine", default="auto", choices=["auto", "scan", "pallas"])
+    am.add_argument("-o", "--output", default="alignment_scores.tsv")
     return p
 
 
@@ -73,7 +83,9 @@ def main(argv: list[str] | None = None) -> int:
 
     from genomics_rs_tpu.config import get_config
     from genomics_rs_tpu.sequence import SequenceContainer
+    from genomics_rs_tpu.utils.jaxcache import enable_persistent_cache
 
+    enable_persistent_cache()
     config = get_config(args.config_path)
 
     if args.mode == "align":
@@ -154,6 +166,29 @@ def main(argv: list[str] | None = None) -> int:
                 + "\t".join(str(int(result.matrix[j, i, 3])) for i in range(num))
                 + "\t"
             )
+        return 0
+
+    if args.mode == "align-matrix":
+        log.info("MODE: Align-Matrix (all-pairs DP scores)")
+        from genomics_rs_tpu.comparison.driver import load_fasta_dir
+        from genomics_rs_tpu.parallel.allpairs import (
+            allpairs_scores,
+            write_scores_tsv,
+        )
+
+        container = load_fasta_dir(args.fasta_dir)
+        log.info("Number of sequences: %d", len(container.sequences))
+        is_local = args.alignment_type in ("local", "1")
+        result = allpairs_scores(
+            container, config.scores, is_local=is_local, engine=args.engine
+        )
+        print(
+            f"{len(result.names)} sequences, {result.cells:.3g} DP cells "
+            f"in {result.elapsed_s:.2f}s ({result.cells_per_s:.3g} cells/s)"
+        )
+        tsv = write_scores_tsv(result, args.output)
+        print("Alignment score TSV:")
+        print(tsv)
         return 0
 
     return 1

@@ -33,14 +33,29 @@ log = logging.getLogger(__name__)
 PAD_MULTIPLE = 128
 
 
-@functools.partial(jax.jit, static_argnames=("is_local", "engine"))
-def _fill(s1e, s2e, m, n, scores: Scores, is_local: bool, engine: str):
+@functools.partial(
+    jax.jit, static_argnames=("is_local", "engine", "emit_dirs")
+)
+def _fill(
+    s1e,
+    s2e,
+    m,
+    n,
+    scores: Scores,
+    is_local: bool,
+    engine: str,
+    emit_dirs: bool = True,
+):
     if engine == "scan":
-        return gotoh_fill_scan(s1e, s2e, m, n, scores, is_local)
+        return gotoh_fill_scan(
+            s1e, s2e, m, n, scores, is_local, emit_dirs=emit_dirs
+        )
     elif engine == "pallas":
         from genomics_rs_tpu.ops.gotoh_pallas import gotoh_fill_pallas
 
-        return gotoh_fill_pallas(s1e, s2e, m, n, scores, is_local)
+        return gotoh_fill_pallas(
+            s1e, s2e, m, n, scores, is_local, emit_dirs=emit_dirs
+        )
     raise ValueError(f"Unknown engine: {engine}")
 
 
@@ -86,13 +101,23 @@ class PairwiseAligner:
         )
 
     def score_only(self, seq1: Sequence, seq2: Sequence) -> int:
-        """Alignment score without traceback (no dirs transfer)."""
+        """Alignment score without traceback (no direction bitmap at
+        all — O(m+n) device memory, so 100 kb+ pairs fit easily)."""
         m, n = len(seq1), len(seq2)
         Lm = max(round_up(m, PAD_MULTIPLE), PAD_MULTIPLE)
         Ln = max(round_up(n, PAD_MULTIPLE), PAD_MULTIPLE)
         s1e = seq1.encoded(pad_to=Lm, pad_value=PAD_S1)
         s2e = seq2.encoded(pad_to=Ln, pad_value=PAD_S2)
-        res = _fill(s1e, s2e, m, n, self.scores, self.is_local, self.engine)
+        res = _fill(
+            s1e,
+            s2e,
+            m,
+            n,
+            self.scores,
+            self.is_local,
+            self.engine,
+            emit_dirs=False,
+        )
         return int(res.score)
 
 

@@ -242,6 +242,231 @@ def _kernel(
         fin_ref[:] = fin_s[:]
 
 
+def _kernel_batch(
+    scalars,  # SMEM int32 (B, 8): per-pair m, n, sm, sx, g, h, pad, pad
+    s1m_ref,  # VMEM int32 (1, 8, C) block: this pair's s1m
+    s2i_ref,  # SMEM int32 (1, 1, chunk) block: this pair's s2inj chunk
+    bv_ref,  # int32 (1, 8, C) out block
+    bk_ref,
+    fin_ref,
+    Ip, Sp, Dp, Ish, Ssh, Dsh, s2j_ref, bv_s, bk_s, fin_s,
+    *,
+    shapes: _Shapes,
+    is_local: bool,
+):
+    """Batched score-only wavefront: grid (pairs, diag-chunks).
+
+    TPU grid iteration is (b-major, g-minor) and sequential, so the
+    per-pair scratch state re-initialises at every g == 0 and carries
+    across the chunk dimension only. One dispatch scores the whole
+    batch — amortising host/tunnel round-trips that dominate when
+    pairs are launched one by one.
+    """
+    C = shapes.C
+    b_id = pl.program_id(0)
+    g_id = pl.program_id(1)
+
+    m = scalars[b_id, 0]
+    n = scalars[b_id, 1]
+    sm = scalars[b_id, 2]
+    sx = scalars[b_id, 3]
+    gg = scalars[b_id, 4]
+    hh = scalars[b_id, 5]
+
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 0)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 1)
+    iv = row_idx * C + col_idx
+    neg = jnp.int32(NEG_INF)
+    int_min = jnp.int32(INT_MIN)
+
+    @pl.when(g_id == 0)
+    def _init():
+        full_neg = jnp.full((ROWS, C), neg, dtype=jnp.int32)
+        Ip[:] = full_neg
+        Sp[:] = full_neg
+        Dp[:] = full_neg
+        Ish[:] = full_neg
+        Ssh[:] = full_neg
+        Dsh[:] = full_neg
+        s2j_ref[:] = jnp.full((ROWS, C), 0xFF, dtype=jnp.int32)
+        bv_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+        bk_s[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
+        fin_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+
+    zero_lane = jnp.int32(0) if is_local else neg
+
+    def body(t, _):
+        k = g_id * shapes.chunk + t
+
+        @pl.when(k < shapes.K)
+        def _step():
+            inj = s2i_ref[0, 0, t]
+            s2j = _shift_down_flat(s2j_ref[:], inj, row_idx, col_idx, C)
+            s2j_ref[:] = s2j
+
+            I1, S1, D1 = Ip[:], Sp[:], Dp[:]
+            Iu = _shift_down_flat(I1, neg, row_idx, col_idx, C)
+            Su = _shift_down_flat(S1, neg, row_idx, col_idx, C)
+            Du = _shift_down_flat(D1, neg, row_idx, col_idx, C)
+            Id, Sd, Dd = Ish[:], Ssh[:], Dsh[:]
+
+            j = k - iv
+            Inew = jnp.maximum(
+                jnp.maximum(I1 + gg, S1 + hh + gg),
+                jnp.maximum(D1 + hh + gg, zero_lane),
+            )
+            Dnew = jnp.maximum(
+                jnp.maximum(Iu + hh + gg, Su + hh + gg),
+                jnp.maximum(Du + gg, zero_lane),
+            )
+            sub = jnp.where(s1m_ref[0] == s2j, sm, sx)
+            Snew = sub + jnp.maximum(
+                jnp.maximum(Id, Sd), jnp.maximum(Dd, zero_lane)
+            )
+
+            is_origin = (iv == 0) & (j == 0)
+            is_row0 = (iv == 0) & (j > 0)
+            is_col0 = (j == 0) & (iv > 0)
+            invalid = j < 0
+
+            Inew = jnp.where(is_row0, hh + j * gg, Inew)
+            Inew = jnp.where(is_col0 | invalid, neg, Inew)
+            Dnew = jnp.where(is_col0, hh + iv * gg, Dnew)
+            Dnew = jnp.where(is_row0 | invalid, neg, Dnew)
+            Snew = jnp.where(is_row0 | is_col0 | invalid, neg, Snew)
+            Inew = jnp.where(is_origin, 0, Inew)
+            Dnew = jnp.where(is_origin, 0, Dnew)
+            Snew = jnp.where(is_origin, 0, Snew)
+
+            cm = jnp.maximum(jnp.maximum(Inew, Snew), Dnew)
+            if is_local:
+                cm = jnp.maximum(cm, 0)
+
+            in_true = (iv <= m) & (j >= 0) & (j <= n)
+            val = jnp.where(in_true, cm, int_min)
+            upd = val >= bv_s[:]
+            bv_s[:] = jnp.where(upd, val, bv_s[:])
+            bk_s[:] = jnp.where(upd, k, bk_s[:])
+            fin_s[:] = jnp.where((k == m + n) & (iv == m), cm, fin_s[:])
+
+            Ish[:] = Iu
+            Ssh[:] = Su
+            Dsh[:] = Du
+            Ip[:] = Inew
+            Sp[:] = Snew
+            Dp[:] = Dnew
+
+        return 0
+
+    jax.lax.fori_loop(0, shapes.chunk, body, 0)
+
+    @pl.when(g_id == pl.num_programs(1) - 1)
+    def _finalize():
+        bv_ref[0] = bv_s[:]
+        bk_ref[0] = bk_s[:]
+        fin_ref[0] = fin_s[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("is_local", "interpret")
+)
+def gotoh_scores_pallas_batch(
+    s1eb: jax.Array,
+    s2eb: jax.Array,
+    ms: jax.Array,
+    ns: jax.Array,
+    scores: Scores,
+    is_local: bool,
+    interpret: bool = False,
+):
+    """Score a batch of pairs in ONE kernel dispatch (no dirs).
+
+    Returns (score, start_i, start_j) arrays of shape (B,). Shapes:
+    s1eb (B, Lm), s2eb (B, Ln) — all pairs padded alike.
+    """
+    B, Lm = s1eb.shape
+    _, Ln = s2eb.shape
+    shapes = _plan(Lm, Ln, emit_dirs=False)
+    V, C = shapes.V, shapes.C
+
+    ms = jnp.asarray(ms, jnp.int32)
+    ns = jnp.asarray(ns, jnp.int32)
+
+    s1m = jnp.full((B, V), 0xFD, dtype=jnp.int32)
+    s1m = jax.lax.dynamic_update_slice(
+        s1m, s1eb.astype(jnp.int32), (jnp.int32(0), jnp.int32(1))
+    )
+    s1m3d = s1m.reshape(B, ROWS, C)
+
+    ks = jnp.arange(shapes.Kp, dtype=jnp.int32)
+    idx = jnp.clip(ks - 1, 0, Ln - 1)
+    s2inj = jnp.take_along_axis(
+        s2eb.astype(jnp.int32), jnp.broadcast_to(idx, (B, shapes.Kp)), axis=1
+    )
+    s2inj = jnp.where(ks - 1 >= Ln, 0xFF, s2inj)[:, None, :]
+
+    scalars = jnp.stack(
+        [
+            ms,
+            ns,
+            jnp.full((B,), scores.s_match, jnp.int32),
+            jnp.full((B,), scores.s_mismatch, jnp.int32),
+            jnp.full((B,), scores.g, jnp.int32),
+            jnp.full((B,), scores.h, jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+        ],
+        axis=1,
+    )
+
+    grid = (B, shapes.Kp // shapes.chunk)
+    vec_out = pl.BlockSpec(
+        (1, ROWS, C), lambda b, g, s: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, ROWS, C), lambda b, g, s: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, shapes.chunk),
+                lambda b, g, s: (b, 0, g),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=(vec_out, vec_out, vec_out),
+        scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)] * 10,
+    )
+    kernel = functools.partial(
+        _kernel_batch, shapes=shapes, is_local=is_local
+    )
+    bv, bk, fin = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((B, ROWS, C), jnp.int32)] * 3
+        ),
+        interpret=interpret,
+    )(scalars, s1m3d, s2inj)
+
+    iv = jnp.arange(V, dtype=jnp.int32)[None, :]
+    bvf = bv.reshape(B, V)
+    bkf = bk.reshape(B, V)
+    finf = fin.reshape(B, V)
+
+    if is_local:
+        vmax = jnp.max(bvf, axis=1, keepdims=True)
+        i_best = jnp.max(jnp.where(bvf == vmax, iv, -1), axis=1)
+        k_best = jnp.max(
+            jnp.where((bvf == vmax) & (iv == i_best[:, None]), bkf, -1),
+            axis=1,
+        )
+        return vmax[:, 0], i_best, k_best - i_best
+    return jnp.max(finf, axis=1), ms, ns
+
+
 @functools.partial(
     jax.jit, static_argnames=("is_local", "emit_dirs", "interpret")
 )

@@ -1,0 +1,149 @@
+"""All-pairs DP alignment-score matrix on TPU.
+
+The DP-scored counterpart of the compare driver's suffix-tree
+similarity (``comparison/driver.py``): every pair (i <= j) of a
+sequence container is globally/locally aligned and the score matrix is
+assembled, lower triangle like the reference's similarity matrix
+(``/root/reference/src/main.rs:263-315``) — at 30 kb genome scale this
+is ~4.9e10 DP cells for the bundled corpus (BASELINE.md), a workload
+the reference cannot touch with DP at all.
+
+Execution strategies (engine-dependent):
+* ``pallas`` (TPU): pairs run back-to-back through the score-only
+  wavefront kernel — one compile per padded length bucket, O(m+n)
+  memory per pair, ~1.2e10 cells/s/chip.
+* ``scan`` + mesh (CPU/tests, multi-chip): fixed-shape pair batches
+  ``vmap``-ed and sharded over the ``data`` axis via
+  ``batch_scores_sharded``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+
+import numpy as np
+
+import jax
+
+from genomics_rs_tpu.config import Scores
+from genomics_rs_tpu.parallel.batch import batch_scores_sharded, pad_batch
+from genomics_rs_tpu.parallel.mesh import make_mesh
+from genomics_rs_tpu.sequence import (
+    PAD_S1,
+    PAD_S2,
+    SequenceContainer,
+    round_up,
+)
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class AllPairsResult:
+    names: list[str]
+    lengths: list[int]
+    #: [j][i] = score for i <= j; zeros above the diagonal.
+    matrix: np.ndarray
+    elapsed_s: float
+    cells: float
+    cells_per_s: float
+
+
+def _encode_all(container: SequenceContainer, pad: int):
+    seqs = [s.sequence for s in container.sequences]
+    L = max(max((len(s) for s in seqs), default=1), 1)
+    L = max(round_up(L, pad), pad)
+    enc1 = np.stack([_enc(s, L, PAD_S1) for s in seqs])
+    enc2 = np.stack([_enc(s, L, PAD_S2) for s in seqs])
+    lens = np.array([len(s) for s in seqs], dtype=np.int32)
+    return enc1, enc2, lens
+
+
+def _enc(s: str, L: int, pad_value: int) -> np.ndarray:
+    a = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+    return np.concatenate([a, np.full(L - a.size, pad_value, dtype=np.uint8)])
+
+
+def allpairs_scores(
+    container: SequenceContainer,
+    scores: Scores,
+    is_local: bool = False,
+    engine: str = "auto",
+    mesh: jax.sharding.Mesh | None = None,
+) -> AllPairsResult:
+    """Score matrix over all pairs (i <= j), lower-triangle layout."""
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "scan"
+
+    names = [s.name for s in container.sequences]
+    num = len(names)
+    enc1, enc2, lens = _encode_all(container, pad=128)
+    pairs = [(i, j) for j in range(num) for i in range(num) if i <= j]
+    total_cells = float(
+        sum((lens[i] + 1.0) * (lens[j] + 1.0) for i, j in pairs)
+    )
+    matrix = np.zeros((num, num), dtype=np.int64)
+
+    t0 = time.perf_counter()
+    if engine == "pallas":
+        from genomics_rs_tpu.ops.gotoh_pallas import gotoh_scores_pallas_batch
+
+        s1b = np.stack([enc1[i] for i, _ in pairs])
+        s2b = np.stack([enc2[j] for _, j in pairs])
+        ms = np.array([lens[i] for i, _ in pairs], dtype=np.int32)
+        ns = np.array([lens[j] for _, j in pairs], dtype=np.int32)
+        sc, _, _ = gotoh_scores_pallas_batch(
+            s1b, s2b, ms, ns, scores, is_local
+        )
+        sc = np.asarray(sc)
+        for k, (i, j) in enumerate(pairs):
+            matrix[j, i] = int(sc[k])
+    else:
+        mesh = mesh or make_mesh()
+        n_dev = mesh.devices.size
+        s1b = np.stack([enc1[i] for i, _ in pairs])
+        s2b = np.stack([enc2[j] for _, j in pairs])
+        ms = np.array([lens[i] for i, _ in pairs], dtype=np.int32)
+        ns = np.array([lens[j] for _, j in pairs], dtype=np.int32)
+        (s1b, s2b, ms, ns), _ = pad_batch(
+            (s1b, s2b, ms, ns), len(pairs), n_dev
+        )
+        out = batch_scores_sharded(mesh, s1b, s2b, ms, ns, scores, is_local)
+        sc = np.asarray(out.score)
+        for k, (i, j) in enumerate(pairs):
+            matrix[j, i] = int(sc[k])
+    elapsed = time.perf_counter() - t0
+
+    log.info(
+        "[AllPairs] %d pairs, %.3g cells in %.2fs (%.3g cells/s, engine=%s)",
+        len(pairs),
+        total_cells,
+        elapsed,
+        total_cells / elapsed,
+        engine,
+    )
+    return AllPairsResult(
+        names=names,
+        lengths=[int(x) for x in lens],
+        matrix=matrix,
+        elapsed_s=elapsed,
+        cells=total_cells,
+        cells_per_s=total_cells / elapsed,
+    )
+
+
+def write_scores_tsv(result: AllPairsResult, path: str) -> str:
+    """Same TSV shape as the reference similarity matrix
+    (``main.rs:330-360``): index header row, then one row per
+    sequence."""
+    num = len(result.names)
+    lines = ["\t" + "\t".join(str(i) for i in range(num)) + "\t"]
+    for j in range(num):
+        cells = "\t".join(str(int(result.matrix[j, i])) for i in range(num))
+        lines.append(f"{j}\t{cells}\t")
+    text = "\n".join(lines) + "\n"
+    with open(path, "w") as f:
+        f.write(text)
+    return text

@@ -1,0 +1,31 @@
+"""All-pairs DP score matrix driver (scan engine on the CPU mesh)."""
+
+import numpy as np
+
+from genomics_rs_tpu.config import Scores
+from genomics_rs_tpu.models.aligner import PairwiseAligner
+from genomics_rs_tpu.parallel.allpairs import allpairs_scores, write_scores_tsv
+from genomics_rs_tpu.sequence import Sequence, SequenceContainer
+
+SCORES = Scores(s_match=1, s_mismatch=-2, g=-1, h=-5)
+
+
+def test_allpairs_matches_single(tmp_path):
+    rng = np.random.default_rng(31)
+    seqs = [
+        Sequence(f"s{k}", "".join(rng.choice(list("ACGT"), int(rng.integers(20, 90)))))
+        for k in range(5)
+    ]
+    container = SequenceContainer(sequences=seqs)
+    result = allpairs_scores(container, SCORES, is_local=False, engine="scan")
+
+    aligner = PairwiseAligner(SCORES, is_local=False, engine="scan")
+    for j in range(5):
+        for i in range(j + 1):
+            want = aligner.score_only(seqs[i], seqs[j])
+            assert int(result.matrix[j, i]) == want, (i, j)
+        for i in range(j + 1, 5):
+            assert int(result.matrix[j, i]) == 0
+
+    tsv = write_scores_tsv(result, str(tmp_path / "m.tsv"))
+    assert tsv.splitlines()[0].split("\t")[1:6] == [str(k) for k in range(5)]
