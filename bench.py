@@ -1,17 +1,19 @@
 """Headline benchmark: DP cell-updates/sec on one TPU chip.
 
-Workload: global affine-gap (Gotoh) fill of a 30 kb CoV genome pair —
-the configuration the reference cannot run at all (43 GB table,
-BASELINE.md) — using the Pallas wavefront kernel *with* the full
-traceback direction bitmap (i.e. the complete alignment capability,
-not score-only).
+Workload: the all-pairs 30 kb genome corpus (10 CoV/MERS/SARS genomes,
+55 pairs = 4.9e10 DP cells — BASELINE.md) scored in a single batched
+Pallas dispatch, i.e. the "all-pairs comparison matrix, batched
+data-parallel" configuration from BASELINE.json. A full fill *with*
+traceback direction bitmap on one 30 kb pair is also measured and
+reported inside the metric string.
 
-Baseline: the reference publishes no numbers (BASELINE.md), and no
-Rust toolchain exists in this image, so the baseline is the measured
-throughput of ``native/gotoh_cpu.cpp`` — the same recurrence in
--O2 -march=native C++ on this host's CPU, single-threaded like the
-reference's align path, score-only rolling rows (memory-lean, i.e.
-*favorable* to the baseline). vs_baseline = TPU / CPU.
+Baseline: the reference publishes no numbers and the Rust toolchain is
+not in this image, so the baseline is the measured throughput of
+``native/gotoh_cpu.cpp`` — the same recurrence, same i64 math,
+-O2 -march=native, single-threaded like the reference's align path,
+score-only rolling rows (memory-lean, i.e. *favorable* to the
+baseline: the real reference writes 48 B/cell). vs_baseline =
+TPU cells/s / CPU cells/s, both score-only.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "cells/s", "vs_baseline": N}
@@ -32,36 +34,46 @@ sys.path.insert(0, REPO)
 REF = "/root/reference"
 
 
-def _load_pair() -> tuple[str, str]:
+def _load_corpus():
+    """(enc1, enc2, lens, pairs) for the 10-genome corpus (or synthetic)."""
+    from genomics_rs_tpu.parallel.allpairs import _encode_all
+    from genomics_rs_tpu.sequence import SequenceContainer
+
+    container = SequenceContainer()
+    cmp_dir = os.path.join(REF, "comparison_data")
     try:
-        from genomics_rs_tpu.sequence import SequenceContainer
-
-        c = SequenceContainer()
-        c.from_fasta(os.path.join(REF, "test_data", "Covid_Wuhan.fasta"))
-        c.from_fasta(os.path.join(REF, "test_data", "Covid_USA-CA4.fasta"))
-        if len(c.sequences) >= 2:
-            return c.sequences[0].sequence, c.sequences[1].sequence
-    except Exception:
+        for fname in sorted(os.listdir(cmp_dir)):
+            if fname.endswith(".fasta"):
+                container.from_fasta(os.path.join(cmp_dir, fname))
+    except OSError:
         pass
-    rng = np.random.default_rng(0)
-    return (
-        "".join(rng.choice(list("ACGT"), 29903)),
-        "".join(rng.choice(list("ACGT"), 29882)),
-    )
+    if len(container.sequences) < 2:
+        from genomics_rs_tpu.sequence import Sequence
+
+        rng = np.random.default_rng(0)
+        container.sequences = [
+            Sequence(f"s{k}", "".join(rng.choice(list("ACGT"), 29900)))
+            for k in range(10)
+        ]
+    enc1, enc2, lens = _encode_all(container, 128)
+    num = len(lens)
+    pairs = [(i, j) for j in range(num) for i in range(num) if i <= j]
+    return enc1, enc2, lens, pairs
 
 
-def _cpu_baseline(a: str, b: str) -> float:
+def _cpu_baseline(enc1, enc2, lens) -> float:
     """Measured reference-equivalent CPU throughput (cells/s)."""
     try:
         from genomics_rs_tpu.suffixtree.native import gotoh_score_cpu
 
+        a = bytes(enc1[0][: lens[0]])
+        b = bytes(enc2[1][: lens[1]])
         t0 = time.perf_counter()
-        gotoh_score_cpu(a.encode(), b.encode(), 1, -2, -1, -5, False)
+        gotoh_score_cpu(a, b, 1, -2, -1, -5, False)
         dt = time.perf_counter() - t0
         return (len(a) + 1) * (len(b) + 1) / dt
     except Exception:
-        # Native lib unavailable: conservative estimate of an optimized
-        # native CPU fill (higher than typical => understates speedup).
+        # Conservative (high) estimate => understates our speedup.
         return 5e8
 
 
@@ -73,59 +85,83 @@ def main() -> None:
     enable_persistent_cache()
 
     from genomics_rs_tpu.config import Scores
-    from genomics_rs_tpu.sequence import PAD_S1, PAD_S2, Sequence, round_up
 
-    a, b = _load_pair()
-    m, n = len(a), len(b)
-    cells = (m + 1) * (n + 1)
     scores = Scores(s_match=1, s_mismatch=-2, g=-1, h=-5)
+    enc1, enc2, lens, pairs = _load_corpus()
+    on_tpu = jax.default_backend() == "tpu"
 
-    on_tpu = jax.default_backend() in ("tpu",)
+    s1b = np.stack([enc1[i] for i, _ in pairs])
+    s2b = np.stack([enc2[j] for _, j in pairs])
+    ms = np.array([lens[i] for i, _ in pairs], dtype=np.int32)
+    ns = np.array([lens[j] for _, j in pairs], dtype=np.int32)
+    if not on_tpu:
+        # Smoke mode (no TPU): truncate hard so the scan engine finishes.
+        s1b, s2b = s1b[:3, :1024], s2b[:3, :1024]
+        ms = np.minimum(ms[:3], 1000)
+        ns = np.minimum(ns[:3], 1000)
+    cells = float(np.sum((ms + 1.0) * (ns + 1.0)))
+
     if on_tpu:
-        from genomics_rs_tpu.ops.gotoh_pallas import gotoh_fill_pallas as fill
+        from genomics_rs_tpu.ops.gotoh_pallas import (
+            gotoh_fill_pallas,
+            gotoh_scores_pallas_batch,
+        )
+
+        def run_batch():
+            out = gotoh_scores_pallas_batch(s1b, s2b, ms, ns, scores, False)
+            jax.block_until_ready(out)
+            return out
+
+        def run_dirs():
+            res = gotoh_fill_pallas(
+                s1b[0], s2b[0], ms[0], ns[0], scores, False
+            )
+            jax.block_until_ready(res.score)
+            return res
     else:
-        # No TPU (smoke mode): scan engine on a truncated pair so the
-        # bench still emits a line.
-        from genomics_rs_tpu.ops.gotoh_scan import gotoh_fill_scan as fill
+        from genomics_rs_tpu.parallel.batch import batch_scores
 
-        a, b = a[:2048], b[:2048]
-        m, n = len(a), len(b)
-        cells = (m + 1) * (n + 1)
+        def run_batch():
+            out = batch_scores(s1b, s2b, ms, ns, scores, False)
+            jax.block_until_ready(out)
+            return out
 
-    Lm = max(round_up(m, 128), 128)
-    Ln = max(round_up(n, 128), 128)
-    s1e = Sequence("a", a).encoded(pad_to=Lm, pad_value=PAD_S1)
-    s2e = Sequence("b", b).encoded(pad_to=Ln, pad_value=PAD_S2)
+        run_dirs = None
 
-    def run():
-        res = fill(s1e, s2e, np.int32(m), np.int32(n), scores, False)
-        jax.block_until_ready(res.score)
-        return res
-
-    res = run()  # warmup + compile
-    score = int(res.score)
-    del res
-
+    out = run_batch()  # warmup/compile
+    sample_score = int(np.asarray(out[0] if isinstance(out, tuple) else out.score)[0])
     reps = 3
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        run()
+        run_batch()
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     value = cells / dt
 
-    baseline = _cpu_baseline(*_load_pair())
+    dirs_info = ""
+    if run_dirs is not None:
+        run_dirs()  # warmup
+        t0 = time.perf_counter()
+        run_dirs()
+        dt_dirs = time.perf_counter() - t0
+        pair_cells = (ms[0] + 1.0) * (ns[0] + 1.0)
+        dirs_info = (
+            f", with-traceback-bitmap single pair: "
+            f"{pair_cells / dt_dirs:.3g} cells/s"
+        )
+
+    baseline = _cpu_baseline(enc1, enc2, lens)
 
     print(
         json.dumps(
             {
                 "metric": (
-                    "Gotoh DP fill cell-updates/sec/chip, 30kb CoV pair, "
-                    "global affine-gap with traceback bitmap "
-                    f"(score={score}, fill={dt*1e3:.1f} ms, "
-                    f"cpu_baseline={baseline:.3g} cells/s, "
-                    f"engine={'pallas' if on_tpu else 'scan-smoke'})"
+                    "Gotoh DP cell-updates/sec/chip: all-pairs 10-genome "
+                    f"corpus ({len(ms)} pairs, {cells:.3g} cells, "
+                    f"batch fill {dt*1e3:.0f} ms, sample score "
+                    f"{sample_score}){dirs_info}; CPU baseline "
+                    f"(native/gotoh_cpu.cpp, 1 core) {baseline:.3g} cells/s"
                 ),
                 "value": value,
                 "unit": "cells/s",
