@@ -80,10 +80,40 @@ class PairwiseAligner:
         self.is_local = is_local
         self.engine = _default_engine() if engine == "auto" else engine
 
+    #: Largest monolithic direction bitmap we allow in HBM before
+    #: routing to the checkpointed linear-space path (bytes).
+    DIRS_BYTE_BUDGET = 2 << 30
+
     def align(self, seq1: Sequence, seq2: Sequence) -> AlignedSequences:
         m, n = len(seq1), len(seq2)
         Lm = max(round_up(m, PAD_MULTIPLE), PAD_MULTIPLE)
         Ln = max(round_up(n, PAD_MULTIPLE), PAD_MULTIPLE)
+
+        # Monolithic dirs is (Lm+Ln+1) x roundup(Lm+1, 1024) bytes; a
+        # 60kb+ pair overflows HBM -> checkpointed block traceback
+        # (bit-identical output, O((m/R + R) * n) memory).
+        est_dirs = (Lm + Ln + 1) * (round_up(Lm + 1, 1024))
+        if self.engine == "pallas" and est_dirs > self.DIRS_BYTE_BUDGET:
+            from genomics_rs_tpu.models.longalign import align_checkpointed
+
+            block_rows = max(
+                1024,
+                min(8192, self.DIRS_BYTE_BUDGET // (2 * max(Ln, 1)) // 1024 * 1024),
+            )
+            log.info(
+                "align: %dx%d exceeds dirs budget -> checkpointed path "
+                "(block_rows=%d)",
+                m,
+                n,
+                block_rows,
+            )
+            return align_checkpointed(
+                seq1,
+                seq2,
+                self.scores,
+                is_local=self.is_local,
+                block_rows=block_rows,
+            )
 
         s1e = seq1.encoded(pad_to=Lm, pad_value=PAD_S1)
         s2e = seq2.encoded(pad_to=Ln, pad_value=PAD_S2)

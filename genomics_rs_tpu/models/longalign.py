@@ -1,0 +1,151 @@
+"""Checkpointed linear-space alignment with full traceback.
+
+The reference materialises 48 B/cell (SURVEY §2.4-9: ~43 GB for one
+30 kb pair), and even our 2-bit direction bitmap tops out around
+60 kb pairs in one chip's HBM. This driver removes the ceiling:
+
+1. **Forward pass** — the table is filled as full-width row blocks of
+   ``block_rows`` rows through the streamed-boundary Pallas tile
+   kernel (score-only + bottom-row emission); only each block's input
+   top row is checkpointed (O((m/R) * n) int32).
+2. **Backward pass** — walking from the end cell, each crossed block
+   is *refilled* with its 2-bit direction bitmap (O(R * n) transient,
+   device-resident) and the path is chased on device
+   (``ops/traceback_device.walk_block``); only O(m+n) move codes ever
+   reach the host.
+
+Because every block refill injects the exact checkpointed boundary
+values, the per-cell direction codes — and therefore the traceback
+path, tie-breaks and stats — are bit-identical to a monolithic fill
+(verified against ``PairwiseAligner`` in tests/test_longalign.py).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import numpy as np
+
+from genomics_rs_tpu.config import Scores
+from genomics_rs_tpu.ops.gotoh_pallas import gotoh_tile_pallas
+from genomics_rs_tpu.ops.gotoh_tile import (
+    global_boundary_left,
+    global_boundary_top,
+)
+from genomics_rs_tpu.ops.traceback import AlignedSequences, classify_moves
+from genomics_rs_tpu.ops.traceback_device import walk_block
+from genomics_rs_tpu.sequence import PAD_S1, PAD_S2, Sequence, round_up
+
+log = logging.getLogger(__name__)
+
+INT_MIN = -(2**31)
+
+
+def align_checkpointed(
+    seq1: Sequence,
+    seq2: Sequence,
+    scores: Scores,
+    is_local: bool = False,
+    block_rows: int = 4096,
+    interpret: bool = False,
+) -> AlignedSequences:
+    """Full global/local alignment with O((m/R + R) * n) device memory."""
+    m, n = len(seq1), len(seq2)
+    R = block_rows
+    Lm = max(round_up(m, R), R)
+    Ln = max(round_up(n, 128), 128)
+    NB = Lm // R
+    s1e = seq1.encoded(pad_to=Lm, pad_value=PAD_S1)
+    s2e = seq2.encoded(pad_to=Ln, pad_value=PAD_S2)
+
+    # ---- forward: fill blocks, checkpoint each block's top row ----
+    t0 = time.perf_counter()
+    tops: list[np.ndarray] = []
+    top = np.asarray(global_boundary_top(0, Ln, scores))
+    best = (INT_MIN, 0, 0)
+    at_mn = INT_MIN
+    for b in range(NB):
+        i0 = b * R
+        left = np.asarray(global_boundary_left(i0, R, scores))
+        res = gotoh_tile_pallas(
+            s1e[i0 : i0 + R],
+            s2e,
+            top,
+            left,
+            np.int32(m),
+            np.int32(n),
+            np.int32(i0),
+            np.int32(0),
+            scores,
+            is_local,
+            emit_dirs=False,
+            emit_bottom=True,
+            interpret=interpret,
+        )
+        tops.append(top)
+        cand = (int(res.best[0]), int(res.best[1]), int(res.best[2]))
+        if cand >= best:
+            best = cand
+        at_mn = max(at_mn, int(res.score_at_mn))
+        top = np.asarray(res.bottom)
+    t_fwd = time.perf_counter() - t0
+
+    if is_local:
+        score, start_i, start_j = best
+    else:
+        score, start_i, start_j = at_mn, m, n
+
+    # ---- backward: refill crossed blocks with dirs, walk on device ----
+    t0 = time.perf_counter()
+    codes: list[np.ndarray] = []
+    i, j = start_i, start_j
+    done = i == 0 and j == 0
+    max_steps = R + Ln + 1
+    while not done:
+        blk = max(0, (i - 1) // R)
+        i0 = blk * R
+        left = np.asarray(global_boundary_left(i0, R, scores))
+        res = gotoh_tile_pallas(
+            s1e[i0 : i0 + R],
+            s2e,
+            tops[blk],
+            left,
+            np.int32(m),
+            np.int32(n),
+            np.int32(i0),
+            np.int32(0),
+            scores,
+            is_local,
+            emit_dirs=True,
+            emit_bottom=False,
+            interpret=interpret,
+        )
+        moves, count, i_f, j_f, done_f = walk_block(
+            res.dirs,
+            np.int32(i - i0),
+            np.int32(j),
+            np.int32(i0),
+            max_steps=max_steps,
+        )
+        count = int(count)
+        codes.append(np.asarray(moves)[:count])
+        i, j, done = int(i_f), int(j_f), bool(done_f)
+        if not done and blk == 0:
+            raise RuntimeError(
+                f"traceback left block 0 at ({i}, {j}) without terminating"
+            )
+    t_bwd = time.perf_counter() - t0
+    log.info(
+        "[LongAlign] %dx%d in %d blocks of %d rows: forward %.2fs, "
+        "traceback %.2fs",
+        m,
+        n,
+        NB,
+        R,
+        t_fwd,
+        t_bwd,
+    )
+
+    all_codes = np.concatenate(codes) if codes else np.zeros(0, np.uint8)
+    return classify_moves(all_codes, start_i, start_j, score, seq1, seq2)

@@ -66,13 +66,15 @@ class _Shapes(NamedTuple):
     Kp: int  # K rounded up to a CHUNK multiple
     chunk: int  # diagonals per grid step
     s2len: int  # padded s2 injection buffer length
+    Vb: int = 0  # bottom-row capture buffer flat length (emit_bottom)
 
 
-def _plan(Lm: int, Ln: int, emit_dirs: bool) -> _Shapes:
+def _plan(Lm: int, Ln: int, emit_dirs: bool, bot_len: int = 0) -> _Shapes:
     V = max(_round_up(Lm + 1, 1024), 1024)
     K = Lm + Ln + 1
-    # VMEM budget: ~11 state vectors of V*4 bytes + 2x dirs block.
-    state_bytes = 11 * V * 4
+    Vb = max(_round_up(bot_len + 2, 1024), 1024) if bot_len else 0
+    # VMEM budget: state vectors + bottom buffers + 2x dirs block.
+    state_bytes = 11 * V * 4 + 6 * Vb * 4
     budget = 12 * 1024 * 1024
     chunk = 256
     if emit_dirs:
@@ -80,7 +82,9 @@ def _plan(Lm: int, Ln: int, emit_dirs: bool) -> _Shapes:
             chunk //= 2
     Kp = _round_up(K, chunk)
     s2len = _round_up(K + 1, 128)
-    return _Shapes(V=V, C=V // ROWS, K=K, Kp=Kp, chunk=chunk, s2len=s2len)
+    return _Shapes(
+        V=V, C=V // ROWS, K=K, Kp=Kp, chunk=chunk, s2len=s2len, Vb=Vb
+    )
 
 
 def _shift_down_flat(x, incoming, row_idx, col_idx, C):
@@ -240,6 +244,365 @@ def _kernel(
         bv_ref[:] = bv_s[:]
         bk_ref[:] = bk_s[:]
         fin_ref[:] = fin_s[:]
+
+
+def _kernel_tile(
+    scalars,  # SMEM int32[8]: m, n, sm, sx, g, h, i0, j0 (global coords)
+    s1m_ref,  # VMEM int32 (8, C): s1m[l] = s1_block[l-1]
+    s2i_ref,  # SMEM int32 (1, chunk): s2inj chunk
+    top_ref,  # SMEM int32 (3, chunk): I/S/D of tile row 0 at col k
+    left_ref,  # SMEM int32 (3, chunk): I/S/D of tile col 0 at row k
+    *refs,  # [dirs_ref] [botI, botS, botD] bv_ref bk_ref fin_ref scratch...
+    shapes: _Shapes,
+    B_cols: int,
+    R_rows: int,
+    is_local: bool,
+    emit_dirs: bool,
+    emit_bottom: bool,
+):
+    """Streamed-boundary wavefront tile fill.
+
+    Generalizes the global fill: the tile's top row and left column
+    values arrive as per-diagonal SMEM streams (consumed at step k by
+    lane 0 and lane k respectively), so the same kernel fills (a) the
+    whole table (streams = the reference boundary conditions,
+    algo.rs:193-220), or (b) any full-width row block given the
+    previous block's bottom row — the unit of the checkpointed
+    linear-space traceback (models/longalign.py).
+
+    ``emit_bottom`` captures the last row (lane R) through three
+    rotating shift buffers — buffer[v] holds the lane-R value of step
+    K-1-v, so the bottom row comes out reversed and is unscrambled on
+    host. This costs 3 extra flat shifts per step (~25%).
+    """
+    C = shapes.C
+    idx = 0
+    dirs_ref = None
+    if emit_dirs:
+        dirs_ref = refs[idx]
+        idx += 1
+    bot_refs = None
+    if emit_bottom:
+        bot_refs = refs[idx : idx + 3]
+        idx += 3
+    bv_ref, bk_ref, fin_ref = refs[idx : idx + 3]
+    idx += 3
+    (Ip, Sp, Dp, Ish, Ssh, Dsh, s2j_ref, bv_s, bk_s, fin_s) = refs[
+        idx : idx + 10
+    ]
+    idx += 10
+    bot_s = refs[idx : idx + 3] if emit_bottom else None
+
+    g_id = pl.program_id(0)
+    m = scalars[0]
+    n = scalars[1]
+    sm = scalars[2]
+    sx = scalars[3]
+    gg = scalars[4]
+    hh = scalars[5]
+    i0 = scalars[6]
+    j0 = scalars[7]
+
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 0)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 1)
+    iv = row_idx * C + col_idx
+    neg = jnp.int32(NEG_INF)
+    int_min = jnp.int32(INT_MIN)
+
+    @pl.when(g_id == 0)
+    def _init():
+        full_neg = jnp.full((ROWS, C), neg, dtype=jnp.int32)
+        Ip[:] = full_neg
+        Sp[:] = full_neg
+        Dp[:] = full_neg
+        Ish[:] = full_neg
+        Ssh[:] = full_neg
+        Dsh[:] = full_neg
+        s2j_ref[:] = jnp.full((ROWS, C), 0xFF, dtype=jnp.int32)
+        bv_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+        bk_s[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
+        fin_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+        if emit_bottom:
+            for b in bot_s:
+                b[:] = jnp.full(b.shape, int_min, dtype=jnp.int32)
+
+    zero_lane = jnp.int32(0) if is_local else neg
+
+    def body(t, _):
+        k = g_id * shapes.chunk + t
+
+        @pl.when(k < shapes.K)
+        def _step():
+            inj = s2i_ref[0, t]
+            s2j = _shift_down_flat(s2j_ref[:], inj, row_idx, col_idx, C)
+            s2j_ref[:] = s2j
+
+            I1, S1, D1 = Ip[:], Sp[:], Dp[:]
+            Iu = _shift_down_flat(I1, neg, row_idx, col_idx, C)
+            Su = _shift_down_flat(S1, neg, row_idx, col_idx, C)
+            Du = _shift_down_flat(D1, neg, row_idx, col_idx, C)
+            Id, Sd, Dd = Ish[:], Ssh[:], Dsh[:]
+
+            j = k - iv
+            Inew = jnp.maximum(
+                jnp.maximum(I1 + gg, S1 + hh + gg),
+                jnp.maximum(D1 + hh + gg, zero_lane),
+            )
+            Dnew = jnp.maximum(
+                jnp.maximum(Iu + hh + gg, Su + hh + gg),
+                jnp.maximum(Du + gg, zero_lane),
+            )
+            sub = jnp.where(s1m_ref[:] == s2j, sm, sx)
+            Snew = sub + jnp.maximum(
+                jnp.maximum(Id, Sd), jnp.maximum(Dd, zero_lane)
+            )
+
+            # Boundary injection from the streams.
+            Inew = jnp.where(iv == 0, top_ref[0, t], Inew)
+            Snew = jnp.where(iv == 0, top_ref[1, t], Snew)
+            Dnew = jnp.where(iv == 0, top_ref[2, t], Dnew)
+            is_left = (j == 0) & (iv > 0)
+            Inew = jnp.where(is_left, left_ref[0, t], Inew)
+            Snew = jnp.where(is_left, left_ref[1, t], Snew)
+            Dnew = jnp.where(is_left, left_ref[2, t], Dnew)
+            # Lanes beyond the tile's true rows are padding: without
+            # this bound their garbage can alias real global coords in
+            # the argmax/(m,n) probes.
+            invalid = (j < 0) | (j > B_cols) | (iv > R_rows)
+            Inew = jnp.where(invalid, neg, Inew)
+            Snew = jnp.where(invalid, neg, Snew)
+            Dnew = jnp.where(invalid, neg, Dnew)
+
+            cm = jnp.maximum(jnp.maximum(Inew, Snew), Dnew)
+            if is_local:
+                cm = jnp.maximum(cm, 0)
+
+            if emit_dirs:
+                code = jnp.where(
+                    cm == Snew,
+                    DIR_SUB,
+                    jnp.where(
+                        cm == Inew,
+                        DIR_INS,
+                        jnp.where(cm == Dnew, DIR_DEL, DIR_STOP),
+                    ),
+                )
+                dirs_ref[t] = code.astype(jnp.uint8)
+
+            ig = i0 + iv
+            jg = j0 + j
+            in_true = (~invalid) & (ig <= m) & (jg <= n)
+            val = jnp.where(in_true, cm, int_min)
+            upd = val >= bv_s[:]
+            bv_s[:] = jnp.where(upd, val, bv_s[:])
+            bk_s[:] = jnp.where(upd, jg, bk_s[:])
+            fin_s[:] = jnp.where(
+                (~invalid) & (ig == m) & (jg == n), cm, fin_s[:]
+            )
+
+            if emit_bottom:
+                lane_r, lane_c = divmod(R_rows, C)
+                brow = jax.lax.broadcasted_iota(
+                    jnp.int32, bot_s[0].shape, 0
+                )
+                bcol = jax.lax.broadcasted_iota(
+                    jnp.int32, bot_s[0].shape, 1
+                )
+                Cb = bot_s[0].shape[1]
+                for buf, srcv in zip(bot_s, (Inew, Snew, Dnew)):
+                    buf[:] = _shift_down_flat(
+                        buf[:], srcv[lane_r, lane_c], brow, bcol, Cb
+                    )
+
+            Ish[:] = Iu
+            Ssh[:] = Su
+            Dsh[:] = Du
+            Ip[:] = Inew
+            Sp[:] = Snew
+            Dp[:] = Dnew
+
+        return 0
+
+    jax.lax.fori_loop(0, shapes.chunk, body, 0)
+
+    @pl.when(g_id == pl.num_programs(0) - 1)
+    def _finalize():
+        bv_ref[:] = bv_s[:]
+        bk_ref[:] = bk_s[:]
+        fin_ref[:] = fin_s[:]
+        if emit_bottom:
+            for out, buf in zip(bot_refs, bot_s):
+                out[:] = buf[:]
+
+
+class TileFillResult(NamedTuple):
+    """dirs indexing contract matches FillResult (tile-local coords);
+    best is in global coordinates; bottom is (3, B+1) I/S/D of the
+    tile's last row (cols 0..B) or None."""
+
+    dirs: jax.Array | None
+    score_at_mn: jax.Array
+    best: tuple[jax.Array, jax.Array, jax.Array]
+    bottom: jax.Array | None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("is_local", "emit_dirs", "emit_bottom", "interpret"),
+)
+def gotoh_tile_pallas(
+    s1_block: jax.Array,
+    s2e: jax.Array,
+    top: jax.Array,
+    left: jax.Array,
+    m: jax.Array,
+    n: jax.Array,
+    i0: jax.Array,
+    j0: jax.Array,
+    scores: Scores,
+    is_local: bool,
+    emit_dirs: bool = True,
+    emit_bottom: bool = False,
+    interpret: bool = False,
+) -> TileFillResult:
+    """Fill tile rows [i0+1, i0+R] x cols [j0+1, j0+B] on TPU.
+
+    Pallas counterpart of ``ops/gotoh_tile.tile_fill`` (same boundary
+    semantics): ``top`` (3, B+1) are I/S/D at tile row 0 cols 0..B
+    (element 0 = corner), ``left`` (3, R) at tile col 0 rows 1..R.
+    """
+    R = s1_block.shape[0]
+    B = s2e.shape[0]
+    shapes = _plan(R, B, emit_dirs, bot_len=B if emit_bottom else 0)
+    V, C = shapes.V, shapes.C
+
+    s1m = jnp.full((V,), 0xFD, dtype=jnp.int32)
+    s1m = jax.lax.dynamic_update_slice(
+        s1m, s1_block.astype(jnp.int32), (jnp.int32(1),)
+    )
+    s1m2d = s1m.reshape(ROWS, C)
+
+    ks = jnp.arange(shapes.Kp, dtype=jnp.int32)
+    s2inj = jnp.take(s2e.astype(jnp.int32), jnp.clip(ks - 1, 0, B - 1))
+    s2inj = jnp.where(ks - 1 >= B, 0xFF, s2inj)[None, :]
+
+    neg = jnp.int32(NEG_INF)
+    # Stream layouts: top consumed at step k (k <= B), left[k-1] at
+    # step k (1 <= k <= R).
+    top_stream = jnp.full((3, shapes.Kp), neg, dtype=jnp.int32)
+    top_stream = jax.lax.dynamic_update_slice(
+        top_stream, top.astype(jnp.int32), (jnp.int32(0), jnp.int32(0))
+    )
+    left_stream = jnp.full((3, shapes.Kp), neg, dtype=jnp.int32)
+    left_stream = jax.lax.dynamic_update_slice(
+        left_stream, left.astype(jnp.int32), (jnp.int32(0), jnp.int32(1))
+    )
+
+    scalars = jnp.stack(
+        [
+            jnp.asarray(m, jnp.int32),
+            jnp.asarray(n, jnp.int32),
+            jnp.int32(scores.s_match),
+            jnp.int32(scores.s_mismatch),
+            jnp.int32(scores.g),
+            jnp.int32(scores.h),
+            jnp.asarray(i0, jnp.int32),
+            jnp.asarray(j0, jnp.int32),
+        ]
+    )
+
+    grid = shapes.Kp // shapes.chunk
+    vec_spec = pl.BlockSpec(
+        (ROWS, C), lambda g, s: (0, 0), memory_space=pltpu.VMEM
+    )
+    Cb = shapes.Vb // ROWS if emit_bottom else 0
+    out_shapes = []
+    out_specs = []
+    if emit_dirs:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((shapes.Kp, ROWS, C), jnp.uint8)
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (shapes.chunk, ROWS, C),
+                lambda g, s: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    if emit_bottom:
+        bspec = pl.BlockSpec(
+            (ROWS, Cb), lambda g, s: (0, 0), memory_space=pltpu.VMEM
+        )
+        out_shapes += [jax.ShapeDtypeStruct((ROWS, Cb), jnp.int32)] * 3
+        out_specs += [bspec] * 3
+    out_shapes += [jax.ShapeDtypeStruct((ROWS, C), jnp.int32)] * 3
+    out_specs += [vec_spec] * 3
+
+    smem_chunk = lambda rows: pl.BlockSpec(  # noqa: E731
+        (rows, shapes.chunk), lambda g, s: (0, g), memory_space=pltpu.SMEM
+    )
+    scratch = [pltpu.VMEM((ROWS, C), jnp.int32)] * 10
+    if emit_bottom:
+        scratch += [pltpu.VMEM((ROWS, Cb), jnp.int32)] * 3
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(
+                (ROWS, C), lambda g, s: (0, 0), memory_space=pltpu.VMEM
+            ),
+            smem_chunk(1),
+            smem_chunk(3),
+            smem_chunk(3),
+        ],
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+    )
+    kernel = functools.partial(
+        _kernel_tile,
+        shapes=shapes,
+        B_cols=B,
+        R_rows=R,
+        is_local=is_local,
+        emit_dirs=emit_dirs,
+        emit_bottom=emit_bottom,
+    )
+    outs = list(
+        pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=tuple(out_shapes),
+            interpret=interpret,
+        )(scalars, s1m2d, s2inj, top_stream, left_stream)
+    )
+
+    dirs = None
+    if emit_dirs:
+        dirs = outs.pop(0).reshape(shapes.Kp, V)
+    bottom = None
+    if emit_bottom:
+        bufs = [outs.pop(0).reshape(shapes.Vb) for _ in range(3)]
+        # buffer[v] = lane-R value at step K-1-v; cell (R, j) is at
+        # step R+j => bottom[:, j] = buf[B - j].
+        bottom = jnp.stack(
+            [jnp.flip(b[: B + 1]) for b in bufs]
+        )
+    bv, bk, fin = outs
+
+    iv = jnp.arange(V, dtype=jnp.int32)
+    bvf = bv.reshape(V)
+    bkf = bk.reshape(V)
+    vmax = jnp.max(bvf)
+    ig = jnp.asarray(i0, jnp.int32) + iv
+    i_best = jnp.max(jnp.where(bvf == vmax, ig, -1))
+    j_best = jnp.max(jnp.where((bvf == vmax) & (ig == i_best), bkf, -1))
+    return TileFillResult(
+        dirs=dirs,
+        score_at_mn=jnp.max(fin.reshape(V)),
+        best=(vmax, i_best, j_best),
+        bottom=bottom,
+    )
 
 
 def _kernel_batch(

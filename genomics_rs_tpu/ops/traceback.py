@@ -68,6 +68,77 @@ def _is_match_ref(s1: bytes, s2: bytes, i: int, j: int) -> bool:
     return c1 == c2
 
 
+def classify_moves(
+    codes,
+    start_i: int,
+    start_j: int,
+    score: int,
+    seq1: Sequence,
+    seq2: Sequence,
+) -> AlignedSequences:
+    """Build AlignedSequences from a pre-walked move-code sequence.
+
+    ``codes`` are DIR_* codes along the path starting at
+    (start_i, start_j) (end of the alignment first), already
+    terminated — no stop codes inside. Movement and classification
+    replicate ``traceback_host`` exactly (same reference semantics);
+    used by the checkpointed long-pair traceback whose walking happens
+    on device (``ops/traceback_device.py``).
+    """
+    s1 = seq1.sequence.encode("ascii")
+    s2 = seq2.sequence.encode("ascii")
+    i, j = int(start_i), int(start_j)
+    out = AlignedSequences(
+        s1=seq1,
+        s2=seq2,
+        alignment=[],
+        score=int(score),
+        matches=0,
+        mismatches=0,
+        gap_extensions=0,
+        opening_gaps=0,
+    )
+    last_choice = AlignmentChoice.MATCH
+    from genomics_rs_tpu.ops.gotoh_scan import DIR_DEL, DIR_INS, DIR_SUB
+
+    for code in codes:
+        code = int(code)
+        if code == DIR_SUB:
+            if _is_match_ref(s1, s2, i, j):
+                last_choice = AlignmentChoice.MATCH
+                out.matches += 1
+                out.alignment.append((AlignmentChoice.MATCH, i, j))
+            else:
+                last_choice = AlignmentChoice.MISMATCH
+                out.mismatches += 1
+                out.alignment.append((AlignmentChoice.MISMATCH, i, j))
+            i = max(i - 1, 0)
+            j = max(j - 1, 0)
+        elif code == DIR_INS:
+            if last_choice == AlignmentChoice.INSERT:
+                out.gap_extensions += 1
+                choice = AlignmentChoice.INSERT
+            else:
+                out.opening_gaps += 1
+                choice = AlignmentChoice.OPEN_INSERT
+            out.alignment.append((choice, i, j))
+            last_choice = AlignmentChoice.INSERT
+            j = max(j - 1, 0)
+        elif code == DIR_DEL:
+            if last_choice == AlignmentChoice.DELETE:
+                out.gap_extensions += 1
+                choice = AlignmentChoice.DELETE
+            else:
+                out.opening_gaps += 1
+                choice = AlignmentChoice.OPEN_DELETE
+            out.alignment.append((choice, i, j))
+            last_choice = AlignmentChoice.DELETE
+            i = max(i - 1, 0)
+        else:
+            raise ValueError(f"Unexpected move code {code}")
+    return out
+
+
 def traceback_host(
     dirs: np.ndarray,
     start_i: int,

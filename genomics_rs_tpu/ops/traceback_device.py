@@ -1,0 +1,86 @@
+"""On-device traceback walk over a block's direction bitmap.
+
+At 100 kb+ scale a block's direction bitmap is hundreds of MB — far
+cheaper to chase the 2-bit codes on device (a ``lax.while_loop`` of
+single-element gathers) and ship home only the O(m+n) move list than
+to transfer the bitmap. Movement semantics replicate the reference
+retrace (``/root/reference/src/alignment/algo.rs:339-421``): per-axis
+saturation at 0, break when (0, 0) is reached after a move, local
+termination on a stop code.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from genomics_rs_tpu.ops.gotoh_scan import DIR_DEL, DIR_INS, DIR_STOP
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def walk_block(
+    dirs: jax.Array,
+    start_li: jax.Array,
+    start_j: jax.Array,
+    i0: jax.Array,
+    max_steps: int,
+):
+    """Chase codes from tile-local (start_li, start_j) until the path
+    terminates or leaves the block upward.
+
+    dirs: uint8 (Kp, V), code at tile cell (li, j) is dirs[li+j, li].
+    i0: global row of the tile's lane 0.
+
+    Returns (moves uint8[max_steps], count, i_final, j_final, done):
+    ``done`` means the walk terminated (reached global (0,0) or a
+    local stop code); otherwise it exited the block and continues at
+    global (i_final, j_final) in the block above.
+    """
+    i0 = jnp.asarray(i0, jnp.int32)
+
+    def cond(st):
+        li, j, pos, done, exited, moves = st
+        return (~done) & (~exited) & (pos < max_steps)
+
+    def body(st):
+        li, j, pos, done, exited, moves = st
+        code = dirs[li + j, li].astype(jnp.int32)
+        ig = i0 + li
+
+        is_stop = code == DIR_STOP
+        di = jnp.where(code == DIR_INS, 0, 1)
+        dj = jnp.where(code == DIR_DEL, 0, 1)
+        # Reference saturation: each axis floors at 0 independently.
+        ig_new = jnp.maximum(ig - di, 0)
+        j_new = jnp.maximum(j - dj, 0)
+
+        moves = jnp.where(
+            is_stop, moves, moves.at[pos].set(code.astype(jnp.uint8))
+        )
+        pos = jnp.where(is_stop, pos, pos + 1)
+
+        done_now = is_stop | ((ig_new == 0) & (j_new == 0))
+        exited_now = (~done_now) & (ig_new < i0)
+        return (
+            jnp.maximum(ig_new - i0, 0),
+            j_new,
+            pos,
+            done_now,
+            exited_now,
+            moves,
+        )
+
+    init = (
+        jnp.asarray(start_li, jnp.int32),
+        jnp.asarray(start_j, jnp.int32),
+        jnp.int32(0),
+        jnp.asarray(False),
+        jnp.asarray(False),
+        jnp.zeros((max_steps,), dtype=jnp.uint8),
+    )
+    li, j, pos, done, exited, moves = jax.lax.while_loop(cond, body, init)
+    # On exit li was clamped to 0; the true row is i0 - 1.
+    i_final = jnp.where(exited, i0 - 1, i0 + li)
+    return moves, pos, i_final, j, done

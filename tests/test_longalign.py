@@ -1,0 +1,61 @@
+"""Checkpointed long-pair alignment vs the monolithic aligner.
+
+The full path, stats and score must be BIT-IDENTICAL: the checkpoint
+scheme refills blocks with exact boundary values, so every direction
+code equals the monolithic fill's.
+"""
+
+import numpy as np
+import pytest
+
+from genomics_rs_tpu.config import Scores
+from genomics_rs_tpu.models.aligner import PairwiseAligner
+from genomics_rs_tpu.models.longalign import align_checkpointed
+from genomics_rs_tpu.sequence import Sequence
+
+SCORES = Scores(s_match=1, s_mismatch=-2, g=-1, h=-5)
+
+
+@pytest.mark.parametrize("is_local", [False, True])
+def test_longalign_matches_aligner(is_local):
+    rng = np.random.default_rng(47)
+    aligner = PairwiseAligner(SCORES, is_local=is_local, engine="scan")
+    for trial in range(4):
+        m = int(rng.integers(10, 300))
+        n = int(rng.integers(10, 300))
+        # Correlated strings so paths have long matches and gaps.
+        base = rng.choice(list("ACGT"), max(m, n) + 50)
+        a = "".join(base[:m])
+        bl = list(base[5 : n + 5])
+        for _ in range(6):
+            bl[int(rng.integers(0, n))] = str(rng.choice(list("ACGT")))
+        b = "".join(bl)
+        s1, s2 = Sequence("s1", a), Sequence("s2", b)
+
+        want = aligner.align(s1, s2)
+        got = align_checkpointed(
+            s1, s2, SCORES, is_local=is_local, block_rows=64, interpret=True
+        )
+        assert got.score == want.score, (trial,)
+        assert got.alignment == want.alignment, (trial,)
+        assert (
+            got.matches,
+            got.mismatches,
+            got.opening_gaps,
+            got.gap_extensions,
+        ) == (
+            want.matches,
+            want.mismatches,
+            want.opening_gaps,
+            want.gap_extensions,
+        ), (trial,)
+
+
+def test_longalign_identical_strings():
+    a = "ACGT" * 40
+    s = Sequence("s", a)
+    got = align_checkpointed(
+        s, s, SCORES, is_local=False, block_rows=64, interpret=True
+    )
+    assert got.score == len(a)
+    assert got.matches == len(a)
