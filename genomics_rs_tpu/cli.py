@@ -106,7 +106,12 @@ def main(argv: list[str] | None = None) -> int:
         )
         from genomics_rs_tpu.models.aligner import align_pair
 
-        aligned = align_pair(container, sc, is_local=is_local, engine=args.engine)
+        from genomics_rs_tpu.utils.profiling import trace
+
+        with trace("align"):
+            aligned = align_pair(
+                container, sc, is_local=is_local, engine=args.engine
+            )
         print_alignment_tables(aligned, sc, is_local)
         print(format_aligned_sequences(aligned))
         return 0

@@ -27,6 +27,7 @@ from genomics_rs_tpu.sequence import (
     SequenceContainer,
     round_up,
 )
+from genomics_rs_tpu.utils.profiling import PhaseTimer
 
 log = logging.getLogger(__name__)
 
@@ -118,17 +119,24 @@ class PairwiseAligner:
         s1e = seq1.encoded(pad_to=Lm, pad_value=PAD_S1)
         s2e = seq2.encoded(pad_to=Ln, pad_value=PAD_S2)
 
-        res = _fill(s1e, s2e, m, n, self.scores, self.is_local, self.engine)
-        dirs = np.asarray(res.dirs)
-        return traceback_host(
-            dirs,
-            int(res.start_i),
-            int(res.start_j),
-            int(res.score),
-            seq1,
-            seq2,
-            self.is_local,
-        )
+        timer = PhaseTimer("align")
+        with timer.span("fill table", cells=(m + 1.0) * (n + 1.0)):
+            res = _fill(
+                s1e, s2e, m, n, self.scores, self.is_local, self.engine
+            )
+            jax.block_until_ready(res.score)
+        with timer.span("retrace"):
+            dirs = np.asarray(res.dirs)
+            out = traceback_host(
+                dirs,
+                int(res.start_i),
+                int(res.start_j),
+                int(res.score),
+                seq1,
+                seq2,
+                self.is_local,
+            )
+        return out
 
     def score_only(self, seq1: Sequence, seq2: Sequence) -> int:
         """Alignment score without traceback (no direction bitmap at

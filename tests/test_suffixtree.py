@@ -145,3 +145,22 @@ def test_generalized_suffix_tree_equal_sequences_long(tree_cls):
     s1, s2, length = tree.get_lcs(0, 1)
     assert length == len(sc.sequences[0].sequence)
     assert (s1, s2) == (0, 0)
+
+
+@pytest.mark.skipif(not native_available(), reason="needs the C++ core")
+def test_tree_chr12_native():
+    """The reference's disabled-for-speed chr12 test
+    (test_suffixtree.rs:239-257) — the C++ core runs it in seconds."""
+    sc = SequenceContainer()
+    sc.from_fasta(reference_path("test_data", "chr12.fasta"))
+    s = sc.sequences[0].sequence
+    tree = NativeSuffixTree(_alpha("dna.txt"), len(s))
+    tree.insert_string(s, True, False)
+    st = tree.compute_stats(0)
+    assert st.num_internal == 699519
+    assert st.num_leaves == 1078176
+    assert st.num_nodes == 1777696
+    # BWT must be a permutation of text + terminator.
+    from collections import Counter
+
+    assert Counter(st.bwt.replace("$", "")) == Counter(s.replace("$", ""))
