@@ -16,6 +16,16 @@ log = logging.getLogger(__name__)
 def enable_persistent_cache() -> None:
     import jax
 
+    # Restore standard env semantics: the axon sitecustomize pins
+    # jax_platforms via jax.config, which silently overrides the
+    # JAX_PLATFORMS env var — re-assert the user's choice.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception as e:  # noqa: BLE001
+            log.debug("could not set jax_platforms=%s: %s", plat, e)
+
     cache_dir = os.environ.get(
         "GENOMICS_TPU_JAX_CACHE",
         os.path.expanduser("~/.cache/genomics_rs_tpu_jax"),

@@ -1,0 +1,133 @@
+"""CLI end-to-end tests (subprocess, CPU, scan engine).
+
+Exercises the real user surface: all four subcommands, the BWT output
+file format (one char per line — ``/root/reference/src/main.rs:199-212``),
+config loading, and exit codes.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from conftest import REPO_ROOT, reference_path
+
+CONFIG = reference_path("config.toml")
+ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    PYTHONPATH=REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", ""),
+)
+
+
+def _run(args, cwd):
+    return subprocess.run(
+        [sys.executable, "-m", "genomics_rs_tpu.cli", "-c", CONFIG, *args],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd=cwd,
+        env=ENV,
+    )
+
+
+@pytest.fixture
+def small_pair(tmp_path):
+    p = tmp_path / "pair.fasta"
+    p.write_text(">s1\nACGTACGT\n>s2\nACGGACGT\n")
+    return str(p)
+
+
+def test_cli_align_global(small_pair, tmp_path):
+    r = _run(["align", "-a", "global", "-f", small_pair, "--engine", "scan"], str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    assert "Alignment Score: 5" in r.stdout
+    assert "Percent Identity" in r.stdout
+
+
+def test_cli_align_local(small_pair, tmp_path):
+    r = _run(["align", "-a", "local", "-f", small_pair, "--engine", "scan"], str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    assert "Alignment Score:" in r.stdout
+
+
+def test_cli_suffixtree_bwt_file(tmp_path):
+    fasta = tmp_path / "banana.fasta"
+    fasta.write_text(">b\nBANANA\n")
+    r = _run(
+        [
+            "suffixtree",
+            "-a",
+            reference_path("alphabets", "banana.txt"),
+            "--stats",
+            "-f",
+            str(fasta),
+        ],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr
+    assert "BWT: ANNB$AA" in r.stdout
+    bwt_file = tmp_path / "BWT_out" / "banana_bwt.txt"
+    assert bwt_file.exists()
+    # One char per line (reference format, main.rs:199-212).
+    assert bwt_file.read_text() == "\n".join("ANNB$AA") + "\n"
+
+
+def test_cli_compare(tmp_path):
+    d = tmp_path / "genomes"
+    d.mkdir()
+    (d / "a.fasta").write_text(">a\nACGTACGTAA\n")
+    (d / "b.fasta").write_text(">b\nTTACGTACGT\n")
+    r = _run(
+        [
+            "compare",
+            "-a",
+            reference_path("alphabets", "dna.txt"),
+            "-f",
+            str(d),
+        ],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr
+    assert "Similarity TSV:" in r.stdout
+    assert (tmp_path / "similarity_matrix.tsv").exists()
+
+
+def test_cli_align_matrix(tmp_path):
+    d = tmp_path / "genomes"
+    d.mkdir()
+    (d / "a.fasta").write_text(">a\nACGTACGTAA\n")
+    (d / "b.fasta").write_text(">b\nTTACGTACGT\n")
+    out = tmp_path / "scores.tsv"
+    r = _run(
+        ["align-matrix", "-f", str(d), "--engine", "scan", "-o", str(out)],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr
+    assert out.exists()
+    rows = out.read_text().strip().splitlines()
+    assert len(rows) == 3  # header + 2
+
+
+def test_cli_missing_config(tmp_path, small_pair):
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "genomics_rs_tpu.cli",
+            "-c",
+            "/nonexistent/config.toml",
+            "align",
+            "-f",
+            small_pair,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=str(tmp_path),
+        env=ENV,
+    )
+    # Reference exits 1 on unreadable config (config.rs:27).
+    assert r.returncode == 1
+    assert "Could not read config file" in r.stderr
