@@ -164,3 +164,19 @@ def test_tree_chr12_native():
     from collections import Counter
 
     assert Counter(st.bwt.replace("$", "")) == Counter(s.replace("$", ""))
+
+
+def test_unknown_character_raises(tree_cls):
+    """Unknown characters panic in the reference (tree.rs:56-63)."""
+    tree = tree_cls(_alpha("dna.txt"), 10)
+    with pytest.raises(KeyError):
+        tree.insert_string("ACGN", True, False)
+
+
+def test_string_cap_32(tree_cls):
+    """Terminator scheme caps the tree at 32 strings (tree.rs:66-69)."""
+    tree = tree_cls(_alpha("dna.txt"), 10)
+    for _ in range(32):
+        tree.insert_string("ACGT", True, False)
+    with pytest.raises(ValueError):
+        tree.insert_string("ACGT", True, False)
