@@ -624,10 +624,29 @@ def _kernel_batch(
     across the chunk dimension only. One dispatch scores the whole
     batch — amortising host/tunnel round-trips that dominate when
     pairs are launched one by one.
+
+    Score-only lets the step shed work relative to the dirs kernel:
+
+    * shift commutes with max, so the carried state is factored as
+      I, D, P = max(S, D), Q = max(I, S) and only TWO flat shifts per
+      step are needed (shift(Q), shift(D)) — the (i-1, j-1)
+      predecessor max arrives as shift(M) = max(shQ, shD) cached from
+      the previous step;
+    * global mode skips the local-argmax tracker entirely (only the
+      (m, n) capture matters).
+
+    The factoring reproduces the exact reference recurrence:
+    I' = max(I+g, P+h+g, 0?), D' = max(shQ+h+g, shD+g, 0?),
+    S' = sub + max(shM, 0?).
     """
     C = shapes.C
     b_id = pl.program_id(0)
     g_id = pl.program_id(1)
+
+    # Scratch reuse (names kept for the shared signature): Ip=I, Dp=D,
+    # Sp=P=max(S,D), Ish=Q=max(I,S), Ssh=shift(M) for the next step,
+    # s2j_ref as usual; Dsh unused spare.
+    Qp, shM = Ish, Ssh
 
     m = scalars[b_id, 0]
     n = scalars[b_id, 1]
@@ -635,6 +654,7 @@ def _kernel_batch(
     sx = scalars[b_id, 3]
     gg = scalars[b_id, 4]
     hh = scalars[b_id, 5]
+    hg = hh + gg
 
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 0)
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 1)
@@ -648,12 +668,12 @@ def _kernel_batch(
         Ip[:] = full_neg
         Sp[:] = full_neg
         Dp[:] = full_neg
-        Ish[:] = full_neg
-        Ssh[:] = full_neg
-        Dsh[:] = full_neg
+        Qp[:] = full_neg
+        shM[:] = full_neg
         s2j_ref[:] = jnp.full((ROWS, C), 0xFF, dtype=jnp.int32)
-        bv_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
-        bk_s[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
+        if is_local:
+            bv_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+            bk_s[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
         fin_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
 
     zero_lane = jnp.int32(0) if is_local else neg
@@ -667,25 +687,18 @@ def _kernel_batch(
             s2j = _shift_down_flat(s2j_ref[:], inj, row_idx, col_idx, C)
             s2j_ref[:] = s2j
 
-            I1, S1, D1 = Ip[:], Sp[:], Dp[:]
-            Iu = _shift_down_flat(I1, neg, row_idx, col_idx, C)
-            Su = _shift_down_flat(S1, neg, row_idx, col_idx, C)
-            Du = _shift_down_flat(D1, neg, row_idx, col_idx, C)
-            Id, Sd, Dd = Ish[:], Ssh[:], Dsh[:]
+            shQ = _shift_down_flat(Qp[:], neg, row_idx, col_idx, C)
+            shD = _shift_down_flat(Dp[:], neg, row_idx, col_idx, C)
 
             j = k - iv
             Inew = jnp.maximum(
-                jnp.maximum(I1 + gg, S1 + hh + gg),
-                jnp.maximum(D1 + hh + gg, zero_lane),
+                jnp.maximum(Ip[:] + gg, Sp[:] + hg), zero_lane
             )
             Dnew = jnp.maximum(
-                jnp.maximum(Iu + hh + gg, Su + hh + gg),
-                jnp.maximum(Du + gg, zero_lane),
+                jnp.maximum(shQ + hg, shD + gg), zero_lane
             )
             sub = jnp.where(s1m_ref[0] == s2j, sm, sx)
-            Snew = sub + jnp.maximum(
-                jnp.maximum(Id, Sd), jnp.maximum(Dd, zero_lane)
-            )
+            Snew = sub + jnp.maximum(shM[:], zero_lane)
 
             is_origin = (iv == 0) & (j == 0)
             is_row0 = (iv == 0) & (j > 0)
@@ -701,23 +714,28 @@ def _kernel_batch(
             Dnew = jnp.where(is_origin, 0, Dnew)
             Snew = jnp.where(is_origin, 0, Snew)
 
-            cm = jnp.maximum(jnp.maximum(Inew, Snew), Dnew)
+            Qnew = jnp.maximum(Inew, Snew)
+            cm = jnp.maximum(Qnew, Dnew)
             if is_local:
-                cm = jnp.maximum(cm, 0)
+                cmc = jnp.maximum(cm, 0)
+                in_true = (iv <= m) & (j >= 0) & (j <= n)
+                val = jnp.where(in_true, cmc, int_min)
+                upd = val >= bv_s[:]
+                bv_s[:] = jnp.where(upd, val, bv_s[:])
+                bk_s[:] = jnp.where(upd, k, bk_s[:])
+                fin_s[:] = jnp.where(
+                    (k == m + n) & (iv == m), cmc, fin_s[:]
+                )
+            else:
+                fin_s[:] = jnp.where(
+                    (k == m + n) & (iv == m), cm, fin_s[:]
+                )
 
-            in_true = (iv <= m) & (j >= 0) & (j <= n)
-            val = jnp.where(in_true, cm, int_min)
-            upd = val >= bv_s[:]
-            bv_s[:] = jnp.where(upd, val, bv_s[:])
-            bk_s[:] = jnp.where(upd, k, bk_s[:])
-            fin_s[:] = jnp.where((k == m + n) & (iv == m), cm, fin_s[:])
-
-            Ish[:] = Iu
-            Ssh[:] = Su
-            Dsh[:] = Du
+            shM[:] = jnp.maximum(shQ, shD)
             Ip[:] = Inew
-            Sp[:] = Snew
+            Sp[:] = jnp.maximum(Snew, Dnew)
             Dp[:] = Dnew
+            Qp[:] = Qnew
 
         return 0
 
