@@ -119,12 +119,17 @@ def _kernel(
     C = shapes.C
     g_id = pl.program_id(0)
 
+    # Factored carries (shift commutes with max; see _kernel_batch):
+    # Ip=I, Dp=D, Sp=P=max(S,D), Ish=Q=max(I,S), Ssh=shift(M) cache.
+    Qp, shM = Ish, Ssh
+
     m = scalars[0]
     n = scalars[1]
     sm = scalars[2]
     sx = scalars[3]
     gg = scalars[4]
     hh = scalars[5]
+    hg = hh + gg
 
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 0)
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 1)
@@ -138,9 +143,8 @@ def _kernel(
         Ip[:] = full_neg
         Sp[:] = full_neg
         Dp[:] = full_neg
-        Ish[:] = full_neg
-        Ssh[:] = full_neg
-        Dsh[:] = full_neg
+        Qp[:] = full_neg
+        shM[:] = full_neg
         s2j_ref[:] = jnp.full((ROWS, C), 0xFF, dtype=jnp.int32)
         bv_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
         bk_s[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
@@ -160,28 +164,19 @@ def _kernel(
             s2j = _shift_down_flat(s2j_ref[:], inj, row_idx, col_idx, C)
             s2j_ref[:] = s2j
 
-            I1, S1, D1 = Ip[:], Sp[:], Dp[:]
-            # Shift of diag k-1 (for the (i-1, j) predecessor).
-            Iu = _shift_down_flat(I1, neg, row_idx, col_idx, C)
-            Su = _shift_down_flat(S1, neg, row_idx, col_idx, C)
-            Du = _shift_down_flat(D1, neg, row_idx, col_idx, C)
-            # Shift of diag k-2 (for (i-1, j-1)) — cached last step.
-            Id, Sd, Dd = Ish[:], Ssh[:], Dsh[:]
+            shQ = _shift_down_flat(Qp[:], neg, row_idx, col_idx, C)
+            shD = _shift_down_flat(Dp[:], neg, row_idx, col_idx, C)
 
             j = k - iv
 
             Inew = jnp.maximum(
-                jnp.maximum(I1 + gg, S1 + hh + gg),
-                jnp.maximum(D1 + hh + gg, zero_lane),
+                jnp.maximum(Ip[:] + gg, Sp[:] + hg), zero_lane
             )
             Dnew = jnp.maximum(
-                jnp.maximum(Iu + hh + gg, Su + hh + gg),
-                jnp.maximum(Du + gg, zero_lane),
+                jnp.maximum(shQ + hg, shD + gg), zero_lane
             )
             sub = jnp.where(s1m_ref[:] == s2j, sm, sx)
-            Snew = sub + jnp.maximum(
-                jnp.maximum(Id, Sd), jnp.maximum(Dd, zero_lane)
-            )
+            Snew = sub + jnp.maximum(shM[:], zero_lane)
 
             # Boundary conditions (scan oracle / algo.rs:193-220).
             is_origin = (iv == 0) & (j == 0)
@@ -198,7 +193,8 @@ def _kernel(
             Dnew = jnp.where(is_origin, 0, Dnew)
             Snew = jnp.where(is_origin, 0, Snew)
 
-            cm = jnp.maximum(jnp.maximum(Inew, Snew), Dnew)
+            Qnew = jnp.maximum(Inew, Snew)
+            cm = jnp.maximum(Qnew, Dnew)
             if is_local:
                 cm = jnp.maximum(cm, 0)
 
@@ -227,13 +223,12 @@ def _kernel(
                 (k == m + n) & (iv == m), cm, fin_s[:]
             )
 
-            # Rotate carries.
-            Ish[:] = Iu
-            Ssh[:] = Su
-            Dsh[:] = Du
+            # Rotate factored carries.
+            shM[:] = jnp.maximum(shQ, shD)
             Ip[:] = Inew
-            Sp[:] = Snew
+            Sp[:] = jnp.maximum(Snew, Dnew)
             Dp[:] = Dnew
+            Qp[:] = Qnew
 
         return 0
 
@@ -292,6 +287,9 @@ def _kernel_tile(
     ]
     idx += 10
     bot_s = refs[idx : idx + 3] if emit_bottom else None
+    # Factored carries (shift commutes with max; see _kernel_batch):
+    # Ip=I, Dp=D, Sp=P=max(S,D), Ish=Q=max(I,S), Ssh=shift(M) cache.
+    Qp, shM = Ish, Ssh
 
     g_id = pl.program_id(0)
     m = scalars[0]
@@ -302,6 +300,7 @@ def _kernel_tile(
     hh = scalars[5]
     i0 = scalars[6]
     j0 = scalars[7]
+    hg = hh + gg
 
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 0)
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 1)
@@ -337,25 +336,18 @@ def _kernel_tile(
             s2j = _shift_down_flat(s2j_ref[:], inj, row_idx, col_idx, C)
             s2j_ref[:] = s2j
 
-            I1, S1, D1 = Ip[:], Sp[:], Dp[:]
-            Iu = _shift_down_flat(I1, neg, row_idx, col_idx, C)
-            Su = _shift_down_flat(S1, neg, row_idx, col_idx, C)
-            Du = _shift_down_flat(D1, neg, row_idx, col_idx, C)
-            Id, Sd, Dd = Ish[:], Ssh[:], Dsh[:]
+            shQ = _shift_down_flat(Qp[:], neg, row_idx, col_idx, C)
+            shD = _shift_down_flat(Dp[:], neg, row_idx, col_idx, C)
 
             j = k - iv
             Inew = jnp.maximum(
-                jnp.maximum(I1 + gg, S1 + hh + gg),
-                jnp.maximum(D1 + hh + gg, zero_lane),
+                jnp.maximum(Ip[:] + gg, Sp[:] + hg), zero_lane
             )
             Dnew = jnp.maximum(
-                jnp.maximum(Iu + hh + gg, Su + hh + gg),
-                jnp.maximum(Du + gg, zero_lane),
+                jnp.maximum(shQ + hg, shD + gg), zero_lane
             )
             sub = jnp.where(s1m_ref[:] == s2j, sm, sx)
-            Snew = sub + jnp.maximum(
-                jnp.maximum(Id, Sd), jnp.maximum(Dd, zero_lane)
-            )
+            Snew = sub + jnp.maximum(shM[:], zero_lane)
 
             # Boundary injection from the streams.
             Inew = jnp.where(iv == 0, top_ref[0, t], Inew)
@@ -414,12 +406,12 @@ def _kernel_tile(
                         buf[:], srcv[lane_r, lane_c], brow, bcol, Cb
                     )
 
-            Ish[:] = Iu
-            Ssh[:] = Su
-            Dsh[:] = Du
+            # Rotate factored carries.
+            shM[:] = jnp.maximum(shQ, shD)
             Ip[:] = Inew
-            Sp[:] = Snew
+            Sp[:] = jnp.maximum(Snew, Dnew)
             Dp[:] = Dnew
+            Qp[:] = jnp.maximum(Inew, Snew)
 
         return 0
 
