@@ -76,7 +76,7 @@ def _plan(Lm: int, Ln: int, emit_dirs: bool, bot_len: int = 0) -> _Shapes:
     # VMEM budget: state vectors + bottom buffers + 2x dirs block.
     state_bytes = 11 * V * 4 + 6 * Vb * 4
     budget = 12 * 1024 * 1024
-    chunk = 256
+    chunk = 256 if emit_dirs else 512
     if emit_dirs:
         while chunk > 8 and state_bytes + 2 * chunk * V > budget:
             chunk //= 2
@@ -212,11 +212,13 @@ def _kernel(
 
             # Per-lane "last argmax" tracker (>= keeps the largest k,
             # i.e. the largest j for this row — row-major "last").
-            in_true = (iv <= m) & (j >= 0) & (j <= n)
-            val = jnp.where(in_true, cm, int_min)
-            upd = val >= bv_s[:]
-            bv_s[:] = jnp.where(upd, val, bv_s[:])
-            bk_s[:] = jnp.where(upd, k, bk_s[:])
+            # Only local mode needs it; global only probes (m, n).
+            if is_local:
+                in_true = (iv <= m) & (j >= 0) & (j <= n)
+                val = jnp.where(in_true, cm, int_min)
+                upd = val >= bv_s[:]
+                bv_s[:] = jnp.where(upd, val, bv_s[:])
+                bk_s[:] = jnp.where(upd, k, bk_s[:])
 
             # Global score capture at cell (m, n) on diagonal m+n.
             fin_s[:] = jnp.where(
@@ -383,11 +385,12 @@ def _kernel_tile(
 
             ig = i0 + iv
             jg = j0 + j
-            in_true = (~invalid) & (ig <= m) & (jg <= n)
-            val = jnp.where(in_true, cm, int_min)
-            upd = val >= bv_s[:]
-            bv_s[:] = jnp.where(upd, val, bv_s[:])
-            bk_s[:] = jnp.where(upd, jg, bk_s[:])
+            if is_local:
+                in_true = (~invalid) & (ig <= m) & (jg <= n)
+                val = jnp.where(in_true, cm, int_min)
+                upd = val >= bv_s[:]
+                bv_s[:] = jnp.where(upd, val, bv_s[:])
+                bk_s[:] = jnp.where(upd, jg, bk_s[:])
             fin_s[:] = jnp.where(
                 (~invalid) & (ig == m) & (jg == n), cm, fin_s[:]
             )

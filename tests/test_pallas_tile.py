@@ -76,9 +76,10 @@ def test_tile_pallas_blocked_fill(is_local):
             np.asarray(res.bottom), np.asarray(oracle.bottom), f"blk {blk}"
         )
         assert int(res.score_at_mn) == int(oracle.at_mn), blk
-        assert tuple(int(x) for x in res.best) == tuple(
-            int(x) for x in oracle.best
-        ), blk
+        if is_local:  # best is only tracked in local mode
+            assert tuple(int(x) for x in res.best) == tuple(
+                int(x) for x in oracle.best
+            ), blk
 
         at_mn = max(at_mn, int(res.score_at_mn))
         cand = tuple(int(x) for x in res.best)
