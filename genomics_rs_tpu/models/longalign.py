@@ -60,14 +60,17 @@ def align_checkpointed(
     s2e = seq2.encoded(pad_to=Ln, pad_value=PAD_S2)
 
     # ---- forward: fill blocks, checkpoint each block's top row ----
+    # Boundary rows stay on device: each block's bottom feeds the next
+    # tile call directly (no host sync inside the pipeline); scalars
+    # are pulled once at the end.
     t0 = time.perf_counter()
-    tops: list[np.ndarray] = []
-    top = np.asarray(global_boundary_top(0, Ln, scores))
-    best = (INT_MIN, 0, 0)
-    at_mn = INT_MIN
+    tops = []
+    top = global_boundary_top(0, Ln, scores)
+    bests = []
+    at_mns = []
     for b in range(NB):
         i0 = b * R
-        left = np.asarray(global_boundary_left(i0, R, scores))
+        left = global_boundary_left(i0, R, scores)
         res = gotoh_tile_pallas(
             s1e[i0 : i0 + R],
             s2e,
@@ -84,11 +87,18 @@ def align_checkpointed(
             interpret=interpret,
         )
         tops.append(top)
-        cand = (int(res.best[0]), int(res.best[1]), int(res.best[2]))
-        if cand >= best:
-            best = cand
-        at_mn = max(at_mn, int(res.score_at_mn))
-        top = np.asarray(res.bottom)
+        bests.append(res.best)
+        at_mns.append(res.score_at_mn)
+        top = res.bottom
+
+    best = (INT_MIN, 0, 0)
+    at_mn = INT_MIN
+    for cand_dev, amn in zip(bests, at_mns):
+        at_mn = max(at_mn, int(amn))
+        if is_local:
+            cand = tuple(int(x) for x in cand_dev)
+            if cand >= best:
+                best = cand
     t_fwd = time.perf_counter() - t0
 
     if is_local:
@@ -105,7 +115,7 @@ def align_checkpointed(
     while not done:
         blk = max(0, (i - 1) // R)
         i0 = blk * R
-        left = np.asarray(global_boundary_left(i0, R, scores))
+        left = global_boundary_left(i0, R, scores)
         res = gotoh_tile_pallas(
             s1e[i0 : i0 + R],
             s2e,

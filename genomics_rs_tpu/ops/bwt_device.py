@@ -1,0 +1,77 @@
+"""Device-side suffix array + Burrows-Wheeler Transform.
+
+The reference derives the BWT from a lexicographic DFS over its suffix
+tree (``/root/reference/src/suffixtree/tree.rs:740-803``) — pointer
+chasing that has no sensible accelerator mapping. The TPU-idiomatic
+equivalent (SURVEY §7) is a **prefix-doubling suffix array**: ~log2(n)
+rounds of ``jax.lax.sort`` with composite (rank, rank+k) keys — sorts
+are XLA-native and fast at chromosome scale — then
+
+    BWT[k] = s'[SA[k] - 1]   (wrapping: SA[k] == 0 -> terminator)
+
+which equals the tree DFS order because suffix comparison uses the
+same ASCII byte order as the tree's sorted-alphabet child slots
+(the terminator '$' = 0x24 sorts below A/C/G/T exactly as in the
+merged alphabet — tree.rs:147-148, SURVEY §2.4-13).
+
+Everything is int32 (ranks < n), static-shaped, jit-compiled once per
+padded length bucket.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TERMINATOR = 0x24  # '$'
+
+
+@functools.partial(jax.jit, static_argnames=("rounds",))
+def _suffix_array_fixed(s: jax.Array, rounds: int) -> jax.Array:
+    """SA of the full (already terminated) uint8 array ``s``."""
+    n = s.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    rank = s.astype(jnp.int32)
+
+    def round_fn(rank, k):
+        rank2 = jnp.where(idx + k < n, jnp.roll(rank, -k), -1)
+        # Lexicographic sort by (rank, rank2), carrying the index.
+        r1s, r2s, order = jax.lax.sort(
+            (rank, rank2, idx), dimension=0, num_keys=2
+        )
+        changed = (r1s != jnp.roll(r1s, 1)) | (r2s != jnp.roll(r2s, 1))
+        changed = changed.at[0].set(False)
+        new_sorted = jnp.cumsum(changed.astype(jnp.int32))
+        return jnp.zeros_like(rank).at[order].set(new_sorted)
+
+    k = 1
+    for _ in range(rounds):
+        rank = round_fn(rank, k)
+        k *= 2
+
+    _, sa = jax.lax.sort((rank, idx), dimension=0, num_keys=1)
+    return sa
+
+
+def suffix_array(text: str | bytes) -> np.ndarray:
+    """Suffix array of ``text + '$'`` (terminator included)."""
+    if isinstance(text, str):
+        text = text.encode("latin-1")
+    s = np.frombuffer(text + b"$", dtype=np.uint8)
+    rounds = max(1, math.ceil(math.log2(len(s)))) if len(s) > 1 else 1
+    return np.asarray(_suffix_array_fixed(jnp.asarray(s), rounds))
+
+
+def bwt_device(text: str | bytes) -> str:
+    """BWT of ``text`` (with '$' terminator), identical to the
+    suffix-tree DFS BWT of ``compute_stats`` for string 0."""
+    if isinstance(text, str):
+        text = text.encode("latin-1")
+    s = np.frombuffer(text + b"$", dtype=np.uint8)
+    sa = suffix_array(text)
+    out = s[(sa - 1) % len(s)]
+    return out.tobytes().decode("latin-1")
