@@ -114,6 +114,50 @@ def batch_scores_sharded(
     return sharded(s1eb, s2eb, ms, ns)
 
 
+#: Below this padded length the row-scan read kernel beats the
+#: diagonal batch kernel (whose flat-diagonal lanes go mostly idle).
+SHORTREAD_MAX_LEN = 512
+
+
+def score_pairs(
+    s1b,
+    s2b,
+    ms,
+    ns,
+    scores: Scores,
+    is_local: bool = False,
+    engine: str = "auto",
+):
+    """Score a batch of encoded pairs, picking the best kernel.
+
+    engine: "auto" (TPU: shortread for read-scale pairs, diagonal
+    batch kernel otherwise; CPU: vmap scan), or one of "shortread",
+    "pallas", "scan".
+
+    Returns (score, start_i, start_j) arrays of shape (B,).
+    """
+    L = max(s1b.shape[1], s2b.shape[1])
+    if engine == "auto":
+        if jax.default_backend() == "tpu":
+            engine = "shortread" if L <= SHORTREAD_MAX_LEN else "pallas"
+        else:
+            engine = "scan"
+    if engine == "shortread":
+        from genomics_rs_tpu.ops.gotoh_shortread import (
+            gotoh_scores_shortread,
+        )
+
+        return gotoh_scores_shortread(s1b, s2b, ms, ns, scores, is_local)
+    if engine == "pallas":
+        from genomics_rs_tpu.ops.gotoh_pallas import (
+            gotoh_scores_pallas_batch,
+        )
+
+        return gotoh_scores_pallas_batch(s1b, s2b, ms, ns, scores, is_local)
+    out = batch_scores(s1b, s2b, ms, ns, scores, is_local)
+    return out.score, out.start_i, out.start_j
+
+
 def pad_batch(arrs, batch: int, multiple: int):
     """Pad leading batch dim of every array in ``arrs`` up to a multiple.
 

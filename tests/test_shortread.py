@@ -34,3 +34,25 @@ def test_shortread_matches_scan(is_local):
         assert int(sc[i]) == int(ref.score), i
         assert int(si[i]) == int(ref.start_i), i
         assert int(sj[i]) == int(ref.start_j), i
+
+
+def test_score_pairs_routing():
+    """score_pairs auto-routes and all engines agree (CPU: scan)."""
+    from genomics_rs_tpu.parallel.batch import score_pairs
+
+    rng = np.random.default_rng(73)
+    B, L = 5, 32
+    ms = rng.integers(5, L + 1, B).astype(np.int32)
+    ns = rng.integers(5, L + 1, B).astype(np.int32)
+    s1b = np.full((B, L), PAD_S1, dtype=np.uint8)
+    s2b = np.full((B, L), PAD_S2, dtype=np.uint8)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for i in range(B):
+        s1b[i, : ms[i]] = bases[rng.integers(0, 4, ms[i])]
+        s2b[i, : ns[i]] = bases[rng.integers(0, 4, ns[i])]
+
+    sc_auto = score_pairs(s1b, s2b, ms, ns, SCORES, False, engine="auto")
+    sc_scan = score_pairs(s1b, s2b, ms, ns, SCORES, False, engine="scan")
+    np.testing.assert_array_equal(
+        np.asarray(sc_auto[0]), np.asarray(sc_scan[0])
+    )
