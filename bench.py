@@ -139,8 +139,11 @@ def main() -> None:
     dt = float(np.median(times))
     value = cells / dt
 
+    # Secondary metric (opt-in: adds a second large kernel compile,
+    # which can take many minutes through this env's compile tunnel —
+    # the headline line must always make it out).
     dirs_info = ""
-    if run_dirs is not None:
+    if run_dirs is not None and os.environ.get("GENOMICS_BENCH_DIRS"):
         run_dirs()  # warmup
         t0 = time.perf_counter()
         run_dirs()

@@ -81,9 +81,11 @@ class PairwiseAligner:
         self.is_local = is_local
         self.engine = _default_engine() if engine == "auto" else engine
 
-    #: Largest monolithic direction bitmap we allow in HBM before
-    #: routing to the checkpointed linear-space path (bytes).
-    DIRS_BYTE_BUDGET = 2 << 30
+    #: Largest monolithic direction bitmap before routing to the
+    #: checkpointed linear-space path (bytes). Kept well under HBM:
+    #: block tiles also compile far faster than one huge-V kernel,
+    #: and the checkpointed output is bit-identical.
+    DIRS_BYTE_BUDGET = 256 << 20
 
     def align(self, seq1: Sequence, seq2: Sequence) -> AlignedSequences:
         m, n = len(seq1), len(seq2)

@@ -14,9 +14,11 @@ its quirks, SURVEY §2.4), but engineered for the TPU VPU:
 * ``s2[k-1-i]`` (the base consumed on diagonal k at row i) is *not* a
   gather: it is carried as a vector that shifts together with the
   wavefront, with one scalar injected per step.
-* Shifted diagonals are cached across steps: each step shifts only the
-  3 freshly computed vectors (the shift of diag k-1 computed at step k
-  is reused as "shifted diag k-2" at step k+1).
+* Carries are factored through max (which commutes with the shift):
+  I, D, P = max(S, D), Q = max(I, S) are carried and the (i-1, j-1)
+  predecessor max arrives as shift(M) = max(shQ, shD) cached from the
+  previous step — two flat shifts per step instead of three, and a
+  third fewer max-tree ops.
 * The local-alignment argmax is tracked *per lane* (value + diagonal
   index) with pure vector ops; the cross-lane reduction to the
   reference's "last row-major argmax" (``algo.rs:311-322``) happens
@@ -97,150 +99,6 @@ def _shift_down_flat(x, incoming, row_idx, col_idx, C):
     # lane 0 of each row takes the previous row's last lane.
     fix = jnp.where(row_idx == 0, incoming, ra[:, C - 1 : C])
     return jnp.where(col_idx == 0, fix, r)
-
-
-def _kernel(
-    scalars,  # SMEM int32[8]: m, n, sm, sx, g, h, pad, pad
-    s1m_ref,  # VMEM int32 (8, C): s1m[i] = s1[i-1] (flat layout)
-    s2i_ref,  # SMEM int32 (1, chunk): s2inj[k] = s2[k-1] for this chunk
-    dirs_ref,  # uint8 (chunk, 8, C) | None
-    bv_ref,  # int32 (8, C) out: per-lane best value
-    bk_ref,  # int32 (8, C) out: per-lane best diagonal index
-    fin_ref,  # int32 (8, C) out: global score capture vector
-    Ip, Sp, Dp,  # scratch (8, C): diag k-1 unshifted
-    Ish, Ssh, Dsh,  # scratch (8, C): diag k-2 shifted by one
-    s2j_ref,  # scratch (8, C): s2 base per lane on current diagonal
-    bv_s, bk_s, fin_s,  # scratch (8, C): running trackers
-    *,
-    shapes: _Shapes,
-    is_local: bool,
-    emit_dirs: bool,
-):
-    C = shapes.C
-    g_id = pl.program_id(0)
-
-    # Factored carries (shift commutes with max; see _kernel_batch):
-    # Ip=I, Dp=D, Sp=P=max(S,D), Ish=Q=max(I,S), Ssh=shift(M) cache.
-    Qp, shM = Ish, Ssh
-
-    m = scalars[0]
-    n = scalars[1]
-    sm = scalars[2]
-    sx = scalars[3]
-    gg = scalars[4]
-    hh = scalars[5]
-    hg = hh + gg
-
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 0)
-    col_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 1)
-    iv = row_idx * C + col_idx  # flat DP row index i per lane
-    neg = jnp.int32(NEG_INF)
-    int_min = jnp.int32(INT_MIN)
-
-    @pl.when(g_id == 0)
-    def _init():
-        full_neg = jnp.full((ROWS, C), neg, dtype=jnp.int32)
-        Ip[:] = full_neg
-        Sp[:] = full_neg
-        Dp[:] = full_neg
-        Qp[:] = full_neg
-        shM[:] = full_neg
-        s2j_ref[:] = jnp.full((ROWS, C), 0xFF, dtype=jnp.int32)
-        bv_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
-        bk_s[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
-        fin_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
-
-    zero_lane = jnp.int32(0) if is_local else neg
-
-    def body(t, _):
-        k = g_id * shapes.chunk + t
-
-        @pl.when(k < shapes.K)
-        def _step():
-            # s2 base for this diagonal: shift + inject s2[k-1]
-            # (precomputed host-side; SMEM allows unaligned scalar
-            # reads, VMEM does not).
-            inj = s2i_ref[0, t]
-            s2j = _shift_down_flat(s2j_ref[:], inj, row_idx, col_idx, C)
-            s2j_ref[:] = s2j
-
-            shQ = _shift_down_flat(Qp[:], neg, row_idx, col_idx, C)
-            shD = _shift_down_flat(Dp[:], neg, row_idx, col_idx, C)
-
-            j = k - iv
-
-            Inew = jnp.maximum(
-                jnp.maximum(Ip[:] + gg, Sp[:] + hg), zero_lane
-            )
-            Dnew = jnp.maximum(
-                jnp.maximum(shQ + hg, shD + gg), zero_lane
-            )
-            sub = jnp.where(s1m_ref[:] == s2j, sm, sx)
-            Snew = sub + jnp.maximum(shM[:], zero_lane)
-
-            # Boundary conditions (scan oracle / algo.rs:193-220).
-            is_origin = (iv == 0) & (j == 0)
-            is_row0 = (iv == 0) & (j > 0)
-            is_col0 = (j == 0) & (iv > 0)
-            invalid = j < 0
-
-            Inew = jnp.where(is_row0, hh + j * gg, Inew)
-            Inew = jnp.where(is_col0 | invalid, neg, Inew)
-            Dnew = jnp.where(is_col0, hh + iv * gg, Dnew)
-            Dnew = jnp.where(is_row0 | invalid, neg, Dnew)
-            Snew = jnp.where(is_row0 | is_col0 | invalid, neg, Snew)
-            Inew = jnp.where(is_origin, 0, Inew)
-            Dnew = jnp.where(is_origin, 0, Dnew)
-            Snew = jnp.where(is_origin, 0, Snew)
-
-            Qnew = jnp.maximum(Inew, Snew)
-            cm = jnp.maximum(Qnew, Dnew)
-            if is_local:
-                cm = jnp.maximum(cm, 0)
-
-            if emit_dirs:
-                code = jnp.where(
-                    cm == Snew,
-                    DIR_SUB,
-                    jnp.where(
-                        cm == Inew,
-                        DIR_INS,
-                        jnp.where(cm == Dnew, DIR_DEL, DIR_STOP),
-                    ),
-                )
-                dirs_ref[t] = code.astype(jnp.uint8)
-
-            # Per-lane "last argmax" tracker (>= keeps the largest k,
-            # i.e. the largest j for this row — row-major "last").
-            # Only local mode needs it; global only probes (m, n).
-            if is_local:
-                in_true = (iv <= m) & (j >= 0) & (j <= n)
-                val = jnp.where(in_true, cm, int_min)
-                upd = val >= bv_s[:]
-                bv_s[:] = jnp.where(upd, val, bv_s[:])
-                bk_s[:] = jnp.where(upd, k, bk_s[:])
-
-            # Global score capture at cell (m, n) on diagonal m+n.
-            fin_s[:] = jnp.where(
-                (k == m + n) & (iv == m), cm, fin_s[:]
-            )
-
-            # Rotate factored carries.
-            shM[:] = jnp.maximum(shQ, shD)
-            Ip[:] = Inew
-            Sp[:] = jnp.maximum(Snew, Dnew)
-            Dp[:] = Dnew
-            Qp[:] = Qnew
-
-        return 0
-
-    jax.lax.fori_loop(0, shapes.chunk, body, 0)
-
-    @pl.when(g_id == pl.num_programs(0) - 1)
-    def _finalize():
-        bv_ref[:] = bv_s[:]
-        bk_ref[:] = bk_s[:]
-        fin_ref[:] = fin_s[:]
 
 
 def _kernel_tile(
@@ -858,129 +716,44 @@ def gotoh_fill_pallas(
 ) -> FillResult:
     """Pallas-kernel wavefront fill; drop-in for ``gotoh_fill_scan``.
 
+    A thin wrapper over the streamed-boundary tile kernel with the
+    whole table as one tile and the reference's global boundary
+    conditions as the streams (algo.rs:193-220).
+
     Returns ``FillResult`` whose ``dirs`` is shaped ``(Kp, V)`` with
     ``dirs[i + j, i]`` = move code at table cell (i, j) — the same
     indexing contract as the scan engine (V >= Lm + 1; rows beyond the
     true diagonal count and lanes beyond row m are garbage/unreached).
     """
+    from genomics_rs_tpu.ops.gotoh_tile import (
+        global_boundary_left,
+        global_boundary_top,
+    )
+
     Lm = s1e.shape[0]
     Ln = s2e.shape[0]
-    shapes = _plan(Lm, Ln, emit_dirs)
-    V, C = shapes.V, shapes.C
-
     m = jnp.asarray(m, jnp.int32)
     n = jnp.asarray(n, jnp.int32)
 
-    # s1m[i] = s1[i-1]; i = 0 gets a sentinel that matches nothing.
-    s1m = jnp.full((V,), 0xFD, dtype=jnp.int32)
-    s1m = jax.lax.dynamic_update_slice(
-        s1m, s1e.astype(jnp.int32), (jnp.int32(1),)
-    )
-    s1m2d = s1m.reshape(ROWS, C)
-
-    # Injection stream: s2inj[k] = s2[k-1] (clamped below, 0xFF past
-    # the end) — the base entering the wavefront at row 0 on diag k.
-    ks = jnp.arange(shapes.Kp, dtype=jnp.int32)
-    s2inj = jnp.take(s2e.astype(jnp.int32), jnp.clip(ks - 1, 0, Ln - 1))
-    s2inj = jnp.where(ks - 1 >= Ln, 0xFF, s2inj)[None, :]
-
-    scalars = jnp.stack(
-        [
-            m,
-            n,
-            jnp.int32(scores.s_match),
-            jnp.int32(scores.s_mismatch),
-            jnp.int32(scores.g),
-            jnp.int32(scores.h),
-            jnp.int32(0),
-            jnp.int32(0),
-        ]
-    )
-
-    grid = shapes.Kp // shapes.chunk
-    # Index maps receive (grid idx, scalar-prefetch ref).
-    vec_spec = pl.BlockSpec(
-        (ROWS, C), lambda g, s: (0, 0), memory_space=pltpu.VMEM
-    )
-    out_shapes = []
-    out_specs = []
-    if emit_dirs:
-        out_shapes.append(
-            jax.ShapeDtypeStruct((shapes.Kp, ROWS, C), jnp.uint8)
-        )
-        out_specs.append(
-            pl.BlockSpec(
-                (shapes.chunk, ROWS, C),
-                lambda g, s: (g, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        )
-    out_shapes += [jax.ShapeDtypeStruct((ROWS, C), jnp.int32)] * 3
-    out_specs += [vec_spec] * 3
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(
-                (ROWS, C), lambda g, s: (0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, shapes.chunk),
-                lambda g, s: (0, g),
-                memory_space=pltpu.SMEM,
-            ),
-        ],
-        out_specs=tuple(out_specs),
-        scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)] * 10,
-    )
-
-    if emit_dirs:
-        kernel = functools.partial(
-            _kernel, shapes=shapes, is_local=is_local, emit_dirs=True
-        )
-    else:
-
-        def kernel(scalars, s1m_ref, s2_ref, bv_ref, bk_ref, fin_ref, *scr):
-            return _kernel(
-                scalars,
-                s1m_ref,
-                s2_ref,
-                None,
-                bv_ref,
-                bk_ref,
-                fin_ref,
-                *scr,
-                shapes=shapes,
-                is_local=is_local,
-                emit_dirs=False,
-            )
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=tuple(out_shapes),
+    res = gotoh_tile_pallas(
+        s1e,
+        s2e,
+        global_boundary_top(0, Ln, scores),
+        global_boundary_left(0, Lm, scores),
+        m,
+        n,
+        jnp.int32(0),
+        jnp.int32(0),
+        scores,
+        is_local,
+        emit_dirs=emit_dirs,
+        emit_bottom=False,
         interpret=interpret,
-    )(scalars, s1m2d, s2inj)
-
-    if emit_dirs:
-        dirs, bv, bk, fin = outs
-        dirs = dirs.reshape(shapes.Kp, V)
-    else:
-        bv, bk, fin = outs
-        dirs = jnp.zeros((0, 0), dtype=jnp.uint8)
-
-    iv = jnp.arange(V, dtype=jnp.int32)
-    bvf = bv.reshape(V)
-    bkf = bk.reshape(V)
-    finf = fin.reshape(V)
-
+    )
+    dirs = res.dirs if emit_dirs else jnp.zeros((0, 0), dtype=jnp.uint8)
     if is_local:
-        vmax = jnp.max(bvf)
-        i_best = jnp.max(jnp.where(bvf == vmax, iv, -1))
-        k_best = jnp.max(
-            jnp.where((bvf == vmax) & (iv == i_best), bkf, -1)
-        )
-        return FillResult(
-            dirs=dirs, score=vmax, start_i=i_best, start_j=k_best - i_best
-        )
-    return FillResult(dirs=dirs, score=jnp.max(finf), start_i=m, start_j=n)
+        v, bi, bj = res.best
+        return FillResult(dirs=dirs, score=v, start_i=bi, start_j=bj)
+    return FillResult(
+        dirs=dirs, score=res.score_at_mn, start_i=m, start_j=n
+    )
