@@ -140,10 +140,21 @@ class PairwiseAligner:
             )
         return out
 
+    #: Above this many rows the monolithic wavefront state no longer
+    #: fits VMEM — score via rolling row blocks instead.
+    SCORE_ROWS_LIMIT = 131072
+
     def score_only(self, seq1: Sequence, seq2: Sequence) -> int:
         """Alignment score without traceback (no direction bitmap at
-        all — O(m+n) device memory, so 100 kb+ pairs fit easily)."""
+        all — O(m+n) device memory; chromosome-length pairs route
+        through rolling block fills)."""
         m, n = len(seq1), len(seq2)
+        if self.engine == "pallas" and m > self.SCORE_ROWS_LIMIT:
+            from genomics_rs_tpu.models.longalign import score_long
+
+            return int(
+                score_long(seq1, seq2, self.scores, is_local=self.is_local)[0]
+            )
         Lm = max(round_up(m, PAD_MULTIPLE), PAD_MULTIPLE)
         Ln = max(round_up(n, PAD_MULTIPLE), PAD_MULTIPLE)
         s1e = seq1.encoded(pad_to=Lm, pad_value=PAD_S1)

@@ -42,6 +42,78 @@ log = logging.getLogger(__name__)
 INT_MIN = -(2**31)
 
 
+def score_long(
+    seq1: Sequence,
+    seq2: Sequence,
+    scores: Scores,
+    is_local: bool = False,
+    block_rows: int = 16384,
+    interpret: bool = False,
+) -> tuple[int, int, int]:
+    """(score, start_i, start_j) for arbitrarily long pairs.
+
+    Forward block fills only, keeping a single rolling boundary row on
+    device — O(n) memory, no checkpoints, so chromosome-scale pairs
+    (chr12 x chr12 = 1.2e12 cells) score on one chip.
+    """
+    m, n = len(seq1), len(seq2)
+    R = block_rows
+    Lm = max(round_up(m, R), R)
+    Ln = max(round_up(n, 128), 128)
+    NB = Lm // R
+    s1e = seq1.encoded(pad_to=Lm, pad_value=PAD_S1)
+    s2e = seq2.encoded(pad_to=Ln, pad_value=PAD_S2)
+
+    t0 = time.perf_counter()
+    top = global_boundary_top(0, Ln, scores)
+    bests = []
+    at_mns = []
+    for b in range(NB):
+        i0 = b * R
+        left = global_boundary_left(i0, R, scores)
+        res = gotoh_tile_pallas(
+            s1e[i0 : i0 + R],
+            s2e,
+            top,
+            left,
+            np.int32(m),
+            np.int32(n),
+            np.int32(i0),
+            np.int32(0),
+            scores,
+            is_local,
+            emit_dirs=False,
+            emit_bottom=True,
+            interpret=interpret,
+        )
+        bests.append(res.best)
+        at_mns.append(res.score_at_mn)
+        top = res.bottom
+
+    best = (INT_MIN, 0, 0)
+    at_mn = INT_MIN
+    for cand_dev, amn in zip(bests, at_mns):
+        at_mn = max(at_mn, int(amn))
+        if is_local:
+            cand = tuple(int(x) for x in cand_dev)
+            if cand >= best:
+                best = cand
+    elapsed = time.perf_counter() - t0
+    cells = (m + 1.0) * (n + 1.0)
+    log.info(
+        "[ScoreLong] %dx%d (%.3g cells) in %d blocks: %.2fs (%.3g cells/s)",
+        m,
+        n,
+        cells,
+        NB,
+        elapsed,
+        cells / elapsed,
+    )
+    if is_local:
+        return best
+    return at_mn, m, n
+
+
 def align_checkpointed(
     seq1: Sequence,
     seq2: Sequence,

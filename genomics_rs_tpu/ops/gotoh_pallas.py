@@ -68,15 +68,13 @@ class _Shapes(NamedTuple):
     Kp: int  # K rounded up to a CHUNK multiple
     chunk: int  # diagonals per grid step
     s2len: int  # padded s2 injection buffer length
-    Vb: int = 0  # bottom-row capture buffer flat length (emit_bottom)
 
 
-def _plan(Lm: int, Ln: int, emit_dirs: bool, bot_len: int = 0) -> _Shapes:
+def _plan(Lm: int, Ln: int, emit_dirs: bool) -> _Shapes:
     V = max(_round_up(Lm + 1, 1024), 1024)
     K = Lm + Ln + 1
-    Vb = max(_round_up(bot_len + 2, 1024), 1024) if bot_len else 0
-    # VMEM budget: state vectors + bottom buffers + 2x dirs block.
-    state_bytes = 11 * V * 4 + 6 * Vb * 4
+    # VMEM budget: state vectors + 2x dirs block.
+    state_bytes = 11 * V * 4
     budget = 12 * 1024 * 1024
     chunk = 256 if emit_dirs else 512
     if emit_dirs:
@@ -85,7 +83,7 @@ def _plan(Lm: int, Ln: int, emit_dirs: bool, bot_len: int = 0) -> _Shapes:
     Kp = _round_up(K, chunk)
     s2len = _round_up(K + 1, 128)
     return _Shapes(
-        V=V, C=V // ROWS, K=K, Kp=Kp, chunk=chunk, s2len=s2len, Vb=Vb
+        V=V, C=V // ROWS, K=K, Kp=Kp, chunk=chunk, s2len=s2len
     )
 
 
@@ -125,10 +123,11 @@ def _kernel_tile(
     previous block's bottom row — the unit of the checkpointed
     linear-space traceback (models/longalign.py).
 
-    ``emit_bottom`` captures the last row (lane R) through three
-    rotating shift buffers — buffer[v] holds the lane-R value of step
-    K-1-v, so the bottom row comes out reversed and is unscrambled on
-    host. This costs 3 extra flat shifts per step (~25%).
+    ``emit_bottom`` streams the last row (lane R) to an HBM output:
+    at step k the three lane-R scalars are broadcast-stored to
+    ``bot_ref[t]`` ((chunk, 3, 128) blocks), so the bottom row lands
+    at rows R..R+B of the output regardless of B — O(1) VMEM, which
+    is what lets row blocks span chromosome-length columns.
     """
     C = shapes.C
     idx = 0
@@ -136,17 +135,16 @@ def _kernel_tile(
     if emit_dirs:
         dirs_ref = refs[idx]
         idx += 1
-    bot_refs = None
+    bot_ref = None
     if emit_bottom:
-        bot_refs = refs[idx : idx + 3]
-        idx += 3
+        bot_ref = refs[idx]
+        idx += 1
     bv_ref, bk_ref, fin_ref = refs[idx : idx + 3]
     idx += 3
     (Ip, Sp, Dp, Ish, Ssh, Dsh, s2j_ref, bv_s, bk_s, fin_s) = refs[
         idx : idx + 10
     ]
     idx += 10
-    bot_s = refs[idx : idx + 3] if emit_bottom else None
     # Factored carries (shift commutes with max; see _kernel_batch):
     # Ip=I, Dp=D, Sp=P=max(S,D), Ish=Q=max(I,S), Ssh=shift(M) cache.
     Qp, shM = Ish, Ssh
@@ -181,9 +179,6 @@ def _kernel_tile(
         bv_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
         bk_s[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
         fin_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
-        if emit_bottom:
-            for b in bot_s:
-                b[:] = jnp.full(b.shape, int_min, dtype=jnp.int32)
 
     zero_lane = jnp.int32(0) if is_local else neg
 
@@ -255,17 +250,14 @@ def _kernel_tile(
 
             if emit_bottom:
                 lane_r, lane_c = divmod(R_rows, C)
-                brow = jax.lax.broadcasted_iota(
-                    jnp.int32, bot_s[0].shape, 0
+                vals = jnp.stack(
+                    [
+                        Inew[lane_r, lane_c],
+                        Snew[lane_r, lane_c],
+                        Dnew[lane_r, lane_c],
+                    ]
                 )
-                bcol = jax.lax.broadcasted_iota(
-                    jnp.int32, bot_s[0].shape, 1
-                )
-                Cb = bot_s[0].shape[1]
-                for buf, srcv in zip(bot_s, (Inew, Snew, Dnew)):
-                    buf[:] = _shift_down_flat(
-                        buf[:], srcv[lane_r, lane_c], brow, bcol, Cb
-                    )
+                bot_ref[t] = jnp.broadcast_to(vals[:, None], (3, 128))
 
             # Rotate factored carries.
             shM[:] = jnp.maximum(shQ, shD)
@@ -283,9 +275,6 @@ def _kernel_tile(
         bv_ref[:] = bv_s[:]
         bk_ref[:] = bk_s[:]
         fin_ref[:] = fin_s[:]
-        if emit_bottom:
-            for out, buf in zip(bot_refs, bot_s):
-                out[:] = buf[:]
 
 
 class TileFillResult(NamedTuple):
@@ -326,7 +315,7 @@ def gotoh_tile_pallas(
     """
     R = s1_block.shape[0]
     B = s2e.shape[0]
-    shapes = _plan(R, B, emit_dirs, bot_len=B if emit_bottom else 0)
+    shapes = _plan(R, B, emit_dirs)
     V, C = shapes.V, shapes.C
 
     s1m = jnp.full((V,), 0xFD, dtype=jnp.int32)
@@ -368,7 +357,6 @@ def gotoh_tile_pallas(
     vec_spec = pl.BlockSpec(
         (ROWS, C), lambda g, s: (0, 0), memory_space=pltpu.VMEM
     )
-    Cb = shapes.Vb // ROWS if emit_bottom else 0
     out_shapes = []
     out_specs = []
     if emit_dirs:
@@ -383,11 +371,16 @@ def gotoh_tile_pallas(
             )
         )
     if emit_bottom:
-        bspec = pl.BlockSpec(
-            (ROWS, Cb), lambda g, s: (0, 0), memory_space=pltpu.VMEM
+        out_shapes.append(
+            jax.ShapeDtypeStruct((shapes.Kp, 3, 128), jnp.int32)
         )
-        out_shapes += [jax.ShapeDtypeStruct((ROWS, Cb), jnp.int32)] * 3
-        out_specs += [bspec] * 3
+        out_specs.append(
+            pl.BlockSpec(
+                (shapes.chunk, 3, 128),
+                lambda g, s: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
     out_shapes += [jax.ShapeDtypeStruct((ROWS, C), jnp.int32)] * 3
     out_specs += [vec_spec] * 3
 
@@ -395,8 +388,6 @@ def gotoh_tile_pallas(
         (rows, shapes.chunk), lambda g, s: (0, g), memory_space=pltpu.SMEM
     )
     scratch = [pltpu.VMEM((ROWS, C), jnp.int32)] * 10
-    if emit_bottom:
-        scratch += [pltpu.VMEM((ROWS, Cb), jnp.int32)] * 3
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -435,12 +426,9 @@ def gotoh_tile_pallas(
         dirs = outs.pop(0).reshape(shapes.Kp, V)
     bottom = None
     if emit_bottom:
-        bufs = [outs.pop(0).reshape(shapes.Vb) for _ in range(3)]
-        # buffer[v] = lane-R value at step K-1-v; cell (R, j) is at
-        # step R+j => bottom[:, j] = buf[B - j].
-        bottom = jnp.stack(
-            [jnp.flip(b[: B + 1]) for b in bufs]
-        )
+        # bot[k, c, 0] = matrix-c value of cell (R, k - R).
+        bot = outs.pop(0)
+        bottom = jnp.transpose(bot[R : R + B + 1, :, 0], (1, 0))
     bv, bk, fin = outs
 
     iv = jnp.arange(V, dtype=jnp.int32)

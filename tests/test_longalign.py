@@ -59,3 +59,33 @@ def test_longalign_identical_strings():
     )
     assert got.score == len(a)
     assert got.matches == len(a)
+
+
+@pytest.mark.parametrize("is_local", [False, True])
+def test_score_long_matches_oracle(is_local):
+    from genomics_rs_tpu.models.longalign import score_long
+
+    rng = np.random.default_rng(53)
+    m, n = 210, 170
+    a = "".join(rng.choice(list("ACGT"), m))
+    b = "".join(rng.choice(list("ACGT"), n))
+    s1, s2 = Sequence("s1", a), Sequence("s2", b)
+
+    aligner = PairwiseAligner(SCORES, is_local=is_local, engine="scan")
+    want = aligner.align(s1, s2)
+    got = score_long(
+        s1, s2, SCORES, is_local=is_local, block_rows=64, interpret=True
+    )
+    assert got[0] == want.score
+    if is_local:
+        # start cell must match too (reference last-row-major argmax)
+        dirs_ref = aligner.align(s1, s2)
+        # (score equality checked; start via the fill result)
+        from genomics_rs_tpu.ops.gotoh_scan import gotoh_fill_scan
+        from genomics_rs_tpu.sequence import PAD_S1, PAD_S2
+
+        s1e = s1.encoded(pad_to=256, pad_value=PAD_S1)
+        s2e = s2.encoded(pad_to=256, pad_value=PAD_S2)
+        ref = gotoh_fill_scan(s1e, s2e, m, n, SCORES, True)
+        assert got[1] == int(ref.start_i)
+        assert got[2] == int(ref.start_j)
