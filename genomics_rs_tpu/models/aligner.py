@@ -27,7 +27,7 @@ from genomics_rs_tpu.sequence import (
     SequenceContainer,
     round_up,
 )
-from genomics_rs_tpu.utils.profiling import PhaseTimer
+from genomics_rs_tpu.utils.profiling import PhaseTimer, spinner
 
 log = logging.getLogger(__name__)
 
@@ -122,12 +122,16 @@ class PairwiseAligner:
         s2e = seq2.encoded(pad_to=Ln, pad_value=PAD_S2)
 
         timer = PhaseTimer("align")
-        with timer.span("fill table", cells=(m + 1.0) * (n + 1.0)):
+        with spinner(
+            "Computing sequence table...", "Sequence table computed"
+        ), timer.span("fill table", cells=(m + 1.0) * (n + 1.0)):
             res = _fill(
                 s1e, s2e, m, n, self.scores, self.is_local, self.engine
             )
             jax.block_until_ready(res.score)
-        with timer.span("retrace"):
+        with spinner(
+            "Retracing optimal alignment...", "Retrace complete"
+        ), timer.span("retrace"):
             dirs = np.asarray(res.dirs)
             out = traceback_host(
                 dirs,

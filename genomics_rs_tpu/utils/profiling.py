@@ -60,6 +60,41 @@ class PhaseTimer:
 
 
 @contextlib.contextmanager
+def spinner(message: str, done: str):
+    """Terminal spinner parity with the reference's spinoff usage
+    (``/root/reference/src/alignment/algo.rs:181-185,292-296``):
+    animated only on a TTY, replaced by the success message when the
+    block completes."""
+    import sys
+    import threading
+
+    tty = sys.stderr.isatty()
+    stop = threading.Event()
+
+    def spin():
+        frames = "⠋⠙⠹⠸⠼⠴⠦⠧⠇⠏"
+        i = 0
+        while not stop.is_set():
+            sys.stderr.write(f"\r{frames[i % len(frames)]} {message}")
+            sys.stderr.flush()
+            i += 1
+            stop.wait(0.1)
+
+    t = None
+    if tty:
+        t = threading.Thread(target=spin, daemon=True)
+        t.start()
+    try:
+        yield
+    finally:
+        if t is not None:
+            stop.set()
+            t.join(timeout=1)
+            sys.stderr.write(f"\r\x1b[K✓ {done}\n")
+            sys.stderr.flush()
+
+
+@contextlib.contextmanager
 def annotate(name: str):
     """Named region inside a device profiler trace (no-op off-trace)."""
     try:
