@@ -99,10 +99,30 @@ class PairwiseAligner:
         if self.engine == "pallas" and est_dirs > self.DIRS_BYTE_BUDGET:
             from genomics_rs_tpu.models.longalign import align_checkpointed
 
-            block_rows = max(
-                1024,
-                min(8192, self.DIRS_BYTE_BUDGET // (2 * max(Ln, 1)) // 1024 * 1024),
-            )
+            # A backward-pass block refill materialises
+            # (R + Ln + 1) * roundup(R+1, 1024) dirs bytes — pick the
+            # largest R that keeps one refill under ~2 GB HBM. The
+            # row-only decomposition can never go below ~Ln * 1024
+            # bytes per refill, so extremely long second sequences
+            # need the sequence-parallel/score-only paths instead.
+            refill_cap = 2 << 30
+            hard_cap = 8 << 30
+            block_rows = None
+            for r in (8192, 4096, 2048, 1024):
+                if (r + Ln + 1) * round_up(r + 1, 1024) <= refill_cap:
+                    block_rows = r
+                    break
+            if block_rows is None:
+                min_bytes = (1025 + Ln) * 2048
+                if min_bytes <= hard_cap:
+                    block_rows = 1024
+                else:
+                    raise MemoryError(
+                        f"align {m}x{n}: a traceback block refill needs "
+                        f">= {min_bytes / 2**30:.1f} GB; use "
+                        "score_long()/sharded scoring, or local-align "
+                        "a region"
+                    )
             log.info(
                 "align: %dx%d exceeds dirs budget -> checkpointed path "
                 "(block_rows=%d)",

@@ -29,6 +29,7 @@ import numpy as np
 
 from genomics_rs_tpu.config import Scores
 from genomics_rs_tpu.ops.gotoh_pallas import gotoh_tile_pallas
+from genomics_rs_tpu.ops.gotoh_scan import INT_MIN
 from genomics_rs_tpu.ops.gotoh_tile import (
     global_boundary_left,
     global_boundary_top,
@@ -39,7 +40,65 @@ from genomics_rs_tpu.sequence import PAD_S1, PAD_S2, Sequence, round_up
 
 log = logging.getLogger(__name__)
 
-INT_MIN = -(2**31)
+
+
+def _forward_blocks(
+    s1e,
+    s2e,
+    m: int,
+    n: int,
+    R: int,
+    NB: int,
+    scores: Scores,
+    is_local: bool,
+    interpret: bool,
+    keep_tops: bool,
+):
+    """Shared forward pass over full-width row blocks.
+
+    Boundary rows stay on device (each block's bottom feeds the next
+    tile call directly, no host sync inside the pipeline); scalar
+    stats are pulled once at the end. Returns
+    (tops | None, best (v, i, j), at_mn).
+    """
+    Ln = s2e.shape[0]
+    tops = [] if keep_tops else None
+    top = global_boundary_top(0, Ln, scores)
+    bests = []
+    at_mns = []
+    for b in range(NB):
+        i0 = b * R
+        left = global_boundary_left(i0, R, scores)
+        res = gotoh_tile_pallas(
+            s1e[i0 : i0 + R],
+            s2e,
+            top,
+            left,
+            np.int32(m),
+            np.int32(n),
+            np.int32(i0),
+            np.int32(0),
+            scores,
+            is_local,
+            emit_dirs=False,
+            emit_bottom=True,
+            interpret=interpret,
+        )
+        if keep_tops:
+            tops.append(top)
+        bests.append(res.best)
+        at_mns.append(res.score_at_mn)
+        top = res.bottom
+
+    best = (INT_MIN, 0, 0)
+    at_mn = INT_MIN
+    for cand_dev, amn in zip(bests, at_mns):
+        at_mn = max(at_mn, int(amn))
+        if is_local:
+            cand = tuple(int(x) for x in cand_dev)
+            if cand >= best:
+                best = cand
+    return tops, best, at_mn
 
 
 def score_long(
@@ -65,39 +124,9 @@ def score_long(
     s2e = seq2.encoded(pad_to=Ln, pad_value=PAD_S2)
 
     t0 = time.perf_counter()
-    top = global_boundary_top(0, Ln, scores)
-    bests = []
-    at_mns = []
-    for b in range(NB):
-        i0 = b * R
-        left = global_boundary_left(i0, R, scores)
-        res = gotoh_tile_pallas(
-            s1e[i0 : i0 + R],
-            s2e,
-            top,
-            left,
-            np.int32(m),
-            np.int32(n),
-            np.int32(i0),
-            np.int32(0),
-            scores,
-            is_local,
-            emit_dirs=False,
-            emit_bottom=True,
-            interpret=interpret,
-        )
-        bests.append(res.best)
-        at_mns.append(res.score_at_mn)
-        top = res.bottom
-
-    best = (INT_MIN, 0, 0)
-    at_mn = INT_MIN
-    for cand_dev, amn in zip(bests, at_mns):
-        at_mn = max(at_mn, int(amn))
-        if is_local:
-            cand = tuple(int(x) for x in cand_dev)
-            if cand >= best:
-                best = cand
+    _, best, at_mn = _forward_blocks(
+        s1e, s2e, m, n, R, NB, scores, is_local, interpret, keep_tops=False
+    )
     elapsed = time.perf_counter() - t0
     cells = (m + 1.0) * (n + 1.0)
     log.info(
@@ -132,45 +161,10 @@ def align_checkpointed(
     s2e = seq2.encoded(pad_to=Ln, pad_value=PAD_S2)
 
     # ---- forward: fill blocks, checkpoint each block's top row ----
-    # Boundary rows stay on device: each block's bottom feeds the next
-    # tile call directly (no host sync inside the pipeline); scalars
-    # are pulled once at the end.
     t0 = time.perf_counter()
-    tops = []
-    top = global_boundary_top(0, Ln, scores)
-    bests = []
-    at_mns = []
-    for b in range(NB):
-        i0 = b * R
-        left = global_boundary_left(i0, R, scores)
-        res = gotoh_tile_pallas(
-            s1e[i0 : i0 + R],
-            s2e,
-            top,
-            left,
-            np.int32(m),
-            np.int32(n),
-            np.int32(i0),
-            np.int32(0),
-            scores,
-            is_local,
-            emit_dirs=False,
-            emit_bottom=True,
-            interpret=interpret,
-        )
-        tops.append(top)
-        bests.append(res.best)
-        at_mns.append(res.score_at_mn)
-        top = res.bottom
-
-    best = (INT_MIN, 0, 0)
-    at_mn = INT_MIN
-    for cand_dev, amn in zip(bests, at_mns):
-        at_mn = max(at_mn, int(amn))
-        if is_local:
-            cand = tuple(int(x) for x in cand_dev)
-            if cand >= best:
-                best = cand
+    tops, best, at_mn = _forward_blocks(
+        s1e, s2e, m, n, R, NB, scores, is_local, interpret, keep_tops=True
+    )
     t_fwd = time.perf_counter() - t0
 
     if is_local:

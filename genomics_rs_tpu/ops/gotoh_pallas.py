@@ -48,11 +48,11 @@ from genomics_rs_tpu.ops.gotoh_scan import (
     DIR_INS,
     DIR_STOP,
     DIR_SUB,
+    INT_MIN,
     NEG_INF,
     FillResult,
 )
 
-INT_MIN = -(2**31)
 #: sublane count of the flat diagonal layout.
 ROWS = 8
 

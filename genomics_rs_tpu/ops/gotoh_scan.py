@@ -46,6 +46,11 @@ from genomics_rs_tpu.config import Scores
 #: far above INT32_MIN (no overflow) and far below any real score.
 NEG_INF = -(1 << 30)
 
+#: Sentinel for "no value yet" in argmax trackers (below NEG_INF so a
+#: boundary cell always beats it). Single definition shared by every
+#: kernel and driver so cross-module comparisons stay coherent.
+INT_MIN = -(1 << 31)
+
 # Direction codes (retrace priority order S > I > D, then stop).
 DIR_SUB = 0
 DIR_INS = 1

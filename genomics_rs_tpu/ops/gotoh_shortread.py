@@ -33,9 +33,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from genomics_rs_tpu.config import Scores
-from genomics_rs_tpu.ops.gotoh_scan import NEG_INF
+from genomics_rs_tpu.ops.gotoh_scan import INT_MIN, NEG_INF
 
-INT_MIN = -(2**31)
 PANE = (8, 128)
 PANE_N = 1024
 
@@ -80,10 +79,12 @@ def _rowscan_body(
     rI[:] = hh + jrow * gg
     rS[:] = jnp.full((L2, 8, 128), neg, dtype=jnp.int32)
     rD[:] = jnp.full((L2, 8, 128), neg, dtype=jnp.int32)
+    # bv/bi are only consumed in local mode, but the final stores run
+    # unconditionally — initialize always so the outputs are never
+    # uninitialized VMEM.
     fin_s[:] = jnp.full((L2, 8, 128), int_min, dtype=jnp.int32)
-    if is_local:
-        bv_s[:] = jnp.full((L2, 8, 128), int_min, dtype=jnp.int32)
-        bi_s[:] = jnp.zeros((L2, 8, 128), dtype=jnp.int32)
+    bv_s[:] = jnp.full((L2, 8, 128), int_min, dtype=jnp.int32)
+    bi_s[:] = jnp.zeros((L2, 8, 128), dtype=jnp.int32)
 
     def shift_row(x, fill):
         """y[j] = x[j-1] along the column axis; y[0] = fill."""

@@ -27,9 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from genomics_rs_tpu.config import Scores
-from genomics_rs_tpu.ops.gotoh_scan import NEG_INF
+from genomics_rs_tpu.ops.gotoh_scan import INT_MIN, NEG_INF
 
-INT_MIN = -(2**31)
 
 
 class TileResult(NamedTuple):

@@ -99,8 +99,6 @@ def classify_moves(
         opening_gaps=0,
     )
     last_choice = AlignmentChoice.MATCH
-    from genomics_rs_tpu.ops.gotoh_scan import DIR_DEL, DIR_INS, DIR_SUB
-
     for code in codes:
         code = int(code)
         if code == DIR_SUB:
@@ -148,66 +146,34 @@ def traceback_host(
     seq2: Sequence,
     is_local: bool,
 ) -> AlignedSequences:
-    """Walk ``dirs`` from the start cell and accumulate path + stats."""
-    s1 = seq1.sequence.encode("ascii")
-    s2 = seq2.sequence.encode("ascii")
+    """Walk ``dirs`` from the start cell, then classify the moves.
 
+    Movement rules mirror the reference retrace (``algo.rs:339-421``):
+    per-axis checked_sub saturation, break when both axes underflow or
+    when (0, 0) is reached after a move, local termination on a stop
+    code. Classification (stats, open vs extend, is_match quirks) is
+    shared with the checkpointed path via :func:`classify_moves`.
+    """
     i, j = int(start_i), int(start_j)
-    out = AlignedSequences(
-        s1=seq1,
-        s2=seq2,
-        alignment=[],
-        score=int(score),
-        matches=0,
-        mismatches=0,
-        gap_extensions=0,
-        opening_gaps=0,
-    )
-
-    last_choice = AlignmentChoice.MATCH
+    codes: list[int] = []
     while True:
         code = int(dirs[i + j, i])
-
-        if code == DIR_SUB:
-            if _is_match_ref(s1, s2, i, j):
-                last_choice = AlignmentChoice.MATCH
-                out.matches += 1
-                out.alignment.append((AlignmentChoice.MATCH, i, j))
-            else:
-                last_choice = AlignmentChoice.MISMATCH
-                out.mismatches += 1
-                out.alignment.append((AlignmentChoice.MISMATCH, i, j))
-            ni = i - 1 if i > 0 else None
-            nj = j - 1 if j > 0 else None
-        elif code == DIR_INS:
-            if last_choice == AlignmentChoice.INSERT:
-                out.gap_extensions += 1
-                choice = AlignmentChoice.INSERT
-            else:
-                out.opening_gaps += 1
-                choice = AlignmentChoice.OPEN_INSERT
-            out.alignment.append((choice, i, j))
-            last_choice = AlignmentChoice.INSERT
-            ni = i
-            nj = j - 1 if j > 0 else None
-        elif code == DIR_DEL:
-            if last_choice == AlignmentChoice.DELETE:
-                out.gap_extensions += 1
-                choice = AlignmentChoice.DELETE
-            else:
-                out.opening_gaps += 1
-                choice = AlignmentChoice.OPEN_DELETE
-            out.alignment.append((choice, i, j))
-            last_choice = AlignmentChoice.DELETE
-            ni = i - 1 if i > 0 else None
-            nj = j
-        else:  # DIR_STOP
+        if code == DIR_STOP:
             if is_local:
                 break
             raise RuntimeError(
                 f"Unexpected stop code during global retrace at ({i}, {j})"
             )
-
+        codes.append(code)
+        if code == DIR_SUB:
+            ni = i - 1 if i > 0 else None
+            nj = j - 1 if j > 0 else None
+        elif code == DIR_INS:
+            ni = i
+            nj = j - 1 if j > 0 else None
+        else:
+            ni = i - 1 if i > 0 else None
+            nj = j
         if ni is None and nj is None:
             break
         i = ni if ni is not None else 0
@@ -215,4 +181,4 @@ def traceback_host(
         if i == 0 and j == 0:
             break
 
-    return out
+    return classify_moves(codes, start_i, start_j, score, seq1, seq2)

@@ -52,18 +52,13 @@ class AllPairsResult:
 
 
 def _encode_all(container: SequenceContainer, pad: int):
-    seqs = [s.sequence for s in container.sequences]
+    seqs = container.sequences
     L = max(max((len(s) for s in seqs), default=1), 1)
     L = max(round_up(L, pad), pad)
-    enc1 = np.stack([_enc(s, L, PAD_S1) for s in seqs])
-    enc2 = np.stack([_enc(s, L, PAD_S2) for s in seqs])
+    enc1 = np.stack([s.encoded(pad_to=L, pad_value=PAD_S1) for s in seqs])
+    enc2 = np.stack([s.encoded(pad_to=L, pad_value=PAD_S2) for s in seqs])
     lens = np.array([len(s) for s in seqs], dtype=np.int32)
     return enc1, enc2, lens
-
-
-def _enc(s: str, L: int, pad_value: int) -> np.ndarray:
-    a = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
-    return np.concatenate([a, np.full(L - a.size, pad_value, dtype=np.uint8)])
 
 
 def allpairs_scores(
@@ -108,7 +103,10 @@ def allpairs_scores(
         ms = np.array([lens[i] for i, _ in pairs], dtype=np.int32)
         ns = np.array([lens[j] for _, j in pairs], dtype=np.int32)
         (s1b, s2b, ms, ns), _ = pad_batch(
-            (s1b, s2b, ms, ns), len(pairs), n_dev
+            (s1b, s2b, ms, ns),
+            len(pairs),
+            n_dev,
+            pad_values=[None, None, 0, 0],
         )
         out = batch_scores_sharded(mesh, s1b, s2b, ms, ns, scores, is_local)
         sc = np.asarray(out.score)

@@ -116,7 +116,10 @@ def batch_scores_sharded(
 
 #: Below this padded length the row-scan read kernel beats the
 #: diagonal batch kernel (whose flat-diagonal lanes go mostly idle).
-SHORTREAD_MAX_LEN = 512
+#: Bounded by the shortread kernel's VMEM footprint (~6 row-pane
+#: scratch buffers of L2*4 KiB + in/out blocks): 256 keeps it near
+#: ~11 MiB; 512 would exceed the ~16 MiB core budget.
+SHORTREAD_MAX_LEN = 256
 
 
 def score_pairs(
@@ -158,20 +161,27 @@ def score_pairs(
     return out.score, out.start_i, out.start_j
 
 
-def pad_batch(arrs, batch: int, multiple: int):
+def pad_batch(arrs, batch: int, multiple: int, pad_values=None):
     """Pad leading batch dim of every array in ``arrs`` up to a multiple.
 
-    Padding rows replicate row 0 (scored but discarded) so shapes stay
-    static and every shard does identical work. Returns (padded arrays,
-    padded batch size).
+    ``pad_values[i]`` fills array i's padding rows; ``None`` replicates
+    row 0. Pass 0 for the length arrays so padding rows are trivial
+    (1x1) fills that don't inflate cell-count statistics; padded
+    scores are discarded either way. Returns (padded arrays, padded
+    batch size).
     """
     import numpy as np
 
     pb = -(-batch // multiple) * multiple
     if pb == batch:
         return arrs, batch
+    if pad_values is None:
+        pad_values = [None] * len(arrs)
     out = []
-    for a in arrs:
-        pad = np.broadcast_to(a[:1], (pb - batch,) + a.shape[1:])
+    for a, pv in zip(arrs, pad_values):
+        if pv is None:
+            pad = np.broadcast_to(a[:1], (pb - batch,) + a.shape[1:])
+        else:
+            pad = np.full((pb - batch,) + a.shape[1:], pv, dtype=a.dtype)
         out.append(np.concatenate([a, pad], axis=0))
     return out, pb

@@ -11,8 +11,8 @@ tie-break) are merged with ``pmax`` collectives.
 Memory per device is O((m/P) + n) — this is the path to chr12-scale
 pairs that no single chip (nor the reference's 48 B/cell table,
 SURVEY §2.4-9) can hold. Score-only: for a full traceback at this
-scale use the linear-space Myers-Miller driver (models/hirschberg.py)
-on the same tile fill.
+scale use the checkpointed linear-space driver
+(``models/longalign.py::align_checkpointed``).
 """
 
 from __future__ import annotations

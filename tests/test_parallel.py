@@ -58,7 +58,9 @@ def test_sharded_matches_batch(is_local):
     rng = np.random.default_rng(7)
     B, L = 11, 64
     arrs = _random_batch(rng, B, L)
-    (s1eb, s2eb, ms, ns), pb = pad_batch(arrs, B, 8)
+    (s1eb, s2eb, ms, ns), pb = pad_batch(
+        arrs, B, 8, pad_values=[None, None, 0, 0]
+    )
     assert pb % 8 == 0
 
     ref = batch_scores(s1eb, s2eb, ms, ns, SCORES, is_local)
