@@ -55,6 +55,8 @@ from genomics_rs_tpu.ops.gotoh_scan import (
 
 #: sublane count of the flat diagonal layout.
 ROWS = 8
+#: direction codes packed per int32 word along the diagonal axis.
+PACK = 16
 
 
 def _round_up(x: int, m: int) -> int:
@@ -78,7 +80,9 @@ def _plan(Lm: int, Ln: int, emit_dirs: bool) -> _Shapes:
     budget = 12 * 1024 * 1024
     chunk = 256 if emit_dirs else 512
     if emit_dirs:
-        while chunk > 8 and state_bytes + 2 * chunk * V > budget:
+        # chunk must stay a multiple of PACK (16) for dirs packing;
+        # dirs blocks are chunk*V/4 bytes (packed).
+        while chunk > 16 and state_bytes + 2 * chunk * V // 4 > budget:
             chunk //= 2
     Kp = _round_up(K, chunk)
     s2len = _round_up(K + 1, 128)
@@ -145,6 +149,10 @@ def _kernel_tile(
         idx : idx + 10
     ]
     idx += 10
+    acc_ref = None
+    if emit_dirs:
+        acc_ref = refs[idx]
+        idx += 1
     # Factored carries (shift commutes with max; see _kernel_batch):
     # Ip=I, Dp=D, Sp=P=max(S,D), Ish=Q=max(I,S), Ssh=shift(M) cache.
     Qp, shM = Ish, Ssh
@@ -234,7 +242,18 @@ def _kernel_tile(
                         jnp.where(cm == Dnew, DIR_DEL, DIR_STOP),
                     ),
                 )
-                dirs_ref[t] = code.astype(jnp.uint8)
+                # Pack 16 codes per int32 along the diagonal axis:
+                # word k//16, bits 2*(k%16). Accumulate in scratch,
+                # flush per word (and at the final true diagonal so a
+                # partial last word still lands).
+                s = t % PACK
+                acc_ref[:] = jnp.where(s == 0, 0, acc_ref[:]) | (
+                    code << (2 * s)
+                )
+
+                @pl.when((s == PACK - 1) | (k == shapes.K - 1))
+                def _flush():
+                    dirs_ref[t // PACK] = acc_ref[:]
 
             ig = i0 + iv
             jg = j0 + j
@@ -278,14 +297,25 @@ def _kernel_tile(
 
 
 class TileFillResult(NamedTuple):
-    """dirs indexing contract matches FillResult (tile-local coords);
-    best is in global coordinates; bottom is (3, B+1) I/S/D of the
-    tile's last row (cols 0..B) or None."""
+    """best is in global coordinates; bottom is (3, B+1) I/S/D of the
+    tile's last row (cols 0..B) or None.
+
+    dirs is PACKED: int32 (Kp/PACK, V) words with the move code of
+    tile cell (li, j) at
+    ``(dirs[(li+j) // PACK, li] >> (2 * ((li+j) % PACK))) & 3``.
+    Use :func:`unpack_dirs` for the uint8 per-cell layout."""
 
     dirs: jax.Array | None
     score_at_mn: jax.Array
     best: tuple[jax.Array, jax.Array, jax.Array]
     bottom: jax.Array | None
+
+
+def unpack_dirs(packed: jax.Array, Kp: int) -> jax.Array:
+    """(Kp/PACK, V) packed words -> (Kp, V) uint8 per-cell codes."""
+    shifts = 2 * jnp.arange(PACK, dtype=jnp.int32)[None, :, None]
+    codes = (packed[:, None, :] >> shifts) & 3
+    return codes.reshape(Kp, packed.shape[1]).astype(jnp.uint8)
 
 
 @functools.partial(
@@ -361,11 +391,13 @@ def gotoh_tile_pallas(
     out_specs = []
     if emit_dirs:
         out_shapes.append(
-            jax.ShapeDtypeStruct((shapes.Kp, ROWS, C), jnp.uint8)
+            jax.ShapeDtypeStruct(
+                (shapes.Kp // PACK, ROWS, C), jnp.int32
+            )
         )
         out_specs.append(
             pl.BlockSpec(
-                (shapes.chunk, ROWS, C),
+                (shapes.chunk // PACK, ROWS, C),
                 lambda g, s: (g, 0, 0),
                 memory_space=pltpu.VMEM,
             )
@@ -388,6 +420,8 @@ def gotoh_tile_pallas(
         (rows, shapes.chunk), lambda g, s: (0, g), memory_space=pltpu.SMEM
     )
     scratch = [pltpu.VMEM((ROWS, C), jnp.int32)] * 10
+    if emit_dirs:
+        scratch.append(pltpu.VMEM((ROWS, C), jnp.int32))  # pack acc
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -423,7 +457,9 @@ def gotoh_tile_pallas(
 
     dirs = None
     if emit_dirs:
-        dirs = outs.pop(0).reshape(shapes.Kp, V)
+        # Packed words: code(k, lane) = (dirs[k // PACK, lane]
+        #                                >> (2 * (k % PACK))) & 3.
+        dirs = outs.pop(0).reshape(shapes.Kp // PACK, V)
     bottom = None
     if emit_bottom:
         # bot[k, c, 0] = matrix-c value of cell (R, k - R).
@@ -738,7 +774,15 @@ def gotoh_fill_pallas(
         emit_bottom=False,
         interpret=interpret,
     )
-    dirs = res.dirs if emit_dirs else jnp.zeros((0, 0), dtype=jnp.uint8)
+    if emit_dirs:
+        # Unpack on device to keep FillResult's per-cell uint8
+        # contract for the host traceback (budget-routed pairs keep
+        # this array small; huge pairs go through the checkpointed
+        # path which consumes the packed words directly).
+        shapes = _plan(Lm, Ln, emit_dirs=True)
+        dirs = unpack_dirs(res.dirs, shapes.Kp)
+    else:
+        dirs = jnp.zeros((0, 0), dtype=jnp.uint8)
     if is_local:
         v, bi, bj = res.best
         return FillResult(dirs=dirs, score=v, start_i=bi, start_j=bj)

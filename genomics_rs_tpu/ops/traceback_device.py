@@ -30,7 +30,10 @@ def walk_block(
     """Chase codes from tile-local (start_li, start_j) until the path
     terminates or leaves the block upward.
 
-    dirs: uint8 (Kp, V), code at tile cell (li, j) is dirs[li+j, li].
+    dirs: PACKED int32 (Kp/16, V) words (gotoh_pallas.TileFillResult):
+    the code at tile cell (li, j) is
+    ``(dirs[(li+j) // 16, li] >> (2 * ((li+j) % 16))) & 3`` — walking
+    the packed form directly keeps the refill bitmap 4x smaller.
     i0: global row of the tile's lane 0.
 
     Returns (moves uint8[max_steps], count, i_final, j_final, done):
@@ -46,7 +49,9 @@ def walk_block(
 
     def body(st):
         li, j, pos, done, exited, moves = st
-        code = dirs[li + j, li].astype(jnp.int32)
+        k = li + j
+        word = dirs[k // 16, li]
+        code = (word >> (2 * (k % 16))) & 3
         ig = i0 + li
 
         is_stop = code == DIR_STOP

@@ -134,12 +134,15 @@ def test_tile_pallas_dirs_match_full_fill():
             emit_bottom=True,
             interpret=True,
         )
-        bdirs = np.asarray(res.dirs)
+        bdirs = np.asarray(res.dirs)  # packed int32 words
+
+        def code_at(li, j):
+            k = li + j
+            return (bdirs[k // 16, li] >> (2 * (k % 16))) & 3
+
         # Interior cells of this block: rows i0+1..i0+R, cols 1..n.
         for i in range(i0 + 1, min(i0 + R, m) + 1):
             for j in range(1, n + 1):
                 li = i - i0
-                assert (
-                    bdirs[li + j, li] == fdirs[i + j, i]
-                ), (blk, i, j)
+                assert code_at(li, j) == fdirs[i + j, i], (blk, i, j)
         top = np.asarray(res.bottom)
