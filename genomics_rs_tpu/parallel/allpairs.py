@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import time
 
 import numpy as np
@@ -129,6 +130,81 @@ def allpairs_scores(
         elapsed_s=elapsed,
         cells=total_cells,
         cells_per_s=total_cells / elapsed,
+    )
+
+
+def allpairs_scores_resumable(
+    container: SequenceContainer,
+    scores: Scores,
+    checkpoint_path: str,
+    is_local: bool = False,
+    engine: str = "auto",
+    chunk_pairs: int = 64,
+) -> AllPairsResult:
+    """All-pairs scoring with crash-resumable per-chunk checkpoints.
+
+    The all-pairs job is embarrassingly restartable (SURVEY §5):
+    pair chunks are scored in order and appended to ``checkpoint_path``
+    (a JSONL of {"k0": chunk start, "scores": [...]}); on restart,
+    completed chunks are loaded instead of recomputed. The final
+    matrix is identical to :func:`allpairs_scores`.
+    """
+    import json
+
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "scan"
+
+    names = [s.name for s in container.sequences]
+    num = len(names)
+    enc1, enc2, lens = _encode_all(container, pad=128)
+    pairs = [(i, j) for j in range(num) for i in range(num) if i <= j]
+    matrix = np.zeros((num, num), dtype=np.int64)
+
+    done: dict[int, list[int]] = {}
+    if os.path.exists(checkpoint_path):
+        with open(checkpoint_path) as f:
+            for line in f:
+                rec = json.loads(line)
+                done[rec["k0"]] = rec["scores"]
+        log.info(
+            "[AllPairs/resume] %d/%d chunks already done",
+            len(done),
+            -(-len(pairs) // chunk_pairs),
+        )
+
+    t0 = time.perf_counter()
+    from genomics_rs_tpu.parallel.batch import score_pairs
+
+    with open(checkpoint_path, "a") as ckpt:
+        for k0 in range(0, len(pairs), chunk_pairs):
+            chunk = pairs[k0 : k0 + chunk_pairs]
+            if k0 in done:
+                sc = done[k0]
+            else:
+                s1b = np.stack([enc1[i] for i, _ in chunk])
+                s2b = np.stack([enc2[j] for _, j in chunk])
+                ms = np.array([lens[i] for i, _ in chunk], dtype=np.int32)
+                ns = np.array([lens[j] for _, j in chunk], dtype=np.int32)
+                out = score_pairs(
+                    s1b, s2b, ms, ns, scores, is_local, engine=engine
+                )
+                sc = [int(x) for x in np.asarray(out[0])]
+                ckpt.write(json.dumps({"k0": k0, "scores": sc}) + "\n")
+                ckpt.flush()
+            for (i, j), s in zip(chunk, sc):
+                matrix[j, i] = s
+    elapsed = time.perf_counter() - t0
+
+    total_cells = float(
+        sum((lens[i] + 1.0) * (lens[j] + 1.0) for i, j in pairs)
+    )
+    return AllPairsResult(
+        names=names,
+        lengths=[int(x) for x in lens],
+        matrix=matrix,
+        elapsed_s=elapsed,
+        cells=total_cells,
+        cells_per_s=total_cells / max(elapsed, 1e-9),
     )
 
 

@@ -29,3 +29,36 @@ def test_allpairs_matches_single(tmp_path):
 
     tsv = write_scores_tsv(result, str(tmp_path / "m.tsv"))
     assert tsv.splitlines()[0].split("\t")[1:6] == [str(k) for k in range(5)]
+
+
+def test_allpairs_resumable(tmp_path):
+    """Crash-resume: first run interrupted mid-way, second completes
+    from the checkpoint and matches the non-resumable result."""
+    from genomics_rs_tpu.parallel.allpairs import allpairs_scores_resumable
+
+    rng = np.random.default_rng(37)
+    seqs = [
+        Sequence(f"s{k}", "".join(rng.choice(list("ACGT"), 40)))
+        for k in range(6)
+    ]
+    container = SequenceContainer(sequences=seqs)
+    ckpt = str(tmp_path / "pairs.jsonl")
+
+    full = allpairs_scores(container, SCORES, engine="scan")
+
+    # Simulate a partial run: compute only the first chunk, then "crash".
+    r1 = allpairs_scores_resumable(
+        container, SCORES, ckpt, engine="scan", chunk_pairs=5
+    )
+    np.testing.assert_array_equal(r1.matrix, full.matrix)
+
+    # Truncate the checkpoint to one chunk and resume.
+    lines = open(ckpt).read().splitlines()
+    with open(ckpt, "w") as f:
+        f.write(lines[0] + "\n")
+    r2 = allpairs_scores_resumable(
+        container, SCORES, ckpt, engine="scan", chunk_pairs=5
+    )
+    np.testing.assert_array_equal(r2.matrix, full.matrix)
+    # Checkpoint now contains every chunk again.
+    assert len(open(ckpt).read().splitlines()) == -(-21 // 5)
