@@ -59,6 +59,17 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--suffix-links", action="store_true")
     c.add_argument("--threads", type=int, default=1)
 
+    rd = sub.add_parser(
+        "reads",
+        help="batch-score read pairs: query[i] vs ref[i] from two FASTA "
+        "files (TPU extension: row-scan inter-sequence kernel)",
+    )
+    rd.add_argument("-q", "--queries", required=True)
+    rd.add_argument("-r", "--refs", required=True)
+    rd.add_argument("-a", "--alignment-type", default="local")
+    rd.add_argument("--engine", default="auto", choices=["auto", "shortread", "pallas", "scan"])
+    rd.add_argument("-o", "--output", default="read_scores.tsv")
+
     am = sub.add_parser(
         "align-matrix",
         help="all-pairs DP alignment-score matrix over a FASTA dir "
@@ -171,6 +182,54 @@ def main(argv: list[str] | None = None) -> int:
                 + "\t".join(str(int(result.matrix[j, i, 3])) for i in range(num))
                 + "\t"
             )
+        return 0
+
+    if args.mode == "reads":
+        log.info("MODE: Reads (batch pair scoring)")
+        import numpy as np
+
+        from genomics_rs_tpu.parallel.batch import score_pairs
+        from genomics_rs_tpu.sequence import PAD_S1, PAD_S2
+
+        queries = SequenceContainer().from_fasta(args.queries).sequences
+        refs = SequenceContainer().from_fasta(args.refs).sequences
+        if len(queries) != len(refs):
+            log.error(
+                "query/ref count mismatch: %d vs %d", len(queries), len(refs)
+            )
+            return 1
+        is_local = args.alignment_type in ("local", "1")
+        B = len(queries)
+        L1 = max(max(len(s) for s in queries), 1)
+        L2 = max(max(len(s) for s in refs), 1)
+        L1 = -(-L1 // 128) * 128
+        L2 = -(-L2 // 128) * 128
+        s1b = np.stack([s.encoded(pad_to=L1, pad_value=PAD_S1) for s in queries])
+        s2b = np.stack([s.encoded(pad_to=L2, pad_value=PAD_S2) for s in refs])
+        ms = np.array([len(s) for s in queries], dtype=np.int32)
+        ns = np.array([len(s) for s in refs], dtype=np.int32)
+
+        import time
+
+        t0 = time.perf_counter()
+        sc, si, sj = score_pairs(
+            s1b, s2b, ms, ns, config.scores, is_local, engine=args.engine
+        )
+        sc, si, sj = (np.asarray(x) for x in (sc, si, sj))
+        dt = time.perf_counter() - t0
+        cells = float(np.sum((ms + 1.0) * (ns + 1.0)))
+        print(
+            f"{B} pairs, {cells:.3g} DP cells in {dt:.3f}s "
+            f"({cells / dt:.3g} cells/s)"
+        )
+        with open(args.output, "w") as f:
+            f.write("query\tref\tscore\tend_i\tend_j\n")
+            for k in range(B):
+                f.write(
+                    f"{queries[k].name}\t{refs[k].name}\t{int(sc[k])}\t"
+                    f"{int(si[k])}\t{int(sj[k])}\n"
+                )
+        print(f"wrote {args.output}")
         return 0
 
     if args.mode == "align-matrix":

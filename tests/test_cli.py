@@ -131,3 +131,31 @@ def test_cli_missing_config(tmp_path, small_pair):
     # Reference exits 1 on unreadable config (config.rs:27).
     assert r.returncode == 1
     assert "Could not read config file" in r.stderr
+
+
+def test_cli_reads(tmp_path):
+    q = tmp_path / "q.fasta"
+    r = tmp_path / "r.fasta"
+    q.write_text(">q1\nACGTACGT\n>q2\nTTTTGGGG\n")
+    r.write_text(">r1\nACGTACGT\n>r2\nAAAACCCC\n")
+    out = tmp_path / "scores.tsv"
+    res = _run(
+        [
+            "reads",
+            "-q",
+            str(q),
+            "-r",
+            str(r),
+            "-a",
+            "global",
+            "--engine",
+            "scan",
+            "-o",
+            str(out),
+        ],
+        str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr
+    rows = out.read_text().strip().splitlines()
+    assert rows[0].startswith("query\tref\tscore")
+    assert rows[1].split("\t")[2] == "8"  # identical 8-mers
