@@ -22,6 +22,7 @@ path, tie-breaks and stats — are bit-identical to a monolithic fill
 
 from __future__ import annotations
 
+import functools
 import logging
 import time
 
@@ -56,49 +57,78 @@ def _forward_blocks(
 ):
     """Shared forward pass over full-width row blocks.
 
-    Boundary rows stay on device (each block's bottom feeds the next
-    tile call directly, no host sync inside the pipeline); scalar
-    stats are pulled once at the end. Returns
-    (tops | None, best (v, i, j), at_mn).
+    The whole pass is ONE jitted ``lax.scan`` over blocks (the tile
+    kernel is a primitive inside the scan body), so a pair costs a
+    single dispatch regardless of block count — dispatch latency
+    through remote tunnels would otherwise dominate the pipeline.
+    Returns (tops (NB, 3, n+1) | None, best (v, i, j), at_mn).
     """
-    Ln = s2e.shape[0]
-    tops = [] if keep_tops else None
-    top = global_boundary_top(0, Ln, scores)
-    bests = []
-    at_mns = []
-    for b in range(NB):
-        i0 = b * R
-        left = global_boundary_left(i0, R, scores)
-        res = gotoh_tile_pallas(
-            s1e[i0 : i0 + R],
-            s2e,
-            top,
-            left,
-            np.int32(m),
-            np.int32(n),
-            np.int32(i0),
-            np.int32(0),
-            scores,
-            is_local,
-            emit_dirs=False,
-            emit_bottom=True,
-            interpret=interpret,
-        )
-        if keep_tops:
-            tops.append(top)
-        bests.append(res.best)
-        at_mns.append(res.score_at_mn)
-        top = res.bottom
+    import jax
+    import jax.numpy as jnp
 
-    best = (INT_MIN, 0, 0)
-    at_mn = INT_MIN
-    for cand_dev, amn in zip(bests, at_mns):
-        at_mn = max(at_mn, int(amn))
-        if is_local:
-            cand = tuple(int(x) for x in cand_dev)
-            if cand >= best:
-                best = cand
-    return tops, best, at_mn
+    Ln = s2e.shape[0]
+
+    @functools.partial(
+        jax.jit, static_argnames=("keep", "loc", "interp")
+    )
+    def fwd(s1e, s2e, m, n, keep, loc, interp):
+        s1_blocks = s1e.reshape(NB, R)
+
+        def body(top, xs):
+            s1_blk, b = xs
+            i0 = b * R
+            left = global_boundary_left(i0, R, scores)
+            res = gotoh_tile_pallas(
+                s1_blk,
+                s2e,
+                top,
+                left,
+                m,
+                n,
+                i0,
+                jnp.int32(0),
+                scores,
+                loc,
+                emit_dirs=False,
+                emit_bottom=True,
+                interpret=interp,
+            )
+            ys = (
+                top if keep else jnp.int32(0),
+                jnp.stack(res.best),
+                res.score_at_mn,
+            )
+            return res.bottom, ys
+
+        top0 = global_boundary_top(0, Ln, scores)
+        _, (tops, bests, at_mns) = jax.lax.scan(
+            body,
+            top0,
+            (s1_blocks, jnp.arange(NB, dtype=jnp.int32)),
+        )
+        # Merge with the reference tie-break (blocks ordered by i).
+        at_mn = jnp.max(at_mns)
+        v, bi, bj = bests[:, 0], bests[:, 1], bests[:, 2]
+        vmax = jnp.max(v)
+        i_best = jnp.max(jnp.where(v == vmax, bi, -1))
+        j_best = jnp.max(
+            jnp.where((v == vmax) & (bi == i_best), bj, -1)
+        )
+        return tops, (vmax, i_best, j_best), at_mn
+
+    tops, best_dev, at_mn_dev = fwd(
+        s1e,
+        s2e,
+        np.int32(m),
+        np.int32(n),
+        keep=keep_tops,
+        loc=is_local,
+        interp=interpret,
+    )
+    best = (
+        tuple(int(x) for x in best_dev) if is_local else (INT_MIN, 0, 0)
+    )
+    return (tops if keep_tops else None), best, int(at_mn_dev)
 
 
 def score_long(
