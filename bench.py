@@ -62,15 +62,21 @@ def _load_corpus():
 
 
 def _cpu_baseline(enc1, enc2, lens) -> float:
-    """Measured reference-equivalent CPU throughput (cells/s)."""
+    """Measured reference-equivalent CPU throughput (cells/s).
+
+    Median of 3 runs — the shared host fluctuates and a single noisy
+    sample would distort vs_baseline."""
     try:
         from genomics_rs_tpu.suffixtree.native import gotoh_score_cpu
 
         a = bytes(enc1[0][: lens[0]])
         b = bytes(enc2[1][: lens[1]])
-        t0 = time.perf_counter()
-        gotoh_score_cpu(a, b, 1, -2, -1, -5, False)
-        dt = time.perf_counter() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            gotoh_score_cpu(a, b, 1, -2, -1, -5, False)
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times))
         return (len(a) + 1) * (len(b) + 1) / dt
     except Exception:
         # Conservative (high) estimate => understates our speedup.
