@@ -134,8 +134,15 @@ def main(argv: list[str] | None = None) -> int:
         seq = container.sequences[0].sequence
 
         from genomics_rs_tpu.suffixtree import make_tree
+        from genomics_rs_tpu.suffixtree.tree import SuffixTree
 
-        tree = make_tree(args.alphabet_file, len(seq))
+        if len(seq) < 64:
+            # Small trees use the Python implementation so the full
+            # Display (Graphviz DOT for <100 nodes, main.rs:211 /
+            # display.rs:43-48) is available.
+            tree = SuffixTree(args.alphabet_file, len(seq))
+        else:
+            tree = make_tree(args.alphabet_file, len(seq))
         tree.insert_string(seq, args.suffix_links, True)
 
         if args.stats:
@@ -148,9 +155,17 @@ def main(argv: list[str] | None = None) -> int:
                 for ch in tree.stats.bwt:
                     f.write(ch + "\n")
 
-            from genomics_rs_tpu.display.tree import format_tree_stats
+            from genomics_rs_tpu.display.tree import (
+                format_tree,
+                format_tree_stats,
+            )
 
-            print(format_tree_stats(tree.stats))
+            if isinstance(tree, SuffixTree):
+                # Full Display: Graphviz for <100 nodes + stats
+                # (reference main.rs:211).
+                print(format_tree(tree))
+            else:
+                print(format_tree_stats(tree.stats))
         return 0
 
     if args.mode == "compare":

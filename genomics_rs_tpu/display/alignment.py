@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+from genomics_rs_tpu.display._fmt import rust_f64
+
 import numpy as np
 
 from genomics_rs_tpu.config import Scores
@@ -89,7 +91,7 @@ def format_aligned_sequences(a: AlignedSequences) -> str:
         f"Gap Extensions: {a.gap_extensions}/{align_idx} ({pct(a.gap_extensions):.2f}%)"
     )
     out.append(f"Opening Gaps: {a.opening_gaps}/{align_idx} ({pct(a.opening_gaps):.2f}%)")
-    out.append(f"Percent Identity {pct(a.matches):g}%")
+    out.append(f"Percent Identity {rust_f64(pct(a.matches))}%")
     return "\n".join(out)
 
 

@@ -10,6 +10,8 @@
 
 from __future__ import annotations
 
+from genomics_rs_tpu.display._fmt import rust_f64
+
 from genomics_rs_tpu.suffixtree.tree import SuffixTree, TreeStats
 
 _EDGE_COLORS = ["blue", "green", "orange", "purple", "pink", "brown", "cyan", "magenta"]
@@ -26,7 +28,7 @@ def format_tree_stats(stats: TreeStats) -> str:
         f"            Internal nodes: {stats.num_internal}\n"
         f"            Leaves: {stats.num_leaves}\n"
         f"            Nodes: {stats.num_nodes}\n"
-        f"            Average string depth: {stats.average_string_depth:g}\n"
+        f"            Average string depth: {rust_f64(stats.average_string_depth)}\n"
         f"            Max string depth: {stats.max_string_depth}\n"
         f"            Longest repeat start: {stats.longest_repeat_start}\n"
         f"            Longest repeat length: {stats.longest_repeat_len}\n"

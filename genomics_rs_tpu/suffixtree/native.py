@@ -41,16 +41,20 @@ def _load_library() -> ctypes.CDLL | None:
         if os.environ.get("GENOMICS_TPU_NO_NATIVE"):
             _lib_failed = True
             return None
-        if not os.path.exists(_LIB_PATH):
-            try:
-                subprocess.run(
-                    ["make", "-C", os.path.join(_REPO_ROOT, "native")],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            except Exception as e:  # noqa: BLE001 — any failure => fallback
-                log.warning("native build failed (%s); using Python tree", e)
+        # Always invoke make: it is a no-op when the .so is fresh, and
+        # rebuilds when the C++ sources changed (a stale binary would
+        # silently pass golden tests against dead code). The library
+        # is never committed (-march=native output is host-specific).
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.join(_REPO_ROOT, "native")],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception as e:  # noqa: BLE001 — any failure => fallback
+            log.warning("native build failed (%s); using Python tree", e)
+            if not os.path.exists(_LIB_PATH):
                 _lib_failed = True
                 return None
         try:
@@ -135,6 +139,11 @@ class NativeSuffixTree:
         string_idx = len(self.strings)
         if string_idx >= len(STRING_TERMINATORS):
             raise ValueError("Suffix tree supports at most 32 strings")
+        bad = set(new_string) & set(STRING_TERMINATORS)
+        if bad:
+            raise ValueError(
+                f"sequence contains terminator characters {sorted(bad)!r}"
+            )
         full = new_string + STRING_TERMINATORS[string_idx]
         self.strings.append(full)
         rc = self._lib.st_insert(

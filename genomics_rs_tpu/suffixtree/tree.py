@@ -159,6 +159,15 @@ class SuffixTree:
         string_idx = len(self.strings)
         if string_idx >= len(STRING_TERMINATORS):
             raise ValueError("Suffix tree supports at most 32 strings")
+        # Terminator characters inside the payload break suffix
+        # uniqueness (the reference panics unpredictably on such
+        # input); reject them up-front so both implementations fail
+        # identically (documented deviation).
+        bad = set(new_string) & set(STRING_TERMINATORS)
+        if bad:
+            raise ValueError(
+                f"sequence contains terminator characters {sorted(bad)!r}"
+            )
         self.strings.append(new_string + STRING_TERMINATORS[string_idx])
 
         t0 = time.perf_counter()
@@ -438,12 +447,16 @@ class SuffixTree:
     def is_leaf(self, node: _Node) -> bool:
         return node.id in self.string_leaf_ranges[node.source_string]
 
-    def offset_leaf(self, leaf_idx: int, string_idx: int) -> int | None:
-        """Leaf id -> 0-based suffix start offset (tree.rs:196-201)."""
+    def offset_leaf(self, leaf_idx: int, string_idx: int) -> int:
+        """Leaf id -> 0-based suffix start offset (tree.rs:196-201).
+
+        Below-range ids clamp to 0 (the reference unwrap-panics there,
+        tree.rs:272; the C++ core clamps identically — documented
+        deviation for a latent case)."""
         if string_idx == 0:
             return leaf_idx - 1
         start = self.string_leaf_ranges[string_idx].start
-        return leaf_idx - start if leaf_idx >= start else None
+        return leaf_idx - start if leaf_idx >= start else 0
 
     def get_lcs(self, string_one_idx: int, string_two_idx: int) -> tuple[int, int, int]:
         """Longest common substring of two inserted strings
@@ -488,9 +501,11 @@ class SuffixTree:
         """Tree stats + BWT via one lexicographic DFS (tree.rs:740-803).
 
         Only string 0 yields a meaningful BWT/leaf count (the leaf id
-        test matches string 0's id layout — SURVEY §2.4-15), mirroring
-        the reference.
+        test matches string 0's id layout — SURVEY §2.4-15); both
+        implementations reject other indices so the API is identical.
         """
+        if string_idx != 0:
+            raise ValueError("compute_stats supports string 0 only")
         s = self.strings[string_idx]
         bwt = [" "] * len(s)
         state = {

@@ -84,13 +84,18 @@ def spinner(message: str, done: str):
     if tty:
         t = threading.Thread(target=spin, daemon=True)
         t.start()
+    ok = False
     try:
         yield
+        ok = True
     finally:
         if t is not None:
             stop.set()
             t.join(timeout=1)
-            sys.stderr.write(f"\r\x1b[K✓ {done}\n")
+            if ok:
+                sys.stderr.write(f"\r\x1b[K✓ {done}\n")
+            else:
+                sys.stderr.write(f"\r\x1b[K✗ {message}\n")
             sys.stderr.flush()
 
 
