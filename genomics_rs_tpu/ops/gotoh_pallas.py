@@ -482,6 +482,278 @@ def gotoh_tile_pallas(
     )
 
 
+def _kernel_tile_batch(
+    scalars,  # SMEM int32 (B, 8): m, n, sm, sx, g, h, i0, pad per pair
+    s1m_ref,  # VMEM int32 (1, 8, C) block: this pair's block rows
+    s2i_ref,  # SMEM int32 (1, 1, chunk): this pair's s2inj chunk
+    top_ref,  # SMEM int32 (1, 3, chunk): this pair's top-row stream
+    bot_ref,  # out (1, chunk, 3, 128): bottom-row capture
+    fin_ref,  # out (1, 8, C)
+    Ip, Sp, Dp, Qp_r, shM_r, s2j_ref, fin_s,
+    *,
+    shapes: _Shapes,
+    B_cols: int,
+    R_rows: int,
+    is_local: bool,
+):
+    """Batched full-width row-block fill: grid (pairs, diag-chunks).
+
+    The rhomboid counterpart of ``_kernel_batch``: every pair's table
+    is cut into R-row blocks driven from the host by a ``lax.scan``
+    (ops/… ``gotoh_scores_blocked``), so the wavefront vector is only
+    R+1 lanes instead of m+1 — the diagonal-ramp waste drops from
+    ~2x to ~(V/(R+1)) * ((R+n)/n). Score-only (global (m, n) probe and
+    local running max folded into fin via the local clamp semantics...
+    local mode is handled by the caller keeping per-block bests);
+    boundaries: top row streamed per pair, left column = global col-0
+    formula (full-width blocks), bottom row captured to HBM.
+    """
+    C = shapes.C
+    b_id = pl.program_id(0)
+    g_id = pl.program_id(1)
+    Qp, shM = Qp_r, shM_r
+
+    m = scalars[b_id, 0]
+    n = scalars[b_id, 1]
+    sm = scalars[b_id, 2]
+    sx = scalars[b_id, 3]
+    gg = scalars[b_id, 4]
+    hh = scalars[b_id, 5]
+    i0 = scalars[b_id, 6]
+    hg = hh + gg
+
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 0)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 1)
+    iv = row_idx * C + col_idx
+    neg = jnp.int32(NEG_INF)
+    int_min = jnp.int32(INT_MIN)
+
+    @pl.when(g_id == 0)
+    def _init():
+        full_neg = jnp.full((ROWS, C), neg, dtype=jnp.int32)
+        Ip[:] = full_neg
+        Sp[:] = full_neg
+        Dp[:] = full_neg
+        Qp[:] = full_neg
+        shM[:] = full_neg
+        s2j_ref[:] = jnp.full((ROWS, C), 0xFF, dtype=jnp.int32)
+        fin_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+
+    zero_lane = jnp.int32(0) if is_local else neg
+
+    def body(t, _):
+        k = g_id * shapes.chunk + t
+
+        @pl.when(k < shapes.K)
+        def _step():
+            inj = s2i_ref[0, 0, t]
+            s2j = _shift_down_flat(s2j_ref[:], inj, row_idx, col_idx, C)
+            s2j_ref[:] = s2j
+
+            shQ = _shift_down_flat(Qp[:], neg, row_idx, col_idx, C)
+            shD = _shift_down_flat(Dp[:], neg, row_idx, col_idx, C)
+
+            j = k - iv
+            Inew = jnp.maximum(
+                jnp.maximum(Ip[:] + gg, Sp[:] + hg), zero_lane
+            )
+            Dnew = jnp.maximum(
+                jnp.maximum(shQ + hg, shD + gg), zero_lane
+            )
+            sub = jnp.where(s1m_ref[0] == s2j, sm, sx)
+            Snew = sub + jnp.maximum(shM[:], zero_lane)
+
+            # Boundaries: top row streamed; left col = global col-0
+            # (D = h + (i0+i)*g); lanes beyond R or j<0 invalid.
+            Inew = jnp.where(iv == 0, top_ref[0, 0, t], Inew)
+            Snew = jnp.where(iv == 0, top_ref[0, 1, t], Snew)
+            Dnew = jnp.where(iv == 0, top_ref[0, 2, t], Dnew)
+            is_left = (j == 0) & (iv > 0)
+            Inew = jnp.where(is_left, neg, Inew)
+            Snew = jnp.where(is_left, neg, Snew)
+            Dnew = jnp.where(is_left, hh + (i0 + iv) * gg, Dnew)
+            invalid = (j < 0) | (j > B_cols) | (iv > R_rows)
+            Inew = jnp.where(invalid, neg, Inew)
+            Snew = jnp.where(invalid, neg, Snew)
+            Dnew = jnp.where(invalid, neg, Dnew)
+
+            Qnew = jnp.maximum(Inew, Snew)
+            cm = jnp.maximum(Qnew, Dnew)
+            if is_local:
+                cm = jnp.maximum(cm, 0)
+                ig = i0 + iv
+                in_true = (~invalid) & (ig <= m) & (j <= n)
+                # Per-block running max only (start cell comes from a
+                # dirs-emitting refill when a traceback is requested).
+                fin_s[:] = jnp.maximum(
+                    fin_s[:], jnp.where(in_true, cm, int_min)
+                )
+            else:
+                fin_s[:] = jnp.where(
+                    (~invalid) & (i0 + iv == m) & (j == n), cm, fin_s[:]
+                )
+
+            lane_r, lane_c = divmod(R_rows, C)
+            vals = jnp.stack(
+                [
+                    Inew[lane_r, lane_c],
+                    Snew[lane_r, lane_c],
+                    Dnew[lane_r, lane_c],
+                ]
+            )
+            bot_ref[0, t] = jnp.broadcast_to(vals[:, None], (3, 128))
+
+            shM[:] = jnp.maximum(shQ, shD)
+            Ip[:] = Inew
+            Sp[:] = jnp.maximum(Snew, Dnew)
+            Dp[:] = Dnew
+            Qp[:] = Qnew
+
+        return 0
+
+    jax.lax.fori_loop(0, shapes.chunk, body, 0)
+
+    @pl.when(g_id == pl.num_programs(1) - 1)
+    def _finalize():
+        fin_ref[0] = fin_s[:]
+
+
+@functools.partial(jax.jit, static_argnames=("is_local", "interpret", "R"))
+def gotoh_scores_blocked(
+    s1eb: jax.Array,
+    s2eb: jax.Array,
+    ms: jax.Array,
+    ns: jax.Array,
+    scores: Scores,
+    is_local: bool,
+    R: int = 4096,
+    interpret: bool = False,
+):
+    """Batch scores via row-block pipelining (low diagonal-ramp waste).
+
+    One jitted ``lax.scan`` over row blocks; each block is a single
+    batched tile dispatch with bottom rows carried between iterations.
+    Returns (score, start_i, start_j) of shape (B,) — start is
+    (m, n) for global; local returns the max value with (m, n)
+    placeholders (use the checkpointed path for local start cells).
+    """
+    B, Lm = s1eb.shape
+    _, Ln = s2eb.shape
+    R = min(R, Lm)
+    NB = -(-Lm // R)
+    Lmp = NB * R
+    if Lmp != Lm:
+        padm = jnp.full((B, Lmp - Lm), 0xFE, dtype=s1eb.dtype)
+        s1eb = jnp.concatenate([s1eb.astype(jnp.uint8), padm], axis=1)
+    shapes = _plan(R, Ln, emit_dirs=False)
+    V, C = shapes.V, shapes.C
+
+    ms = jnp.asarray(ms, jnp.int32)
+    ns = jnp.asarray(ns, jnp.int32)
+
+    # Per-pair, per-block s1m panes: (NB, B, 8, C).
+    s1m = jnp.full((B, NB, V), 0xFD, dtype=jnp.int32)
+    blocks = s1eb.astype(jnp.int32).reshape(B, NB, R)
+    s1m = jax.lax.dynamic_update_slice(
+        s1m, blocks, (jnp.int32(0), jnp.int32(0), jnp.int32(1))
+    )
+    s1m = jnp.transpose(s1m, (1, 0, 2)).reshape(NB, B, ROWS, C)
+
+    ks = jnp.arange(shapes.Kp, dtype=jnp.int32)
+    idx = jnp.clip(ks - 1, 0, Ln - 1)
+    s2inj = jnp.take_along_axis(
+        s2eb.astype(jnp.int32), jnp.broadcast_to(idx, (B, shapes.Kp)), axis=1
+    )
+    s2inj = jnp.where(ks - 1 >= Ln, 0xFF, s2inj)[:, None, :]
+
+    from genomics_rs_tpu.ops.gotoh_tile import global_boundary_top
+
+    neg = jnp.int32(NEG_INF)
+    top0 = jnp.broadcast_to(
+        global_boundary_top(0, Ln, scores)[None], (B, 3, Ln + 1)
+    )
+
+    pair_out = pl.BlockSpec(
+        (1, ROWS, C), lambda b, g, s: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, shapes.Kp // shapes.chunk),
+        in_specs=[
+            pl.BlockSpec(
+                (1, ROWS, C),
+                lambda b, g, s: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, shapes.chunk),
+                lambda b, g, s: (b, 0, g),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 3, shapes.chunk),
+                lambda b, g, s: (b, 0, g),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, shapes.chunk, 3, 128),
+                lambda b, g, s: (b, g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pair_out,
+        ),
+        scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)] * 7,
+    )
+    kernel = functools.partial(
+        _kernel_tile_batch,
+        shapes=shapes,
+        B_cols=Ln,
+        R_rows=R,
+        is_local=is_local,
+    )
+
+    def block_step(top, xs):
+        s1m_blk, b_idx = xs
+        i0 = b_idx * R
+        # Stream layout: top[k] consumed at step k (cols 0..Ln).
+        top_stream = jnp.full((B, 3, shapes.Kp), neg, dtype=jnp.int32)
+        top_stream = jax.lax.dynamic_update_slice(
+            top_stream, top, (jnp.int32(0),) * 3
+        )
+        scalars = jnp.stack(
+            [
+                ms,
+                ns,
+                jnp.full((B,), scores.s_match, jnp.int32),
+                jnp.full((B,), scores.s_mismatch, jnp.int32),
+                jnp.full((B,), scores.g, jnp.int32),
+                jnp.full((B,), scores.h, jnp.int32),
+                jnp.full((B,), 1, jnp.int32) * i0,
+                jnp.zeros((B,), jnp.int32),
+            ],
+            axis=1,
+        )
+        bot, fin = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((B, shapes.Kp, 3, 128), jnp.int32),
+                jax.ShapeDtypeStruct((B, ROWS, C), jnp.int32),
+            ),
+            interpret=interpret,
+        )(scalars, s1m_blk, s2inj, top_stream)
+        new_top = jnp.transpose(bot[:, R : R + Ln + 1, :, 0], (0, 2, 1))
+        return new_top, jnp.max(fin.reshape(B, V), axis=1)
+
+    _, fins = jax.lax.scan(
+        block_step, top0, (s1m, jnp.arange(NB, dtype=jnp.int32))
+    )
+    score = jnp.max(fins, axis=0)
+    return score, ms, ns
+
+
 def _kernel_batch(
     scalars,  # SMEM int32 (B, 8): per-pair m, n, sm, sx, g, h, pad, pad
     s1m_ref,  # VMEM int32 (1, 8, C) block: this pair's s1m

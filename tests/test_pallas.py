@@ -154,3 +154,29 @@ def test_pallas_batch_scores(is_local):
         assert int(sc[i]) == int(ref.score), i
         assert int(si[i]) == int(ref.start_i), i
         assert int(sj[i]) == int(ref.start_j), i
+
+
+@pytest.mark.parametrize("is_local", [False, True])
+def test_blocked_batch_scores(is_local):
+    """Row-block pipelined batch kernel vs the scan oracle."""
+    from genomics_rs_tpu.ops.gotoh_pallas import gotoh_scores_blocked
+
+    rng = np.random.default_rng(77)
+    B, Lm, Ln = 4, 300, 200
+    ms = rng.integers(10, Lm + 1, B).astype(np.int32)
+    ns = rng.integers(10, Ln + 1, B).astype(np.int32)
+    s1b = np.full((B, Lm), PAD_S1, dtype=np.uint8)
+    s2b = np.full((B, Ln), PAD_S2, dtype=np.uint8)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for i in range(B):
+        s1b[i, : ms[i]] = bases[rng.integers(0, 4, ms[i])]
+        s2b[i, : ns[i]] = bases[rng.integers(0, 4, ns[i])]
+
+    sc, _, _ = gotoh_scores_blocked(
+        s1b, s2b, ms, ns, SCORES, is_local, R=64, interpret=True
+    )
+    for i in range(B):
+        ref = gotoh_fill_scan(
+            s1b[i], s2b[i], ms[i], ns[i], SCORES, is_local
+        )
+        assert int(sc[i]) == int(ref.score), i
