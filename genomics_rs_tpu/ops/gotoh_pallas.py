@@ -629,10 +629,20 @@ def gotoh_scores_blocked(
     R: int = 4096,
     interpret: bool = False,
 ):
-    """Batch scores via row-block pipelining (low diagonal-ramp waste).
+    """Batch scores via row-block pipelining.
 
     One jitted ``lax.scan`` over row blocks; each block is a single
     batched tile dispatch with bottom rows carried between iterations.
+
+    Niche: BATCHES OF LONG PAIRS — the flat batched kernel needs
+    ~11*(m+1)*4 bytes of VMEM state per pair (m <= ~250k); this one
+    needs only O(R), so a batch of chromosome-scale pairs still runs.
+    For pairs that fit the flat kernel, prefer
+    ``gotoh_scores_pallas_batch``: measured on 30 kb pairs the flat
+    kernel is ~2.4x faster — its larger per-step vectors amortize the
+    fixed per-step cost better than the smaller ramp waste here saves
+    (4.5x more, cheaper steps lose).
+
     Returns (score, start_i, start_j) of shape (B,) — start is
     (m, n) for global; local returns the max value with (m, n)
     placeholders (use the checkpointed path for local start cells).
