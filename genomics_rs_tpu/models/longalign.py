@@ -28,6 +28,9 @@ import time
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 from genomics_rs_tpu.config import Scores
 from genomics_rs_tpu.ops.gotoh_pallas import gotoh_tile_pallas
 from genomics_rs_tpu.ops.gotoh_scan import INT_MIN
@@ -63,64 +66,14 @@ def _forward_blocks(
     through remote tunnels would otherwise dominate the pipeline.
     Returns (tops (NB, 3, n+1) | None, best (v, i, j), at_mn).
     """
-    import jax
-    import jax.numpy as jnp
-
-    Ln = s2e.shape[0]
-
-    @functools.partial(
-        jax.jit, static_argnames=("keep", "loc", "interp")
-    )
-    def fwd(s1e, s2e, m, n, keep, loc, interp):
-        s1_blocks = s1e.reshape(NB, R)
-
-        def body(top, xs):
-            s1_blk, b = xs
-            i0 = b * R
-            left = global_boundary_left(i0, R, scores)
-            res = gotoh_tile_pallas(
-                s1_blk,
-                s2e,
-                top,
-                left,
-                m,
-                n,
-                i0,
-                jnp.int32(0),
-                scores,
-                loc,
-                emit_dirs=False,
-                emit_bottom=True,
-                interpret=interp,
-            )
-            ys = (
-                top if keep else jnp.int32(0),
-                jnp.stack(res.best),
-                res.score_at_mn,
-            )
-            return res.bottom, ys
-
-        top0 = global_boundary_top(0, Ln, scores)
-        _, (tops, bests, at_mns) = jax.lax.scan(
-            body,
-            top0,
-            (s1_blocks, jnp.arange(NB, dtype=jnp.int32)),
-        )
-        # Merge with the reference tie-break (blocks ordered by i).
-        at_mn = jnp.max(at_mns)
-        v, bi, bj = bests[:, 0], bests[:, 1], bests[:, 2]
-        vmax = jnp.max(v)
-        i_best = jnp.max(jnp.where(v == vmax, bi, -1))
-        j_best = jnp.max(
-            jnp.where((v == vmax) & (bi == i_best), bj, -1)
-        )
-        return tops, (vmax, i_best, j_best), at_mn
-
-    tops, best_dev, at_mn_dev = fwd(
+    tops, best_dev, at_mn_dev = _fwd_jit(
         s1e,
         s2e,
         np.int32(m),
         np.int32(n),
+        scores,
+        NB=NB,
+        R=R,
         keep=keep_tops,
         loc=is_local,
         interp=interpret,
@@ -129,6 +82,57 @@ def _forward_blocks(
         tuple(int(x) for x in best_dev) if is_local else (INT_MIN, 0, 0)
     )
     return (tops if keep_tops else None), best, int(at_mn_dev)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("NB", "R", "keep", "loc", "interp")
+)
+def _fwd_jit(s1e, s2e, m, n, scores, NB, R, keep, loc, interp):
+    """Module-level jit so the scan+kernel program compiles once per
+    shape bucket, not per call (the closure version re-keyed the jit
+    cache on function identity every invocation)."""
+    Ln = s2e.shape[0]
+    s1_blocks = s1e.reshape(NB, R)
+
+    def body(top, xs):
+        s1_blk, b = xs
+        i0 = b * R
+        left = global_boundary_left(i0, R, scores)
+        res = gotoh_tile_pallas(
+            s1_blk,
+            s2e,
+            top,
+            left,
+            m,
+            n,
+            i0,
+            jnp.int32(0),
+            scores,
+            loc,
+            emit_dirs=False,
+            emit_bottom=True,
+            interpret=interp,
+        )
+        ys = (
+            top if keep else jnp.int32(0),
+            jnp.stack(res.best),
+            res.score_at_mn,
+        )
+        return res.bottom, ys
+
+    top0 = global_boundary_top(0, Ln, scores)
+    _, (tops, bests, at_mns) = jax.lax.scan(
+        body,
+        top0,
+        (s1_blocks, jnp.arange(NB, dtype=jnp.int32)),
+    )
+    # Merge with the reference tie-break (blocks ordered by i).
+    at_mn = jnp.max(at_mns)
+    v, bi, bj = bests[:, 0], bests[:, 1], bests[:, 2]
+    vmax = jnp.max(v)
+    i_best = jnp.max(jnp.where(v == vmax, bi, -1))
+    j_best = jnp.max(jnp.where((v == vmax) & (bi == i_best), bj, -1))
+    return tops, (vmax, i_best, j_best), at_mn
 
 
 def score_long(

@@ -58,12 +58,26 @@ def _suffix_array_fixed(s: jax.Array, rounds: int) -> jax.Array:
 
 
 def suffix_array(text: str | bytes) -> np.ndarray:
-    """Suffix array of ``text + '$'`` (terminator included)."""
+    """Suffix array of ``text + '$'`` (terminator included).
+
+    The input is padded to the next power of two with 0xFF: every real
+    suffix is decided at or before the unique '$' (so pad bytes are
+    never consulted between real suffixes), and pad-region suffixes
+    start with 0xFF > any real byte, so they sort strictly last and
+    the first len+1 entries are exactly the unpadded SA. One compile
+    per power-of-two bucket instead of one per distinct length.
+    """
     if isinstance(text, str):
         text = text.encode("latin-1")
     s = np.frombuffer(text + b"$", dtype=np.uint8)
-    rounds = max(1, math.ceil(math.log2(len(s)))) if len(s) > 1 else 1
-    return np.asarray(_suffix_array_fixed(jnp.asarray(s), rounds))
+    n = len(s)
+    cap = 1 << max(1, math.ceil(math.log2(n)))
+    padded = np.concatenate(
+        [s, np.full(cap - n, 0xFF, dtype=np.uint8)]
+    )
+    rounds = max(1, math.ceil(math.log2(cap)))
+    sa = np.asarray(_suffix_array_fixed(jnp.asarray(padded), rounds))
+    return sa[:n]
 
 
 def bwt_device(text: str | bytes) -> str:

@@ -83,15 +83,15 @@ def allpairs_scores(
     matrix = np.zeros((num, num), dtype=np.int64)
 
     t0 = time.perf_counter()
-    if engine == "pallas":
-        from genomics_rs_tpu.ops.gotoh_pallas import gotoh_scores_pallas_batch
+    if engine in ("pallas", "shortread"):
+        from genomics_rs_tpu.parallel.batch import score_pairs
 
         s1b = np.stack([enc1[i] for i, _ in pairs])
         s2b = np.stack([enc2[j] for _, j in pairs])
         ms = np.array([lens[i] for i, _ in pairs], dtype=np.int32)
         ns = np.array([lens[j] for _, j in pairs], dtype=np.int32)
-        sc, _, _ = gotoh_scores_pallas_batch(
-            s1b, s2b, ms, ns, scores, is_local
+        sc, _, _ = score_pairs(
+            s1b, s2b, ms, ns, scores, is_local, engine=engine
         )
         sc = np.asarray(sc)
         for k, (i, j) in enumerate(pairs):
@@ -160,17 +160,54 @@ def allpairs_scores_resumable(
     pairs = [(i, j) for j in range(num) for i in range(num) if i <= j]
     matrix = np.zeros((num, num), dtype=np.int64)
 
+    meta = {
+        "chunk_pairs": chunk_pairs,
+        "n_pairs": len(pairs),
+        "is_local": is_local,
+        "scores": list(scores.as_tuple()),
+        "lengths": [int(x) for x in lens],
+    }
     done: dict[int, list[int]] = {}
     if os.path.exists(checkpoint_path):
-        with open(checkpoint_path) as f:
-            for line in f:
-                rec = json.loads(line)
-                done[rec["k0"]] = rec["scores"]
-        log.info(
-            "[AllPairs/resume] %d/%d chunks already done",
-            len(done),
-            -(-len(pairs) // chunk_pairs),
-        )
+        try:
+            with open(checkpoint_path) as f:
+                lines = f.read().splitlines()
+            if lines and json.loads(lines[0]).get("meta") == meta:
+                for line in lines[1:]:
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        break  # truncated tail from a crash mid-write
+                    if len(rec["scores"]) == len(
+                        pairs[rec["k0"] : rec["k0"] + chunk_pairs]
+                    ):
+                        done[rec["k0"]] = rec["scores"]
+            else:
+                log.warning(
+                    "[AllPairs/resume] checkpoint %s was written with "
+                    "different inputs/params; starting fresh",
+                    checkpoint_path,
+                )
+                os.remove(checkpoint_path)
+        except (OSError, json.JSONDecodeError, KeyError) as e:
+            log.warning(
+                "[AllPairs/resume] unreadable checkpoint (%s); starting "
+                "fresh",
+                e,
+            )
+            os.remove(checkpoint_path)
+        if done:
+            log.info(
+                "[AllPairs/resume] %d/%d chunks already done",
+                len(done),
+                -(-len(pairs) // chunk_pairs),
+            )
+    # Rewrite the file from validated records so a torn trailing line
+    # from a crash mid-write can't corrupt subsequent appends.
+    with open(checkpoint_path, "w") as f:
+        f.write(json.dumps({"meta": meta}) + "\n")
+        for k0 in sorted(done):
+            f.write(json.dumps({"k0": k0, "scores": done[k0]}) + "\n")
 
     t0 = time.perf_counter()
     from genomics_rs_tpu.parallel.batch import score_pairs

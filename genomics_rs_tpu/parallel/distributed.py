@@ -35,17 +35,27 @@ from genomics_rs_tpu.sequence import SequenceContainer
 log = logging.getLogger(__name__)
 
 
+_initialized = False
+
+
 def init_distributed() -> tuple[int, int]:
     """Initialize multi-process JAX if configured; returns
-    (process_index, process_count)."""
+    (process_index, process_count).
+
+    ``jax.distributed.initialize`` must run BEFORE any backend use, so
+    initialization is tracked with a module flag rather than by
+    querying ``jax.process_count()`` (which would itself initialize
+    the local backend and break the multi-host setup)."""
+    global _initialized
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if coord and jax.process_count() == 1:
+    if coord and not _initialized:
         try:
             jax.distributed.initialize(
                 coordinator_address=coord,
                 num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
                 process_id=int(os.environ["JAX_PROCESS_ID"]),
             )
+            _initialized = True
         except Exception as e:  # noqa: BLE001
             log.warning("jax.distributed.initialize failed: %s", e)
     return jax.process_index(), jax.process_count()
@@ -85,32 +95,18 @@ def allpairs_multihost(
     mine = pairs[pid::pcount]
 
     t0 = time.perf_counter()
-    if engine == "auto":
-        engine = "pallas" if jax.default_backend() == "tpu" else "scan"
     local_scores = np.zeros(len(pairs) // pcount + 1, dtype=np.int32)
     if mine:
-        if engine == "pallas":
-            from genomics_rs_tpu.ops.gotoh_pallas import (
-                gotoh_scores_pallas_batch,
-            )
+        from genomics_rs_tpu.parallel.batch import score_pairs
 
-            s1b = np.stack([enc1[i] for i, _ in mine])
-            s2b = np.stack([enc2[j] for _, j in mine])
-            ms = np.array([lens[i] for i, _ in mine], dtype=np.int32)
-            ns = np.array([lens[j] for _, j in mine], dtype=np.int32)
-            sc, _, _ = gotoh_scores_pallas_batch(
-                s1b, s2b, ms, ns, scores, is_local
-            )
-            local_scores[: len(mine)] = np.asarray(sc)
-        else:
-            from genomics_rs_tpu.parallel.batch import batch_scores
-
-            s1b = np.stack([enc1[i] for i, _ in mine])
-            s2b = np.stack([enc2[j] for _, j in mine])
-            ms = np.array([lens[i] for i, _ in mine], dtype=np.int32)
-            ns = np.array([lens[j] for _, j in mine], dtype=np.int32)
-            out = batch_scores(s1b, s2b, ms, ns, scores, is_local)
-            local_scores[: len(mine)] = np.asarray(out.score)
+        s1b = np.stack([enc1[i] for i, _ in mine])
+        s2b = np.stack([enc2[j] for _, j in mine])
+        ms = np.array([lens[i] for i, _ in mine], dtype=np.int32)
+        ns = np.array([lens[j] for _, j in mine], dtype=np.int32)
+        sc, _, _ = score_pairs(
+            s1b, s2b, ms, ns, scores, is_local, engine=engine
+        )
+        local_scores[: len(mine)] = np.asarray(sc)
 
     # DCN merge: every host contributes its strided share.
     gathered = multihost_utils.process_allgather(local_scores)

@@ -52,13 +52,20 @@ def test_allpairs_resumable(tmp_path):
     )
     np.testing.assert_array_equal(r1.matrix, full.matrix)
 
-    # Truncate the checkpoint to one chunk and resume.
+    # Truncate the checkpoint to meta + one chunk (simulated crash,
+    # including a torn trailing write) and resume.
     lines = open(ckpt).read().splitlines()
     with open(ckpt, "w") as f:
-        f.write(lines[0] + "\n")
+        f.write(lines[0] + "\n" + lines[1] + "\n" + '{"k0": 10, "sco')
     r2 = allpairs_scores_resumable(
         container, SCORES, ckpt, engine="scan", chunk_pairs=5
     )
     np.testing.assert_array_equal(r2.matrix, full.matrix)
-    # Checkpoint now contains every chunk again.
-    assert len(open(ckpt).read().splitlines()) == -(-21 // 5)
+    # Checkpoint now contains meta + every chunk again.
+    assert len(open(ckpt).read().splitlines()) == 1 + -(-21 // 5)
+
+    # A checkpoint from different params is discarded, not misused.
+    r3 = allpairs_scores_resumable(
+        container, SCORES, ckpt, engine="scan", chunk_pairs=7
+    )
+    np.testing.assert_array_equal(r3.matrix, full.matrix)

@@ -21,17 +21,23 @@ from conftest import REPO_ROOT
 WORKER = r"""
 import os, sys
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_COORDINATOR_ADDRESS"] = "127.0.0.1:%PORT%"
+os.environ["JAX_NUM_PROCESSES"] = "2"
+os.environ["JAX_PROCESS_ID"] = sys.argv[1]
 import jax
 jax.config.update("jax_platforms", "cpu")
 pid = int(sys.argv[1])
-jax.distributed.initialize(
-    coordinator_address="127.0.0.1:%PORT%", num_processes=2, process_id=pid
-)
 sys.path.insert(0, %ROOT%)
 import numpy as np
 from genomics_rs_tpu.sequence import Sequence, SequenceContainer
 from genomics_rs_tpu.config import Scores
-from genomics_rs_tpu.parallel.distributed import allpairs_multihost
+from genomics_rs_tpu.parallel.distributed import (
+    allpairs_multihost,
+    init_distributed,
+)
+
+# Exercises the env-driven init (must run before any backend use).
+assert init_distributed() == (pid, 2)
 
 rng = np.random.default_rng(1)
 c = SequenceContainer(
