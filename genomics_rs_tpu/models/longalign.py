@@ -240,7 +240,15 @@ def align_checkpointed(
         )
         count = int(count)
         codes.append(np.asarray(moves)[:count])
+        prev = (i, j)
         i, j, done = int(i_f), int(j_f), bool(done_f)
+        if not done and count == 0 and (i, j) == prev:
+            # walk_block bailed at max_steps without a single move —
+            # retrying the same block with identical (i, j) would hang
+            # forever; fail loudly instead.
+            raise RuntimeError(
+                f"traceback made no progress at ({i}, {j}) in block {blk}"
+            )
         if not done and blk == 0:
             raise RuntimeError(
                 f"traceback left block 0 at ({i}, {j}) without terminating"

@@ -160,12 +160,25 @@ def allpairs_scores_resumable(
     pairs = [(i, j) for j in range(num) for i in range(num) if i <= j]
     matrix = np.zeros((num, num), dtype=np.int64)
 
+    import hashlib
+
+    # Names + content digest invalidate the checkpoint on ANY corpus
+    # change — without them a length-preserving sequence edit would
+    # silently reuse stale chunk scores.
+    digest = hashlib.sha256()
+    for s in container.sequences:
+        digest.update(s.name.encode())
+        digest.update(b"\0")
+        digest.update(s.sequence.encode())
+        digest.update(b"\1")
     meta = {
         "chunk_pairs": chunk_pairs,
         "n_pairs": len(pairs),
         "is_local": is_local,
         "scores": list(scores.as_tuple()),
         "lengths": [int(x) for x in lens],
+        "names": names,
+        "digest": digest.hexdigest(),
     }
     done: dict[int, list[int]] = {}
     if os.path.exists(checkpoint_path):

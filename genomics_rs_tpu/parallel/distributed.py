@@ -49,14 +49,24 @@ def init_distributed() -> tuple[int, int]:
     global _initialized
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coord and not _initialized:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
         try:
             jax.distributed.initialize(
                 coordinator_address=coord,
-                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                num_processes=num_processes,
                 process_id=int(os.environ["JAX_PROCESS_ID"]),
             )
             _initialized = True
         except Exception as e:  # noqa: BLE001
+            if num_processes > 1:
+                # On a genuinely multi-process launch, proceeding with
+                # process_count()==1 would make every host silently
+                # compute the full workload; fail loudly instead.
+                raise RuntimeError(
+                    "jax.distributed.initialize failed for a "
+                    f"{num_processes}-process launch (coordinator "
+                    f"{coord}): {e}"
+                ) from e
             log.warning("jax.distributed.initialize failed: %s", e)
     return jax.process_index(), jax.process_count()
 

@@ -130,12 +130,20 @@ class NativeSuffixTree:
             self._lib.st_free(handle)
             self._handle = None
 
+    def _require_handle(self):
+        if not getattr(self, "_handle", None):
+            raise RuntimeError(
+                "suffix tree handle is unusable (a prior insert failed "
+                "and left the arena corrupted)"
+            )
+
     def insert_string(
         self,
         new_string: str,
         enable_suffix_links: bool = True,
         print_time: bool = False,
     ) -> None:
+        self._require_handle()
         string_idx = len(self.strings)
         if string_idx >= len(STRING_TERMINATORS):
             raise ValueError("Suffix tree supports at most 32 strings")
@@ -153,9 +161,17 @@ class NativeSuffixTree:
             1 if enable_suffix_links else 0,
         )
         if rc != 0:
+            # The C++ arena is half-mutated at this point; deregister
+            # the string and poison the handle so later queries can't
+            # silently return results from a corrupted tree (matching
+            # the reference's hard-stop, tree.rs:56-63).
+            self.strings.pop()
+            self._lib.st_free(self._handle)
+            self._handle = None
             raise KeyError("Character not found in alphabet")
 
     def get_lcs(self, a: int, b: int) -> tuple[int, int, int]:
+        self._require_handle()
         out = (ctypes.c_int64 * 3)()
         rc = self._lib.st_lcs(self._handle, a, b, out)
         if rc != 0:
@@ -163,6 +179,7 @@ class NativeSuffixTree:
         return (int(out[0]), int(out[1]), int(out[2]))
 
     def compute_stats(self, string_idx: int = 0) -> TreeStats:
+        self._require_handle()
         if string_idx != 0:
             raise ValueError("compute_stats supports string 0 only")
         slen = len(self.strings[0])

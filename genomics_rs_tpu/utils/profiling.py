@@ -101,13 +101,20 @@ def spinner(message: str, done: str):
 
 @contextlib.contextmanager
 def annotate(name: str):
-    """Named region inside a device profiler trace (no-op off-trace)."""
+    """Named region inside a device profiler trace (no-op off-trace).
+
+    Only the *construction* of the annotation is guarded: wrapping the
+    ``yield`` itself in an except that yields again would swallow any
+    exception raised inside the annotated block and violate the
+    generator-contextmanager protocol ("generator didn't stop after
+    throw()"), losing the original error."""
     try:
         import jax.profiler
 
-        with jax.profiler.TraceAnnotation(name):
-            yield
+        ctx = jax.profiler.TraceAnnotation(name)
     except Exception:  # noqa: BLE001 — profiling must never break runs
+        ctx = contextlib.nullcontext()
+    with ctx:
         yield
 
 

@@ -69,3 +69,29 @@ def test_allpairs_resumable(tmp_path):
         container, SCORES, ckpt, engine="scan", chunk_pairs=7
     )
     np.testing.assert_array_equal(r3.matrix, full.matrix)
+
+
+def test_resumable_invalidates_on_content_change(tmp_path):
+    """A length-preserving corpus edit must invalidate the checkpoint
+    (the meta digest covers names + content, not just lengths)."""
+    from genomics_rs_tpu.parallel.allpairs import allpairs_scores_resumable
+
+    rng = np.random.default_rng(41)
+    seqs = [
+        Sequence(f"s{k}", "".join(rng.choice(list("ACGT"), 40)))
+        for k in range(4)
+    ]
+    container = SequenceContainer(sequences=seqs)
+    ckpt = str(tmp_path / "pairs.jsonl")
+    allpairs_scores_resumable(container, SCORES, ckpt, engine="scan")
+
+    # Same lengths, different content.
+    mutated = "".join(
+        {"A": "C", "C": "G", "G": "T", "T": "A"}[c]
+        for c in seqs[0].sequence
+    )
+    seqs2 = [Sequence(seqs[0].name, mutated)] + seqs[1:]
+    container2 = SequenceContainer(sequences=seqs2)
+    r = allpairs_scores_resumable(container2, SCORES, ckpt, engine="scan")
+    full = allpairs_scores(container2, SCORES, engine="scan")
+    np.testing.assert_array_equal(r.matrix, full.matrix)
