@@ -80,6 +80,26 @@ def _shift_down(x: jax.Array, fill: int = NEG_INF) -> jax.Array:
     return jnp.concatenate([jnp.full((1,), fill, dtype=x.dtype), x[:-1]])
 
 
+def vary(tree, axes: tuple[str, ...]):
+    """pcast every leaf to varying over ``axes`` (no-op when empty).
+
+    Scan carries whose inits are plain constants are *unvarying* under
+    ``shard_map``'s varying-manual-axes (vma) typing while the body's
+    outputs vary over the mesh axes; casting the inits keeps
+    ``check_vma=True`` on (the static safety net) instead of disabling
+    the check. Axes a leaf already varies over are skipped (pcast
+    rejects re-varying)."""
+    if not axes:
+        return tree
+
+    def cast(x):
+        cur = getattr(jax.typeof(x), "vma", frozenset())
+        missing = tuple(a for a in axes if a not in cur)
+        return jax.lax.pcast(x, missing, to="varying") if missing else x
+
+    return jax.tree.map(cast, tree)
+
+
 def gotoh_fill_scan(
     s1e: jax.Array,
     s2e: jax.Array,
@@ -88,6 +108,7 @@ def gotoh_fill_scan(
     scores: Scores,
     is_local: bool,
     emit_dirs: bool = True,
+    vma_axes: tuple[str, ...] = (),
 ) -> FillResult:
     """Fill the (m+1)x(n+1) Gotoh table by anti-diagonals.
 
@@ -102,6 +123,8 @@ def gotoh_fill_scan(
         bitmap entirely (score-only mode for batched/sharded scoring
         where O(m*n) traceback state would dominate memory);
         ``FillResult.dirs`` is then a (0, 0) placeholder.
+      vma_axes: mesh axes this fill varies over when called inside a
+        ``shard_map`` (see :func:`vary`); empty outside one.
     """
     Lm = s1e.shape[0]
     Ln = s2e.shape[0]
@@ -221,6 +244,7 @@ def gotoh_fill_scan(
         (jnp.int32(int_min), jnp.int32(0), jnp.int32(0)),
         jnp.int32(int_min),
     )
+    init = vary(init, vma_axes)
     carry, dirs = jax.lax.scan(step, init, jnp.arange(K, dtype=jnp.int32))
     (bv, bi, bj) = carry[6]
     final_score = carry[7]

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from genomics_rs_tpu.config import Scores
-from genomics_rs_tpu.ops.gotoh_scan import INT_MIN, NEG_INF
+from genomics_rs_tpu.ops.gotoh_scan import INT_MIN, NEG_INF, vary
 
 
 
@@ -64,6 +64,7 @@ def tile_fill(
     j0: jax.Array,
     m: jax.Array,
     n: jax.Array,
+    vma_axes: tuple[str, ...] = (),
 ) -> TileResult:
     """Fill tile rows [i0+1, i0+R] x cols [j0+1, j0+B] of the table.
 
@@ -77,6 +78,8 @@ def tile_fill(
       is_local: static.
       i0, j0: global offsets (traced int32).
       m, n: true global lengths for masking / (m, n) probing.
+      vma_axes: mesh axes this fill varies over inside a ``shard_map``
+        (pcasts the scan inits so ``check_vma`` can stay enabled).
     """
     R = s1t.shape[0]
     B = s2t.shape[0]
@@ -184,6 +187,7 @@ def tile_fill(
         jnp.zeros((R + 1,), dtype=jnp.int32),
         int_min,
     )
+    init = vary(init, vma_axes)
     carry, ys = jax.lax.scan(step, init, jnp.arange(K, dtype=jnp.int32))
     bv, bi, bk, at_mn = carry[6], carry[7], carry[8], carry[9]
 

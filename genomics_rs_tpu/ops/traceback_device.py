@@ -12,6 +12,7 @@ termination on a stop code.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +51,27 @@ def walk_block(
     def body(st):
         li, j, pos, done, exited, moves = st
         k = li + j
+        if os.environ.get("GENOMICS_TPU_DEBUG"):
+            # Invariant: the walk must never read outside the bitmap
+            # (a padded lane / out-of-range diagonal would be silently
+            # clamped by the gather and corrupt the path).
+            oob = (
+                (li < 0)
+                | (li >= dirs.shape[1])
+                | (k < 0)
+                | (k // 16 >= dirs.shape[0])
+            )
+            jax.lax.cond(
+                oob,
+                lambda li=li, j=j, k=k: jax.debug.print(
+                    "INVARIANT VIOLATION: traceback walked a padded "
+                    "lane (li={li}, j={j}, k={k})",
+                    li=li,
+                    j=j,
+                    k=k,
+                ),
+                lambda: None,
+            )
         word = dirs[k // 16, li]
         code = (word >> (2 * (k % 16))) & 3
         ig = i0 + li

@@ -43,8 +43,10 @@ class BatchScores(NamedTuple):
     total_cells: jax.Array
 
 
-def _score_one(s1e, s2e, m, n, scores: Scores, is_local: bool):
-    res = gotoh_fill_scan(s1e, s2e, m, n, scores, is_local, emit_dirs=False)
+def _score_one(s1e, s2e, m, n, scores: Scores, is_local: bool, vma_axes=()):
+    res = gotoh_fill_scan(
+        s1e, s2e, m, n, scores, is_local, emit_dirs=False, vma_axes=vma_axes
+    )
     return res.score, res.start_i, res.start_j
 
 
@@ -55,9 +57,13 @@ def batch_scores(
     ns: jax.Array,
     scores: Scores,
     is_local: bool,
+    vma_axes: tuple[str, ...] = (),
 ) -> BatchScores:
     """Score a batch of pairs on one device (vmap over the fill)."""
-    sc, si, sj = jax.vmap(_score_one, in_axes=(0, 0, 0, 0, None, None))(
+    import functools
+
+    fn = functools.partial(_score_one, vma_axes=vma_axes)
+    sc, si, sj = jax.vmap(fn, in_axes=(0, 0, 0, 0, None, None))(
         s1eb, s2eb, ms, ns, scores, is_local
     )
     cells = jnp.sum(
@@ -86,7 +92,9 @@ def batch_scores_sharded(
     """
 
     def shard_fn(s1eb, s2eb, ms, ns):
-        local = batch_scores(s1eb, s2eb, ms, ns, scores, is_local)
+        local = batch_scores(
+            s1eb, s2eb, ms, ns, scores, is_local, vma_axes=(axis_name,)
+        )
         return BatchScores(
             score=local.score,
             start_i=local.start_i,
@@ -106,10 +114,6 @@ def batch_scores_sharded(
             max_score=P(),
             total_cells=P(),
         ),
-        # The scan carry mixes device-varying data with unvarying
-        # constant inits; skip the varying-manual-axes check rather
-        # than pcast every init.
-        check_vma=False,
     )
     return sharded(s1eb, s2eb, ms, ns)
 
@@ -120,6 +124,13 @@ def batch_scores_sharded(
 #: scratch buffers of L2*4 KiB + in/out blocks): 256 keeps it near
 #: ~11 MiB; 512 would exceed the ~16 MiB core budget.
 SHORTREAD_MAX_LEN = 256
+
+#: Above SHORTREAD_MAX_LEN and up to this padded length the
+#: row-segmented kernel (8 pairs per register pane,
+#: ``ops/gotoh_segmented.py``) fills the flat kernel's idle lanes —
+#: the 256-2k band that round 1 served badly (VERDICT item 7). See
+#: the measured crossover table in that module's docstring.
+SEGMENTED_MAX_LEN = 4096
 
 
 def score_pairs(
@@ -133,16 +144,21 @@ def score_pairs(
 ):
     """Score a batch of encoded pairs, picking the best kernel.
 
-    engine: "auto" (TPU: shortread for read-scale pairs, diagonal
-    batch kernel otherwise; CPU: vmap scan), or one of "shortread",
-    "pallas", "scan".
+    engine: "auto" (TPU: shortread for read-scale pairs, row-segmented
+    for the mid-length band, flat diagonal batch kernel beyond; CPU:
+    vmap scan), or one of "shortread", "segmented", "pallas", "scan".
 
     Returns (score, start_i, start_j) arrays of shape (B,).
     """
     L = max(s1b.shape[1], s2b.shape[1])
     if engine == "auto":
         if jax.default_backend() == "tpu":
-            engine = "shortread" if L <= SHORTREAD_MAX_LEN else "pallas"
+            if L <= SHORTREAD_MAX_LEN:
+                engine = "shortread"
+            elif s1b.shape[1] <= SEGMENTED_MAX_LEN:
+                engine = "segmented"
+            else:
+                engine = "pallas"
         else:
             engine = "scan"
     if engine == "shortread":
@@ -151,6 +167,12 @@ def score_pairs(
         )
 
         return gotoh_scores_shortread(s1b, s2b, ms, ns, scores, is_local)
+    if engine == "segmented":
+        from genomics_rs_tpu.ops.gotoh_segmented import (
+            gotoh_scores_segmented,
+        )
+
+        return gotoh_scores_segmented(s1b, s2b, ms, ns, scores, is_local)
     if engine == "pallas":
         from genomics_rs_tpu.ops.gotoh_pallas import (
             gotoh_scores_pallas_batch,

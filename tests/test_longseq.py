@@ -66,7 +66,41 @@ def test_sharded_matches_oracle(is_local):
             assert int(got.score) == int(ref.score), (trial, a, b)
 
 
-def test_batched_2d_mesh():
+@pytest.mark.parametrize("is_local", [False, True])
+def test_sharded_pallas_engine_matches_oracle(is_local):
+    """The Pallas tile kernel (emit_bottom + emit_right) driving the
+    ppermute pipeline — interpret mode on the CPU mesh; the compiled
+    path runs on real hardware via ``bench.py --smoke``."""
+    mesh = make_mesh(8, axis_name=SEQ_AXIS)
+    rng = np.random.default_rng(19)
+    m, n = 317, 211
+    a = "".join(rng.choice(list("ACGT"), m))
+    b = "".join(rng.choice(list("ACGT"), n))
+    s1e = _pad(a, LPAD, PAD_S1)
+    s2e = _pad(b, LPAD, PAD_S2)
+
+    got = sharded_gotoh_score(
+        mesh,
+        s1e,
+        s2e,
+        np.int32(m),
+        np.int32(n),
+        SCORES,
+        is_local,
+        engine="pallas",
+        interpret=True,
+    )
+    ref = gotoh_fill_scan(s1e, s2e, np.int32(m), np.int32(n), SCORES, is_local)
+    if is_local:
+        assert int(got.best[0]) == int(ref.score)
+        assert int(got.best[1]) == int(ref.start_i)
+        assert int(got.best[2]) == int(ref.start_j)
+    else:
+        assert int(got.score) == int(ref.score)
+
+
+@pytest.mark.parametrize("engine", ["scan", "pallas"])
+def test_batched_2d_mesh(engine):
     """(data=2, seq=4) mesh: batch of pairs, rows sharded per pair."""
     from genomics_rs_tpu.parallel.longseq import batched_sharded_scores
     from genomics_rs_tpu.parallel.mesh import make_mesh_2d
@@ -83,7 +117,17 @@ def test_batched_2d_mesh():
         s1b[i, : ms[i]] = bases[rng.integers(0, 4, ms[i])]
         s2b[i, : ns[i]] = bases[rng.integers(0, 4, ns[i])]
 
-    out = batched_sharded_scores(mesh2, s1b, s2b, ms, ns, SCORES, False)
+    out = batched_sharded_scores(
+        mesh2,
+        s1b,
+        s2b,
+        ms,
+        ns,
+        SCORES,
+        False,
+        engine=engine,
+        interpret=engine == "pallas",
+    )
     for i in range(B):
         ref = gotoh_fill_scan(
             s1b[i], s2b[i], ms[i], ns[i], SCORES, False
