@@ -50,16 +50,112 @@ class AllPairsResult:
     elapsed_s: float
     cells: float
     cells_per_s: float
+    #: total cells actually dispatched (incl. padding); close to
+    #: ``cells`` when length bucketing is effective.
+    padded_cells: float = 0.0
 
 
-def _encode_all(container: SequenceContainer, pad: int):
+
+
+def _bucket_key(L: int) -> int:
+    """Power-of-two length class (128 floor) for pair grouping."""
+    b = 128
+    while b < L:
+        b *= 2
+    return b
+
+
+def bucketize_pairs(
+    pairs: list[tuple[int, int]], lens
+) -> dict[tuple[int, int], list[int]]:
+    """Group pair indices by (pow2 class of len_i, pow2 class of
+    len_j) so each group dispatches at its own padded shape.
+
+    The reference pays zero padding (exact per-pair loops,
+    ``/root/reference/src/main.rs:263-308``); global max-length
+    padding would instead inflate every pair's cell count
+    quadratically when one long outlier is present. Power-of-two
+    classes bound the number of compiled shapes at ~log^2 while each
+    group is then padded only to its own max length (round 128).
+    """
+    groups: dict[tuple[int, int], list[int]] = {}
+    for k, (i, j) in enumerate(pairs):
+        key = (_bucket_key(int(lens[i])), _bucket_key(int(lens[j])))
+        groups.setdefault(key, []).append(k)
+    return groups
+
+
+def _score_pairs_bucketed(
+    container: SequenceContainer,
+    pairs: list[tuple[int, int]],
+    lens,
+    scores: Scores,
+    is_local: bool,
+    engine: str,
+    mesh: jax.sharding.Mesh | None = None,
+) -> tuple[np.ndarray, float]:
+    """Score ``pairs`` in length buckets; returns (scores[k],
+    padded_cells dispatched)."""
+    from genomics_rs_tpu.parallel.batch import score_pairs
+
     seqs = container.sequences
-    L = max(max((len(s) for s in seqs), default=1), 1)
-    L = max(round_up(L, pad), pad)
-    enc1 = np.stack([s.encoded(pad_to=L, pad_value=PAD_S1) for s in seqs])
-    enc2 = np.stack([s.encoded(pad_to=L, pad_value=PAD_S2) for s in seqs])
-    lens = np.array([len(s) for s in seqs], dtype=np.int32)
-    return enc1, enc2, lens
+    out = np.zeros(len(pairs), dtype=np.int64)
+    padded_cells = 0.0
+    enc_cache: dict[tuple[int, int, int], np.ndarray] = {}
+
+    def enc(idx: int, L: int, pad_value: int) -> np.ndarray:
+        key = (idx, L, pad_value)
+        if key not in enc_cache:
+            enc_cache[key] = seqs[idx].encoded(pad_to=L, pad_value=pad_value)
+        return enc_cache[key]
+
+    groups = bucketize_pairs(pairs, lens)
+    for key in sorted(groups):
+        idxs = groups[key]
+        Lm = max(
+            round_up(max(int(lens[pairs[k][0]]) for k in idxs), 128), 128
+        )
+        Ln = max(
+            round_up(max(int(lens[pairs[k][1]]) for k in idxs), 128), 128
+        )
+        s1b = np.stack([enc(pairs[k][0], Lm, PAD_S1) for k in idxs])
+        s2b = np.stack([enc(pairs[k][1], Ln, PAD_S2) for k in idxs])
+        ms = np.array([lens[pairs[k][0]] for k in idxs], dtype=np.int32)
+        ns = np.array([lens[pairs[k][1]] for k in idxs], dtype=np.int32)
+        if engine in ("pallas", "shortread", "segmented", "auto"):
+            sc, _, _ = score_pairs(
+                s1b, s2b, ms, ns, scores, is_local, engine=engine
+            )
+        elif mesh is None:
+            # Host-local scoring without a device mesh (the multihost
+            # driver path: each process only sees its own devices, so
+            # a global-mesh shard_map output would be non-addressable).
+            from genomics_rs_tpu.parallel.batch import batch_scores
+
+            sc = batch_scores(s1b, s2b, ms, ns, scores, is_local).score
+        else:
+            n_dev = mesh.devices.size
+            (s1p, s2p, mp, np_), _ = pad_batch(
+                (s1b, s2b, ms, ns),
+                len(idxs),
+                n_dev,
+                pad_values=[None, None, 0, 0],
+            )
+            sc = batch_scores_sharded(
+                mesh, s1p, s2p, mp, np_, scores, is_local
+            ).score
+        sc = np.asarray(sc)
+        for pos, k in enumerate(idxs):
+            out[k] = int(sc[pos])
+        padded_cells += float(len(idxs)) * (Lm + 1.0) * (Ln + 1.0)
+        log.debug(
+            "[AllPairs] bucket %s: %d pairs at (%d, %d)",
+            key,
+            len(idxs),
+            Lm,
+            Ln,
+        )
+    return out, padded_cells
 
 
 def allpairs_scores(
@@ -75,7 +171,7 @@ def allpairs_scores(
 
     names = [s.name for s in container.sequences]
     num = len(names)
-    enc1, enc2, lens = _encode_all(container, pad=128)
+    lens = np.array([len(s) for s in container.sequences], dtype=np.int32)
     pairs = [(i, j) for j in range(num) for i in range(num) if i <= j]
     total_cells = float(
         sum((lens[i] + 1.0) * (lens[j] + 1.0) for i, j in pairs)
@@ -83,42 +179,21 @@ def allpairs_scores(
     matrix = np.zeros((num, num), dtype=np.int64)
 
     t0 = time.perf_counter()
-    if engine in ("pallas", "shortread"):
-        from genomics_rs_tpu.parallel.batch import score_pairs
-
-        s1b = np.stack([enc1[i] for i, _ in pairs])
-        s2b = np.stack([enc2[j] for _, j in pairs])
-        ms = np.array([lens[i] for i, _ in pairs], dtype=np.int32)
-        ns = np.array([lens[j] for _, j in pairs], dtype=np.int32)
-        sc, _, _ = score_pairs(
-            s1b, s2b, ms, ns, scores, is_local, engine=engine
-        )
-        sc = np.asarray(sc)
-        for k, (i, j) in enumerate(pairs):
-            matrix[j, i] = int(sc[k])
-    else:
+    if engine not in ("pallas", "shortread", "segmented", "auto"):
         mesh = mesh or make_mesh()
-        n_dev = mesh.devices.size
-        s1b = np.stack([enc1[i] for i, _ in pairs])
-        s2b = np.stack([enc2[j] for _, j in pairs])
-        ms = np.array([lens[i] for i, _ in pairs], dtype=np.int32)
-        ns = np.array([lens[j] for _, j in pairs], dtype=np.int32)
-        (s1b, s2b, ms, ns), _ = pad_batch(
-            (s1b, s2b, ms, ns),
-            len(pairs),
-            n_dev,
-            pad_values=[None, None, 0, 0],
-        )
-        out = batch_scores_sharded(mesh, s1b, s2b, ms, ns, scores, is_local)
-        sc = np.asarray(out.score)
-        for k, (i, j) in enumerate(pairs):
-            matrix[j, i] = int(sc[k])
+    sc, padded_cells = _score_pairs_bucketed(
+        container, pairs, lens, scores, is_local, engine, mesh
+    )
+    for k, (i, j) in enumerate(pairs):
+        matrix[j, i] = int(sc[k])
     elapsed = time.perf_counter() - t0
 
     log.info(
-        "[AllPairs] %d pairs, %.3g cells in %.2fs (%.3g cells/s, engine=%s)",
+        "[AllPairs] %d pairs, %.3g cells (%.3g padded) in %.2fs "
+        "(%.3g cells/s, engine=%s)",
         len(pairs),
         total_cells,
+        padded_cells,
         elapsed,
         total_cells / elapsed,
         engine,
@@ -130,6 +205,7 @@ def allpairs_scores(
         elapsed_s=elapsed,
         cells=total_cells,
         cells_per_s=total_cells / elapsed,
+        padded_cells=padded_cells,
     )
 
 
@@ -156,9 +232,12 @@ def allpairs_scores_resumable(
 
     names = [s.name for s in container.sequences]
     num = len(names)
-    enc1, enc2, lens = _encode_all(container, pad=128)
+    lens = np.array([len(s) for s in container.sequences], dtype=np.int32)
     pairs = [(i, j) for j in range(num) for i in range(num) if i <= j]
     matrix = np.zeros((num, num), dtype=np.int64)
+    mesh = None
+    if engine not in ("pallas", "shortread", "segmented", "auto"):
+        mesh = make_mesh()
 
     import hashlib
 
@@ -223,22 +302,16 @@ def allpairs_scores_resumable(
             f.write(json.dumps({"k0": k0, "scores": done[k0]}) + "\n")
 
     t0 = time.perf_counter()
-    from genomics_rs_tpu.parallel.batch import score_pairs
-
     with open(checkpoint_path, "a") as ckpt:
         for k0 in range(0, len(pairs), chunk_pairs):
             chunk = pairs[k0 : k0 + chunk_pairs]
             if k0 in done:
                 sc = done[k0]
             else:
-                s1b = np.stack([enc1[i] for i, _ in chunk])
-                s2b = np.stack([enc2[j] for _, j in chunk])
-                ms = np.array([lens[i] for i, _ in chunk], dtype=np.int32)
-                ns = np.array([lens[j] for _, j in chunk], dtype=np.int32)
-                out = score_pairs(
-                    s1b, s2b, ms, ns, scores, is_local, engine=engine
+                out, _ = _score_pairs_bucketed(
+                    container, chunk, lens, scores, is_local, engine, mesh
                 )
-                sc = [int(x) for x in np.asarray(out[0])]
+                sc = [int(x) for x in out]
                 ckpt.write(json.dumps({"k0": k0, "scores": sc}) + "\n")
                 ckpt.flush()
             for (i, j), s in zip(chunk, sc):

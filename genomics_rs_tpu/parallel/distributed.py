@@ -71,6 +71,22 @@ def init_distributed() -> tuple[int, int]:
     return jax.process_index(), jax.process_count()
 
 
+def snake_deal(costs, n_shares: int) -> list[list[int]]:
+    """Deal item indices into ``n_shares`` balanced shares.
+
+    Items are sorted by descending cost and dealt boustrophedon
+    (0..P-1 then P-1..0, repeating), which bounds any share's total
+    cost within one max-item of optimal for typical corpora.
+    """
+    order = sorted(range(len(costs)), key=lambda k: -costs[k])
+    shares: list[list[int]] = [[] for _ in range(n_shares)]
+    for pos, k in enumerate(order):
+        cycle, off = divmod(pos, n_shares)
+        h = off if cycle % 2 == 0 else n_shares - 1 - off
+        shares[h].append(k)
+    return shares
+
+
 def allpairs_multihost(
     container: SequenceContainer,
     scores: Scores,
@@ -79,14 +95,19 @@ def allpairs_multihost(
 ):
     """All-pairs DP score matrix with pairs dealt across hosts.
 
-    Each process scores pairs k with k % process_count == process_index
-    on its local devices, then the per-host score vectors are
-    all-gathered and assembled into the full lower-triangle matrix on
-    every host (replicated output, like the reference's shared matrix).
+    Pairs are dealt *length-balanced*: sorted by descending DP cell
+    count, then snake-dealt (host h takes sorted positions h,
+    2P-1-h, 2P+h, ...) so no host accumulates all the long pairs —
+    padding-free work balance the reference's rayon queue gets
+    dynamically (``main.rs:253-261``) but a static deal must plan for.
+    Each host scores its share on its local devices in length buckets,
+    then the per-host (pair index, score) vectors are all-gathered and
+    assembled into the full lower-triangle matrix on every host
+    (replicated output, like the reference's shared matrix).
     """
     from genomics_rs_tpu.parallel.allpairs import (
         AllPairsResult,
-        _encode_all,
+        _score_pairs_bucketed,
         allpairs_scores,
     )
 
@@ -98,33 +119,42 @@ def allpairs_multihost(
 
     from jax.experimental import multihost_utils
 
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "scan"
+
     names = [s.name for s in container.sequences]
     num = len(names)
-    enc1, enc2, lens = _encode_all(container, 128)
+    lens = np.array([len(s) for s in container.sequences], dtype=np.int32)
     pairs = [(i, j) for j in range(num) for i in range(num) if i <= j]
-    mine = pairs[pid::pcount]
+    share_idx = snake_deal(
+        [(lens[i] + 1.0) * (lens[j] + 1.0) for i, j in pairs], pcount
+    )
+    mine_idx = share_idx[pid]
+    mine = [pairs[k] for k in mine_idx]
 
     t0 = time.perf_counter()
-    local_scores = np.zeros(len(pairs) // pcount + 1, dtype=np.int32)
+    share_cap = max(len(s) for s in share_idx)
+    local_scores = np.zeros(share_cap, dtype=np.int32)
+    local_pairs = np.full(share_cap, -1, dtype=np.int32)
     if mine:
-        from genomics_rs_tpu.parallel.batch import score_pairs
-
-        s1b = np.stack([enc1[i] for i, _ in mine])
-        s2b = np.stack([enc2[j] for _, j in mine])
-        ms = np.array([lens[i] for i, _ in mine], dtype=np.int32)
-        ns = np.array([lens[j] for _, j in mine], dtype=np.int32)
-        sc, _, _ = score_pairs(
-            s1b, s2b, ms, ns, scores, is_local, engine=engine
+        # mesh=None => host-local scoring (each process sees only its
+        # own devices; a global mesh would yield non-addressable
+        # outputs here).
+        sc, _ = _score_pairs_bucketed(
+            container, mine, lens, scores, is_local, engine, mesh=None
         )
-        local_scores[: len(mine)] = np.asarray(sc)
+        local_scores[: len(mine)] = sc
+        local_pairs[: len(mine)] = mine_idx
 
-    # DCN merge: every host contributes its strided share.
-    gathered = multihost_utils.process_allgather(local_scores)
+    # DCN merge: every host contributes its (pair index, score) share.
+    g_scores = multihost_utils.process_allgather(local_scores)
+    g_pairs = multihost_utils.process_allgather(local_pairs)
     matrix = np.zeros((num, num), dtype=np.int64)
     for p in range(pcount):
-        share = pairs[p::pcount]
-        for k, (i, j) in enumerate(share):
-            matrix[j, i] = int(gathered[p][k])
+        for k, s in zip(g_pairs[p], g_scores[p]):
+            if k >= 0:
+                i, j = pairs[int(k)]
+                matrix[j, i] = int(s)
     elapsed = time.perf_counter() - t0
 
     cells = float(sum((lens[i] + 1.0) * (lens[j] + 1.0) for i, j in pairs))

@@ -71,6 +71,58 @@ def test_allpairs_resumable(tmp_path):
     np.testing.assert_array_equal(r3.matrix, full.matrix)
 
 
+def test_allpairs_length_buckets_mixed_corpus():
+    """Mixed corpus (clustered short genomes + one long outlier): the
+    bucketed driver must keep total padded cells <= 1.3x true cells
+    (the reference pays zero padding, main.rs:263-308; global
+    max-length padding would be ~7x here) with an identical matrix."""
+    from genomics_rs_tpu.ops.gotoh_scan import gotoh_fill_scan
+
+    rng = np.random.default_rng(53)
+    seqs = [
+        Sequence(
+            f"s{k}", "".join(rng.choice(list("ACGT"), int(rng.integers(620, 641))))
+        )
+        for k in range(4)
+    ]
+    seqs.append(Sequence("outlier", "".join(rng.choice(list("ACGT"), 3199))))
+    container = SequenceContainer(sequences=seqs)
+
+    result = allpairs_scores(container, SCORES, engine="scan")
+    assert result.padded_cells <= 1.3 * result.cells, (
+        result.padded_cells,
+        result.cells,
+    )
+
+    # Matrix parity against the unbucketed oracle on every pair.
+    from genomics_rs_tpu.sequence import PAD_S1, PAD_S2
+
+    for j in range(5):
+        for i in range(j + 1):
+            ref = gotoh_fill_scan(
+                seqs[i].encoded(pad_value=PAD_S1),
+                seqs[j].encoded(pad_value=PAD_S2),
+                np.int32(len(seqs[i])),
+                np.int32(len(seqs[j])),
+                SCORES,
+                False,
+            )
+            assert int(result.matrix[j, i]) == int(ref.score), (i, j)
+
+
+def test_snake_deal_balances_lengths():
+    """Length-balanced dealing: no share's cell total may exceed the
+    mean by more than the largest single item."""
+    from genomics_rs_tpu.parallel.distributed import snake_deal
+
+    rng = np.random.default_rng(7)
+    costs = [float(c) for c in rng.integers(1, 1000, 37)] + [1e6]
+    shares = snake_deal(costs, 4)
+    assert sorted(k for s in shares for k in s) == list(range(38))
+    totals = [sum(costs[k] for k in s) for s in shares]
+    assert max(totals) - min(totals) <= max(costs)
+
+
 def test_resumable_invalidates_on_content_change(tmp_path):
     """A length-preserving corpus edit must invalidate the checkpoint
     (the meta digest covers names + content, not just lengths)."""
