@@ -1,22 +1,37 @@
-"""Headline benchmark: DP cell-updates/sec on one TPU chip.
+"""Benchmark + hardware gate for the TPU Gotoh engines.
 
-Workload: the all-pairs 30 kb genome corpus (10 CoV/MERS/SARS genomes,
-55 pairs = 4.9e10 DP cells — BASELINE.md) scored in a single batched
-Pallas dispatch, i.e. the "all-pairs comparison matrix, batched
-data-parallel" configuration from BASELINE.json. A full fill *with*
-traceback direction bitmap on one 30 kb pair is also measured and
-reported inside the metric string.
+Modes
+-----
+``python bench.py``            headline metric (driver contract: ONE
+                               JSON line) with roofline accounting;
+                               embeds rows from BENCH_FULL.json when a
+                               prior ``--full`` run produced one.
+``python bench.py --full``     measure the full metric set (batch
+                               score, with-dirs single pair, shortread,
+                               blocked batch, checkpointed 155 kb,
+                               seq-parallel 1-dev mesh, compare
+                               wall-clock) and write BENCH_FULL.json.
+``python bench.py --smoke``    REAL-HARDWARE smoke gate: every Pallas
+                               kernel runs non-interpreted on the chip
+                               on small inputs and is checked against
+                               the C++ oracle (native/gotoh_cpu.cpp);
+                               exits nonzero on any mismatch. Run
+                               before every kernel/perf commit.
 
 Baseline: the reference publishes no numbers and the Rust toolchain is
 not in this image, so the baseline is the measured throughput of
 ``native/gotoh_cpu.cpp`` — the same recurrence, same i64 math,
 -O2 -march=native, single-threaded like the reference's align path,
 score-only rolling rows (memory-lean, i.e. *favorable* to the
-baseline: the real reference writes 48 B/cell). vs_baseline =
-TPU cells/s / CPU cells/s, both score-only.
+baseline: the real reference writes 48 B/cell).
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "cells/s", "vs_baseline": N}
+Roofline model (printed with the headline): the score-only batch
+kernel executes ~``OPS_PER_LANE_STEP`` int32 VPU ALU ops per lane per
+anti-diagonal step over a V-lane vector for Kp steps, so
+utilization = cells/s * (V*Kp / true cells) * ops / VPU_PEAK, with
+VPU_PEAK = 8 sublanes * 128 lanes * 4 ALUs * clock (v5e ~0.94 GHz)
+= ~3.85e12 int32 op/s. The ramp factor V*Kp/(m*n) is ~2.05 for square
+pairs — inherent to anti-diagonal sweeps of a full rectangle.
 """
 
 from __future__ import annotations
@@ -32,11 +47,32 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 REF = "/root/reference"
+SCORE_ARGS = dict(s_match=1, s_mismatch=-2, g=-1, h=-5)
+
+#: int32 VPU ALU ops per lane-step of the optimized score-only batch
+#: kernel (_kernel_batch, global mode): 3 flat shifts x 2 + I(3) +
+#: D(3) + sub/S(3) + boundary masks/selects(11) + Q/carries(3).
+OPS_PER_LANE_STEP = 29
+#: v5e VPU peak int32 op/s: 8 * 128 * 4 ALUs * 0.94 GHz.
+VPU_PEAK = 8 * 128 * 4 * 0.94e9
+
+
+def _retry(fn, attempts=5, label="warmup"):
+    """The remote-compile helper in this environment fails transiently
+    (HTTP 500 bursts); retry before giving up."""
+    for attempt in range(attempts - 1):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            print(
+                f"{label} attempt {attempt} failed: {str(e)[:200]}",
+                file=sys.stderr,
+            )
+            time.sleep(30)
+    return fn()
 
 
 def _load_corpus():
-    """(enc1, enc2, lens, pairs) for the 10-genome corpus (or synthetic)."""
-    from genomics_rs_tpu.parallel.allpairs import _encode_all
     from genomics_rs_tpu.sequence import SequenceContainer
 
     container = SequenceContainer()
@@ -55,17 +91,22 @@ def _load_corpus():
             Sequence(f"s{k}", "".join(rng.choice(list("ACGT"), 29900)))
             for k in range(10)
         ]
-    enc1, enc2, lens = _encode_all(container, 128)
-    num = len(lens)
-    pairs = [(i, j) for j in range(num) for i in range(num) if i <= j]
-    return enc1, enc2, lens, pairs
+    return container
+
+
+def _encode_corpus(container, pad=128):
+    from genomics_rs_tpu.sequence import PAD_S1, PAD_S2, round_up
+
+    seqs = container.sequences
+    L = max(round_up(max(len(s) for s in seqs), pad), pad)
+    enc1 = np.stack([s.encoded(pad_to=L, pad_value=PAD_S1) for s in seqs])
+    enc2 = np.stack([s.encoded(pad_to=L, pad_value=PAD_S2) for s in seqs])
+    lens = np.array([len(s) for s in seqs], dtype=np.int32)
+    return enc1, enc2, lens
 
 
 def _cpu_baseline(enc1, enc2, lens) -> float:
-    """Measured reference-equivalent CPU throughput (cells/s).
-
-    Median of 3 runs — the shared host fluctuates and a single noisy
-    sample would distort vs_baseline."""
+    """Median-of-3 reference-equivalent CPU throughput (cells/s)."""
     try:
         from genomics_rs_tpu.suffixtree.native import gotoh_score_cpu
 
@@ -83,17 +124,42 @@ def _cpu_baseline(enc1, enc2, lens) -> float:
         return 5e8
 
 
-def main() -> None:
+def _median_time(fn, reps=3):
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def _roofline(cells_per_s: float, Lm: int, Ln: int) -> dict:
+    """ops/cell + fraction of VPU peak for the batch kernel plan."""
+    from genomics_rs_tpu.ops.gotoh_pallas import _plan
+
+    shapes = _plan(Lm, Ln, emit_dirs=False)
+    lane_steps_per_cell = shapes.V * shapes.Kp / (Lm * Ln)
+    ops_per_cell = lane_steps_per_cell * OPS_PER_LANE_STEP
+    ops_per_s = cells_per_s * ops_per_cell
+    return {
+        "ramp_factor": round(lane_steps_per_cell, 3),
+        "alu_ops_per_cell": round(ops_per_cell, 1),
+        "alu_ops_per_s": ops_per_s,
+        "vpu_peak_ops_per_s": VPU_PEAK,
+        "pct_of_vpu_peak": round(100 * ops_per_s / VPU_PEAK, 1),
+    }
+
+
+def run_headline() -> dict:
     import jax
-
-    from genomics_rs_tpu.utils.jaxcache import enable_persistent_cache
-
-    enable_persistent_cache()
 
     from genomics_rs_tpu.config import Scores
 
-    scores = Scores(s_match=1, s_mismatch=-2, g=-1, h=-5)
-    enc1, enc2, lens, pairs = _load_corpus()
+    scores = Scores(**SCORE_ARGS)
+    container = _load_corpus()
+    enc1, enc2, lens = _encode_corpus(container)
+    num = len(lens)
+    pairs = [(i, j) for j in range(num) for i in range(num) if i <= j]
     on_tpu = jax.default_backend() == "tpu"
 
     s1b = np.stack([enc1[i] for i, _ in pairs])
@@ -101,7 +167,7 @@ def main() -> None:
     ms = np.array([lens[i] for i, _ in pairs], dtype=np.int32)
     ns = np.array([lens[j] for _, j in pairs], dtype=np.int32)
     if not on_tpu:
-        # Smoke mode (no TPU): truncate hard so the scan engine finishes.
+        # No TPU: truncate hard so the scan engine finishes.
         s1b, s2b = s1b[:3, :1024], s2b[:3, :1024]
         ms = np.minimum(ms[:3], 1000)
         ns = np.minimum(ns[:3], 1000)
@@ -109,7 +175,6 @@ def main() -> None:
 
     if on_tpu:
         from genomics_rs_tpu.ops.gotoh_pallas import (
-            gotoh_fill_pallas,
             gotoh_scores_pallas_batch,
         )
 
@@ -117,13 +182,6 @@ def main() -> None:
             out = gotoh_scores_pallas_batch(s1b, s2b, ms, ns, scores, False)
             jax.block_until_ready(out)
             return out
-
-        def run_dirs():
-            res = gotoh_fill_pallas(
-                s1b[0], s2b[0], ms[0], ns[0], scores, False
-            )
-            jax.block_until_ready(res.score)
-            return res
     else:
         from genomics_rs_tpu.parallel.batch import batch_scores
 
@@ -132,64 +190,386 @@ def main() -> None:
             jax.block_until_ready(out)
             return out
 
-        run_dirs = None
-
-    # Warmup/compile — the remote-compile helper in this environment
-    # fails transiently (HTTP 500 bursts); retry before giving up so
-    # the recorded benchmark doesn't die to an infra hiccup.
-    out = None
-    for attempt in range(5):
-        try:
-            out = run_batch()
-            break
-        except Exception as e:  # noqa: BLE001
-            print(
-                f"warmup attempt {attempt} failed: {str(e)[:200]}",
-                file=sys.stderr,
-            )
-            time.sleep(30)
-    if out is None:
-        out = run_batch()  # final attempt, propagate the error
-    sample_score = int(np.asarray(out[0] if isinstance(out, tuple) else out.score)[0])
-    reps = 3
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        run_batch()
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    out = _retry(run_batch)
+    sample_score = int(
+        np.asarray(out[0] if isinstance(out, tuple) else out.score)[0]
+    )
+    dt = _median_time(run_batch)
     value = cells / dt
+    baseline = _cpu_baseline(enc1, enc2, lens)
+    roof = _roofline(value, int(s1b.shape[1]), int(s2b.shape[1]))
+    return {
+        "pairs": len(ms),
+        "cells": cells,
+        "batch_ms": dt * 1e3,
+        "sample_score": sample_score,
+        "cells_per_s": value,
+        "cpu_baseline_cells_per_s": baseline,
+        "vs_baseline": value / baseline,
+        "roofline": roof,
+    }
 
-    # Secondary metric (opt-in: adds a second large kernel compile,
-    # which can take many minutes through this env's compile tunnel —
-    # the headline line must always make it out).
-    dirs_info = ""
-    if run_dirs is not None and os.environ.get("GENOMICS_BENCH_DIRS"):
-        run_dirs()  # warmup
+
+def run_full() -> dict:
+    """Measure the broad metric set and write BENCH_FULL.json."""
+    import jax
+
+    from genomics_rs_tpu.config import Scores
+    from genomics_rs_tpu.sequence import (
+        PAD_S1,
+        PAD_S2,
+        Sequence,
+        SequenceContainer,
+        round_up,
+    )
+
+    scores = Scores(**SCORE_ARGS)
+    rows: dict = {"headline": run_headline()}
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        print("--full requires the TPU backend", file=sys.stderr)
+        return rows
+
+    container = _load_corpus()
+    s1, s2 = container.sequences[0], container.sequences[1]
+    m, n = len(s1), len(s2)
+    pair_cells = (m + 1.0) * (n + 1.0)
+
+    # --- single pair WITH traceback bitmap -------------------------
+    from genomics_rs_tpu.ops.gotoh_pallas import gotoh_fill_pallas
+
+    Lp = max(round_up(max(m, n), 128), 128)
+    s1e = s1.encoded(pad_to=Lp, pad_value=PAD_S1)
+    s2e = s2.encoded(pad_to=Lp, pad_value=PAD_S2)
+
+    def run_dirs():
+        res = gotoh_fill_pallas(
+            s1e, s2e, np.int32(m), np.int32(n), scores, False
+        )
+        jax.block_until_ready(res.score)
+        return res
+
+    _retry(run_dirs, label="dirs warmup")
+    dt = _median_time(run_dirs, reps=2)
+    rows["single_pair_with_dirs"] = {
+        "cells": pair_cells,
+        "ms": dt * 1e3,
+        "cells_per_s": pair_cells / dt,
+    }
+
+    # --- short-read batch ------------------------------------------
+    from genomics_rs_tpu.parallel.batch import score_pairs
+
+    rng = np.random.default_rng(5)
+    B, L = 16384, 152
+    Lpad = 256
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    s1r = np.full((B, Lpad), PAD_S1, np.uint8)
+    s2r = np.full((B, Lpad), PAD_S2, np.uint8)
+    s1r[:, :L] = bases[rng.integers(0, 4, (B, L))]
+    s2r[:, :L] = bases[rng.integers(0, 4, (B, L))]
+    mr = np.full(B, L, np.int32)
+    nr = np.full(B, L, np.int32)
+
+    def run_reads():
+        out = score_pairs(s1r, s2r, mr, nr, scores, False)
+        jax.block_until_ready(out)
+        return out
+
+    _retry(run_reads, label="shortread warmup")
+    dt = _median_time(run_reads, reps=2)
+    read_cells = float(B) * (L + 1.0) ** 2
+    rows["shortread_batch"] = {
+        "reads": B,
+        "read_len": L,
+        "ms": dt * 1e3,
+        "cells_per_s": read_cells / dt,
+    }
+
+    # --- checkpointed 155 kb full traceback ------------------------
+    slyco = os.path.join(REF, "test_data", "Slyco.fasta")
+    if os.path.exists(slyco):
+        from genomics_rs_tpu.models.longalign import align_checkpointed
+
+        c2 = SequenceContainer()
+        c2.from_fasta(slyco)
+        sl = c2.sequences[0]
         t0 = time.perf_counter()
-        run_dirs()
-        dt_dirs = time.perf_counter() - t0
-        pair_cells = (ms[0] + 1.0) * (ns[0] + 1.0)
-        dirs_info = (
-            f", with-traceback-bitmap single pair: "
-            f"{pair_cells / dt_dirs:.3g} cells/s"
+        aligned = _retry(
+            lambda: align_checkpointed(sl, sl, scores),
+            attempts=2,
+            label="ckpt",
+        )
+        dt = time.perf_counter() - t0
+        rows["checkpointed_155kb"] = {
+            "len": len(sl),
+            "score": aligned.score,
+            "s": dt,
+            "cells_per_s_2pass": 2 * (len(sl) + 1.0) ** 2 / dt,
+        }
+
+    # --- sequence-parallel pipeline on a 1-device mesh -------------
+    from genomics_rs_tpu.parallel.longseq import sharded_gotoh_score
+    from genomics_rs_tpu.parallel.mesh import SEQ_AXIS, make_mesh
+
+    mesh = make_mesh(1, axis_name=SEQ_AXIS)
+    Lm8 = max(round_up(m, 8), 8)
+    s1e8 = s1.encoded(pad_to=Lm8, pad_value=PAD_S1)
+
+    def run_seqpar():
+        out = sharded_gotoh_score(
+            mesh, s1e8, s2e, np.int32(m), np.int32(n), scores, False,
+            engine="pallas",
+        )
+        jax.block_until_ready(out.score)
+        return out
+
+    _retry(run_seqpar, label="seqpar warmup")
+    dt = _median_time(run_seqpar, reps=2)
+    rows["seqpar_1dev_mesh"] = {
+        "ms": dt * 1e3,
+        "cells_per_s": pair_cells / dt,
+        "vs_flat_batch": (pair_cells / dt)
+        / rows["headline"]["cells_per_s"],
+    }
+
+    # --- compare mode wall-clock (suffix-tree LCS semantics) -------
+    try:
+        from genomics_rs_tpu.comparison.driver import (
+            compare_all_pairs,
+            load_fasta_dir,
         )
 
-    baseline = _cpu_baseline(enc1, enc2, lens)
+        corpus = load_fasta_dir(os.path.join(REF, "comparison_data"))
+        t0 = time.perf_counter()
+        compare_all_pairs(
+            corpus, os.path.join(REF, "alphabets", "dna.txt"), threads=4
+        )
+        rows["compare_10genomes"] = {"s": time.perf_counter() - t0}
+    except Exception as e:  # noqa: BLE001
+        rows["compare_10genomes"] = {"error": str(e)[:200]}
 
+    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+        json.dump(rows, f, indent=1)
+    return rows
+
+
+def run_smoke() -> int:
+    """Hardware gate: all Pallas kernels, non-interpreted, vs the C++
+    oracle on small inputs. Returns a process exit code."""
+    import jax
+
+    from genomics_rs_tpu.config import Scores
+    from genomics_rs_tpu.sequence import PAD_S1, PAD_S2
+    from genomics_rs_tpu.suffixtree.native import gotoh_score_cpu
+
+    if jax.default_backend() != "tpu":
+        print("--smoke requires the TPU backend", file=sys.stderr)
+        return 2
+
+    scores = Scores(**SCORE_ARGS)
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    B, Lm, Ln = 3, 384, 256
+    ms = rng.integers(Lm // 2, Lm + 1, B).astype(np.int32)
+    ns = rng.integers(Ln // 2, Ln + 1, B).astype(np.int32)
+    s1b = np.full((B, Lm), PAD_S1, np.uint8)
+    s2b = np.full((B, Ln), PAD_S2, np.uint8)
+    for i in range(B):
+        s1b[i, : ms[i]] = bases[rng.integers(0, 4, ms[i])]
+        s2b[i, : ns[i]] = bases[rng.integers(0, 4, ns[i])]
+    want = {}
+    for loc in (False, True):
+        want[loc] = [
+            gotoh_score_cpu(
+                bytes(s1b[i][: ms[i]]),
+                bytes(s2b[i][: ns[i]]),
+                1,
+                -2,
+                -1,
+                -5,
+                loc,
+            )
+            for i in range(B)
+        ]
+
+    failures = []
+
+    def check(name, got, loc, starts_checked=True):
+        for i in range(B):
+            w = want[loc][i]
+            g = (int(got[0][i]), int(got[1][i]), int(got[2][i]))
+            ok = g[0] == w[0] and (not starts_checked or g[1:] == w[1:])
+            status = "ok" if ok else f"MISMATCH got {g} want {w}"
+            print(f"[smoke] {name} local={loc} pair{i}: {status}")
+            if not ok:
+                failures.append((name, loc, i, g, w))
+
+    from genomics_rs_tpu.ops.gotoh_pallas import (
+        gotoh_fill_pallas,
+        gotoh_scores_blocked,
+        gotoh_scores_pallas_batch,
+    )
+    from genomics_rs_tpu.ops.gotoh_segmented import gotoh_scores_segmented
+    from genomics_rs_tpu.ops.gotoh_shortread import gotoh_scores_shortread
+
+    for loc in (False, True):
+        got = _retry(
+            lambda loc=loc: gotoh_scores_pallas_batch(
+                s1b, s2b, ms, ns, scores, loc
+            ),
+            label="smoke batch",
+        )
+        check("flat_batch", got, loc)
+        got = _retry(
+            lambda loc=loc: gotoh_scores_blocked(
+                s1b, s2b, ms, ns, scores, loc, R=128
+            ),
+            label="smoke blocked",
+        )
+        check("blocked_batch", got, loc)
+        got = _retry(
+            lambda loc=loc: gotoh_scores_segmented(
+                s1b, s2b, ms, ns, scores, loc
+            ),
+            label="smoke segmented",
+        )
+        check("segmented_batch", got, loc)
+
+    # Short-read row-scan kernel (Lpad <= 256 on both sides).
+    s1s = s1b[:, :256].copy()
+    mss = np.minimum(ms, 250)
+    for i in range(B):
+        s1s[i, mss[i] :] = PAD_S1
+    for loc in (False, True):
+        got = _retry(
+            lambda loc=loc: gotoh_scores_shortread(
+                s1s, s2b, mss, ns, scores, loc
+            ),
+            label="smoke shortread",
+        )
+        want_sr = [
+            gotoh_score_cpu(
+                bytes(s1s[i][: mss[i]]),
+                bytes(s2b[i][: ns[i]]),
+                1,
+                -2,
+                -1,
+                -5,
+                loc,
+            )
+            for i in range(B)
+        ]
+        for i in range(B):
+            g = (int(got[0][i]), int(got[1][i]), int(got[2][i]))
+            ok = g == want_sr[i]
+            print(
+                f"[smoke] shortread local={loc} pair{i}: "
+                f"{'ok' if ok else f'MISMATCH got {g} want {want_sr[i]}'}"
+            )
+            if not ok:
+                failures.append(("shortread", loc, i, g, want_sr[i]))
+
+    # Streamed-boundary tile kernel with dirs (single pair).
+    for loc in (False, True):
+        res = _retry(
+            lambda loc=loc: gotoh_fill_pallas(
+                s1b[0], s2b[0], ms[0], ns[0], scores, loc
+            ),
+            label="smoke fill",
+        )
+        got = ([res.score], [res.start_i], [res.start_j])
+        w = want[loc][0]
+        g = (int(res.score), int(res.start_i), int(res.start_j))
+        ok = g[0] == w[0] and (not loc or g[1:] == w[1:])
+        print(
+            f"[smoke] tile_fill_dirs local={loc}: "
+            f"{'ok' if ok else f'MISMATCH got {g} want {w}'}"
+        )
+        if not ok:
+            failures.append(("tile_fill_dirs", loc, 0, g, w))
+
+    # Sequence-parallel pipeline (tile kernel w/ bottom+right) on the
+    # 1-device mesh.
+    from genomics_rs_tpu.parallel.longseq import sharded_gotoh_score
+    from genomics_rs_tpu.parallel.mesh import SEQ_AXIS, make_mesh
+
+    mesh = make_mesh(1, axis_name=SEQ_AXIS)
+    for loc in (False, True):
+        out = _retry(
+            lambda loc=loc: sharded_gotoh_score(
+                mesh,
+                s1b[0],
+                s2b[0],
+                np.int32(ms[0]),
+                np.int32(ns[0]),
+                scores,
+                loc,
+                engine="pallas",
+            ),
+            label="smoke seqpar",
+        )
+        w = want[loc][0]
+        if loc:
+            g = tuple(int(x) for x in np.asarray(out.best))
+            ok = g == w
+        else:
+            g = (int(out.score), int(ms[0]), int(ns[0]))
+            ok = g[0] == w[0]
+        print(
+            f"[smoke] seqpar_pallas local={loc}: "
+            f"{'ok' if ok else f'MISMATCH got {g} want {w}'}"
+        )
+        if not ok:
+            failures.append(("seqpar_pallas", loc, 0, g, w))
+
+    if failures:
+        print(f"[smoke] FAILED: {len(failures)} mismatches", file=sys.stderr)
+        return 1
+    print("[smoke] all kernels match the C++ oracle on hardware")
+    return 0
+
+
+def main() -> None:
+    from genomics_rs_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    if "--smoke" in sys.argv:
+        sys.exit(run_smoke())
+    if "--full" in sys.argv:
+        rows = run_full()
+        print(json.dumps(rows, indent=1), file=sys.stderr)
+
+    h = run_headline()
+    rows = None
+    full_path = os.path.join(REPO, "BENCH_FULL.json")
+    if os.path.exists(full_path):
+        try:
+            with open(full_path) as f:
+                rows = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            rows = None
+
+    roof = h["roofline"]
     print(
         json.dumps(
             {
                 "metric": (
                     "Gotoh DP cell-updates/sec/chip: all-pairs 10-genome "
-                    f"corpus ({len(ms)} pairs, {cells:.3g} cells, "
-                    f"batch fill {dt*1e3:.0f} ms, sample score "
-                    f"{sample_score}){dirs_info}; CPU baseline "
-                    f"(native/gotoh_cpu.cpp, 1 core) {baseline:.3g} cells/s"
+                    f"corpus ({h['pairs']} pairs, {h['cells']:.3g} cells, "
+                    f"batch fill {h['batch_ms']:.0f} ms, sample score "
+                    f"{h['sample_score']}); roofline {roof['alu_ops_per_cell']}"
+                    f" ALU ops/cell incl {roof['ramp_factor']}x diagonal ramp"
+                    f" = {roof['pct_of_vpu_peak']}% of v5e VPU peak"
+                    f" ({roof['vpu_peak_ops_per_s']:.3g} int32 op/s);"
+                    " CPU baseline (native/gotoh_cpu.cpp, 1 core) "
+                    f"{h['cpu_baseline_cells_per_s']:.3g} cells/s"
                 ),
-                "value": value,
+                "value": h["cells_per_s"],
                 "unit": "cells/s",
-                "vs_baseline": value / baseline,
+                "vs_baseline": h["vs_baseline"],
+                "rows": rows,
             }
         )
     )

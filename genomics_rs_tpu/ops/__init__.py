@@ -1,8 +1,10 @@
 """Device-side compute ops: Gotoh DP fill kernels, traceback, BWT.
 
 Pallas kernels (``gotoh_pallas``: single-pair fill, batched score,
-streamed-boundary tile; ``gotoh_shortread``: row-scan read batches)
-are imported lazily by their users to keep CPU-only imports light.
+streamed-boundary tile, blocked long-pair batch;
+``gotoh_segmented``: 8-pairs-per-pane mid-length batch;
+``gotoh_shortread``: row-scan read batches) are imported lazily by
+their users to keep CPU-only imports light.
 """
 
 from genomics_rs_tpu.ops.bwt_device import bwt_device, suffix_array

@@ -95,11 +95,16 @@ def _shift_down_flat(x, incoming, row_idx, col_idx, C):
     """Flat-index shift: y[v] = x[v-1], y[0] = incoming.
 
     x is (8, C) holding flat element v = s*C + l at (s, l).
+
+    Element-efficient: the row-boundary fixup only needs column C-1 of
+    the row-rolled array, so that roll runs on an (8, 1) slice instead
+    of the full (8, C) pane — 2 full-pane ops per shift (roll +
+    select) instead of 4.
     """
     r = pltpu.roll(x, shift=1, axis=1)  # y[s, l] = x[s, l-1] (wraps l=0)
-    ra = pltpu.roll(x, shift=1, axis=0)  # rows shifted: ra[s] = x[s-1]
-    # lane 0 of each row takes the previous row's last lane.
-    fix = jnp.where(row_idx == 0, incoming, ra[:, C - 1 : C])
+    col = x[:, C - 1 : C]  # (8, 1) last lane of each row
+    colr = pltpu.roll(col, shift=1, axis=0)  # colr[s] = x[s-1, C-1]
+    fix = jnp.where(row_idx[:, :1] == 0, incoming, colr)  # (8, 1)
     return jnp.where(col_idx == 0, fix, r)
 
 
@@ -116,6 +121,7 @@ def _kernel_tile(
     is_local: bool,
     emit_dirs: bool,
     emit_bottom: bool,
+    emit_right: bool = False,
 ):
     """Streamed-boundary wavefront tile fill.
 
@@ -143,6 +149,10 @@ def _kernel_tile(
     if emit_bottom:
         bot_ref = refs[idx]
         idx += 1
+    right_refs = None
+    if emit_right:
+        right_refs = refs[idx : idx + 3]
+        idx += 3
     bv_ref, bk_ref, fin_ref = refs[idx : idx + 3]
     idx += 3
     (Ip, Sp, Dp, Ish, Ssh, Dsh, s2j_ref, bv_s, bk_s, fin_s) = refs[
@@ -153,6 +163,10 @@ def _kernel_tile(
     if emit_dirs:
         acc_ref = refs[idx]
         idx += 1
+    right_s = None
+    if emit_right:
+        right_s = refs[idx : idx + 3]
+        idx += 3
     # Factored carries (shift commutes with max; see _kernel_batch):
     # Ip=I, Dp=D, Sp=P=max(S,D), Ish=Q=max(I,S), Ssh=shift(M) cache.
     Qp, shM = Ish, Ssh
@@ -187,8 +201,17 @@ def _kernel_tile(
         bv_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
         bk_s[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
         fin_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+        if emit_right:
+            for r in right_s:
+                r[:] = full_neg
 
     zero_lane = jnp.int32(0) if is_local else neg
+    # Loop-invariant lane masks (hoisted out of the diagonal loop).
+    row0_mask = iv == 0
+    nz_mask = iv > 0
+    gtR_mask = iv > R_rows
+    m_i0 = m - i0  # tile-local row of the global (m, n) probe
+    n_j0 = n - j0  # tile-local col of the probe
 
     def body(t, _):
         k = g_id * shapes.chunk + t
@@ -202,28 +225,40 @@ def _kernel_tile(
             shQ = _shift_down_flat(Qp[:], neg, row_idx, col_idx, C)
             shD = _shift_down_flat(Dp[:], neg, row_idx, col_idx, C)
 
-            j = k - iv
-            Inew = jnp.maximum(
-                jnp.maximum(Ip[:] + gg, Sp[:] + hg), zero_lane
-            )
-            Dnew = jnp.maximum(
-                jnp.maximum(shQ + hg, shD + gg), zero_lane
-            )
-            sub = jnp.where(s1m_ref[:] == s2j, sm, sx)
-            Snew = sub + jnp.maximum(shM[:], zero_lane)
+            if is_local:
+                Inew = jnp.maximum(
+                    jnp.maximum(Ip[:] + gg, Sp[:] + hg), zero_lane
+                )
+                Dnew = jnp.maximum(
+                    jnp.maximum(shQ + hg, shD + gg), zero_lane
+                )
+                sub = jnp.where(s1m_ref[:] == s2j, sm, sx)
+                Snew = sub + jnp.maximum(shM[:], zero_lane)
+            else:
+                # The invalid mask below re-clamps dead lanes to neg
+                # every step, so the NEG_INF re-clamp maxes are pure
+                # no-ops in global mode — dropped.
+                Inew = jnp.maximum(Ip[:] + gg, Sp[:] + hg)
+                Dnew = jnp.maximum(shQ + hg, shD + gg)
+                sub = jnp.where(s1m_ref[:] == s2j, sm, sx)
+                Snew = sub + shM[:]
 
-            # Boundary injection from the streams.
-            Inew = jnp.where(iv == 0, top_ref[0, t], Inew)
-            Snew = jnp.where(iv == 0, top_ref[1, t], Snew)
-            Dnew = jnp.where(iv == 0, top_ref[2, t], Dnew)
-            is_left = (j == 0) & (iv > 0)
+            # Boundary injection from the streams; lane conditions
+            # factor into two per-step compares (iv == k, iv > k) and
+            # one (iv < k - B) plus static masks.
+            eq = iv == k
+            gt = iv > k
+            is_left = eq & nz_mask
+            invalid = gt | (iv < k - B_cols) | gtR_mask
+            Inew = jnp.where(row0_mask, top_ref[0, t], Inew)
+            Snew = jnp.where(row0_mask, top_ref[1, t], Snew)
+            Dnew = jnp.where(row0_mask, top_ref[2, t], Dnew)
             Inew = jnp.where(is_left, left_ref[0, t], Inew)
             Snew = jnp.where(is_left, left_ref[1, t], Snew)
             Dnew = jnp.where(is_left, left_ref[2, t], Dnew)
             # Lanes beyond the tile's true rows are padding: without
             # this bound their garbage can alias real global coords in
             # the argmax/(m,n) probes.
-            invalid = (j < 0) | (j > B_cols) | (iv > R_rows)
             Inew = jnp.where(invalid, neg, Inew)
             Snew = jnp.where(invalid, neg, Snew)
             Dnew = jnp.where(invalid, neg, Dnew)
@@ -255,17 +290,22 @@ def _kernel_tile(
                 def _flush():
                     dirs_ref[t // PACK] = acc_ref[:]
 
-            ig = i0 + iv
-            jg = j0 + j
             if is_local:
-                in_true = (~invalid) & (ig <= m) & (jg <= n)
+                # in_true: i0+iv <= m, 0 <= j, j0+j <= n (j = k-iv).
+                in_true = (~invalid) & (iv <= m_i0) & (iv >= k - n_j0)
                 val = jnp.where(in_true, cm, int_min)
                 upd = val >= bv_s[:]
                 bv_s[:] = jnp.where(upd, val, bv_s[:])
-                bk_s[:] = jnp.where(upd, jg, bk_s[:])
-            fin_s[:] = jnp.where(
-                (~invalid) & (ig == m) & (jg == n), cm, fin_s[:]
-            )
+                bk_s[:] = jnp.where(upd, (j0 + k) - iv, bk_s[:])
+
+            # The (m, n) probe lies on tile diagonal (m-i0)+(n-j0):
+            # capture under a scalar pl.when instead of per-step
+            # vector compares.
+            @pl.when(k == m_i0 + n_j0)
+            def _probe():
+                fin_s[:] = jnp.where(
+                    (iv == m_i0) & (~invalid), cm, fin_s[:]
+                )
 
             if emit_bottom:
                 lane_r, lane_c = divmod(R_rows, C)
@@ -277,6 +317,15 @@ def _kernel_tile(
                     ]
                 )
                 bot_ref[t] = jnp.broadcast_to(vals[:, None], (3, 128))
+
+            if emit_right:
+                # Tile col B cells (i, B) lie on diagonal k = i + B:
+                # capture lane k-B with a masked vector update (no
+                # dynamic lane indexing, which Mosaic rejects).
+                on_right = iv == (k - B_cols)
+                right_s[0][:] = jnp.where(on_right, Inew, right_s[0][:])
+                right_s[1][:] = jnp.where(on_right, Snew, right_s[1][:])
+                right_s[2][:] = jnp.where(on_right, Dnew, right_s[2][:])
 
             # Rotate factored carries.
             shM[:] = jnp.maximum(shQ, shD)
@@ -294,6 +343,9 @@ def _kernel_tile(
         bv_ref[:] = bv_s[:]
         bk_ref[:] = bk_s[:]
         fin_ref[:] = fin_s[:]
+        if emit_right:
+            for out, s in zip(right_refs, right_s):
+                out[:] = s[:]
 
 
 class TileFillResult(NamedTuple):
@@ -303,12 +355,17 @@ class TileFillResult(NamedTuple):
     dirs is PACKED: int32 (Kp/PACK, V) words with the move code of
     tile cell (li, j) at
     ``(dirs[(li+j) // PACK, li] >> (2 * ((li+j) % PACK))) & 3``.
-    Use :func:`unpack_dirs` for the uint8 per-cell layout."""
+    Use :func:`unpack_dirs` for the uint8 per-cell layout.
+
+    right is (3, R) I/S/D of the tile's last column (rows 1..R) or
+    None — the boundary carried to the next column-block in the
+    sequence-parallel pipeline (``parallel/longseq.py``)."""
 
     dirs: jax.Array | None
     score_at_mn: jax.Array
     best: tuple[jax.Array, jax.Array, jax.Array]
     bottom: jax.Array | None
+    right: jax.Array | None = None
 
 
 def unpack_dirs(packed: jax.Array, Kp: int) -> jax.Array:
@@ -320,7 +377,14 @@ def unpack_dirs(packed: jax.Array, Kp: int) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("is_local", "emit_dirs", "emit_bottom", "interpret"),
+    static_argnames=(
+        "is_local",
+        "emit_dirs",
+        "emit_bottom",
+        "emit_right",
+        "interpret",
+        "vma_axes",
+    ),
 )
 def gotoh_tile_pallas(
     s1_block: jax.Array,
@@ -335,52 +399,80 @@ def gotoh_tile_pallas(
     is_local: bool,
     emit_dirs: bool = True,
     emit_bottom: bool = False,
+    emit_right: bool = False,
     interpret: bool = False,
+    vma_axes: tuple[str, ...] = (),
 ) -> TileFillResult:
     """Fill tile rows [i0+1, i0+R] x cols [j0+1, j0+B] on TPU.
 
     Pallas counterpart of ``ops/gotoh_tile.tile_fill`` (same boundary
     semantics): ``top`` (3, B+1) are I/S/D at tile row 0 cols 0..B
     (element 0 = corner), ``left`` (3, R) at tile col 0 rows 1..R.
+
+    ``vma_axes``: mesh axes the outputs vary over when called inside a
+    ``shard_map`` with ``check_vma=True`` (pallas_call requires the
+    out avals to declare their varying manual axes explicitly).
     """
+    from genomics_rs_tpu.ops.gotoh_scan import vary
+
     R = s1_block.shape[0]
     B = s2e.shape[0]
     shapes = _plan(R, B, emit_dirs)
     V, C = shapes.V, shapes.C
+    vma = frozenset(vma_axes) if vma_axes else None
 
-    s1m = jnp.full((V,), 0xFD, dtype=jnp.int32)
+    def out_struct(shape):
+        return jax.ShapeDtypeStruct(shape, jnp.int32, vma=vma)
+
+    # Under shard_map+check_vma, dynamic_update_slice/gather operands
+    # must share varying axes with their updates/indices — cast every
+    # constant buffer and input up front (no-op outside shard_map).
+    s1_block, s2e, top, left = vary(
+        (s1_block, s2e, top, left), vma_axes
+    )
+
+    s1m = vary(jnp.full((V,), 0xFD, dtype=jnp.int32), vma_axes)
     s1m = jax.lax.dynamic_update_slice(
         s1m, s1_block.astype(jnp.int32), (jnp.int32(1),)
     )
     s1m2d = s1m.reshape(ROWS, C)
 
     ks = jnp.arange(shapes.Kp, dtype=jnp.int32)
-    s2inj = jnp.take(s2e.astype(jnp.int32), jnp.clip(ks - 1, 0, B - 1))
+    s2inj = jnp.take(
+        s2e.astype(jnp.int32), vary(jnp.clip(ks - 1, 0, B - 1), vma_axes)
+    )
     s2inj = jnp.where(ks - 1 >= B, 0xFF, s2inj)[None, :]
 
     neg = jnp.int32(NEG_INF)
     # Stream layouts: top consumed at step k (k <= B), left[k-1] at
     # step k (1 <= k <= R).
-    top_stream = jnp.full((3, shapes.Kp), neg, dtype=jnp.int32)
+    top_stream = vary(
+        jnp.full((3, shapes.Kp), neg, dtype=jnp.int32), vma_axes
+    )
     top_stream = jax.lax.dynamic_update_slice(
         top_stream, top.astype(jnp.int32), (jnp.int32(0), jnp.int32(0))
     )
-    left_stream = jnp.full((3, shapes.Kp), neg, dtype=jnp.int32)
+    left_stream = vary(
+        jnp.full((3, shapes.Kp), neg, dtype=jnp.int32), vma_axes
+    )
     left_stream = jax.lax.dynamic_update_slice(
         left_stream, left.astype(jnp.int32), (jnp.int32(0), jnp.int32(1))
     )
 
     scalars = jnp.stack(
-        [
-            jnp.asarray(m, jnp.int32),
-            jnp.asarray(n, jnp.int32),
-            jnp.int32(scores.s_match),
-            jnp.int32(scores.s_mismatch),
-            jnp.int32(scores.g),
-            jnp.int32(scores.h),
-            jnp.asarray(i0, jnp.int32),
-            jnp.asarray(j0, jnp.int32),
-        ]
+        vary(
+            [
+                jnp.asarray(m, jnp.int32),
+                jnp.asarray(n, jnp.int32),
+                jnp.int32(scores.s_match),
+                jnp.int32(scores.s_mismatch),
+                jnp.int32(scores.g),
+                jnp.int32(scores.h),
+                jnp.asarray(i0, jnp.int32),
+                jnp.asarray(j0, jnp.int32),
+            ],
+            vma_axes,
+        )
     )
 
     grid = shapes.Kp // shapes.chunk
@@ -390,11 +482,7 @@ def gotoh_tile_pallas(
     out_shapes = []
     out_specs = []
     if emit_dirs:
-        out_shapes.append(
-            jax.ShapeDtypeStruct(
-                (shapes.Kp // PACK, ROWS, C), jnp.int32
-            )
-        )
+        out_shapes.append(out_struct((shapes.Kp // PACK, ROWS, C)))
         out_specs.append(
             pl.BlockSpec(
                 (shapes.chunk // PACK, ROWS, C),
@@ -403,9 +491,7 @@ def gotoh_tile_pallas(
             )
         )
     if emit_bottom:
-        out_shapes.append(
-            jax.ShapeDtypeStruct((shapes.Kp, 3, 128), jnp.int32)
-        )
+        out_shapes.append(out_struct((shapes.Kp, 3, 128)))
         out_specs.append(
             pl.BlockSpec(
                 (shapes.chunk, 3, 128),
@@ -413,7 +499,10 @@ def gotoh_tile_pallas(
                 memory_space=pltpu.VMEM,
             )
         )
-    out_shapes += [jax.ShapeDtypeStruct((ROWS, C), jnp.int32)] * 3
+    if emit_right:
+        out_shapes += [out_struct((ROWS, C))] * 3
+        out_specs += [vec_spec] * 3
+    out_shapes += [out_struct((ROWS, C))] * 3
     out_specs += [vec_spec] * 3
 
     smem_chunk = lambda rows: pl.BlockSpec(  # noqa: E731
@@ -422,6 +511,8 @@ def gotoh_tile_pallas(
     scratch = [pltpu.VMEM((ROWS, C), jnp.int32)] * 10
     if emit_dirs:
         scratch.append(pltpu.VMEM((ROWS, C), jnp.int32))  # pack acc
+    if emit_right:
+        scratch += [pltpu.VMEM((ROWS, C), jnp.int32)] * 3  # right I/S/D
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -445,6 +536,7 @@ def gotoh_tile_pallas(
         is_local=is_local,
         emit_dirs=emit_dirs,
         emit_bottom=emit_bottom,
+        emit_right=emit_right,
     )
     outs = list(
         pl.pallas_call(
@@ -465,6 +557,15 @@ def gotoh_tile_pallas(
         # bot[k, c, 0] = matrix-c value of cell (R, k - R).
         bot = outs.pop(0)
         bottom = jnp.transpose(bot[R : R + B + 1, :, 0], (1, 0))
+    right = None
+    if emit_right:
+        rI, rS, rD = outs[:3]
+        outs = outs[3:]
+        # right_s lane i holds cell (i, B); rows 1..R.
+        right = jnp.stack(
+            [rI.reshape(V)[1 : R + 1], rS.reshape(V)[1 : R + 1],
+             rD.reshape(V)[1 : R + 1]]
+        )
     bv, bk, fin = outs
 
     iv = jnp.arange(V, dtype=jnp.int32)
@@ -479,6 +580,7 @@ def gotoh_tile_pallas(
         score_at_mn=jnp.max(fin.reshape(V)),
         best=(vmax, i_best, j_best),
         bottom=bottom,
+        right=right,
     )
 
 
@@ -487,10 +589,7 @@ def _kernel_tile_batch(
     s1m_ref,  # VMEM int32 (1, 8, C) block: this pair's block rows
     s2i_ref,  # SMEM int32 (1, 1, chunk): this pair's s2inj chunk
     top_ref,  # SMEM int32 (1, 3, chunk): this pair's top-row stream
-    bot_ref,  # out (1, chunk, 3, 128): bottom-row capture
-    fin_ref,  # out (1, 8, C)
-    Ip, Sp, Dp, Qp_r, shM_r, s2j_ref, fin_s,
-    *,
+    *refs,  # bot_ref, fin_ref, [bv_ref, bk_ref], scratches...
     shapes: _Shapes,
     B_cols: int,
     R_rows: int,
@@ -502,13 +601,29 @@ def _kernel_tile_batch(
     is cut into R-row blocks driven from the host by a ``lax.scan``
     (ops/… ``gotoh_scores_blocked``), so the wavefront vector is only
     R+1 lanes instead of m+1 — the diagonal-ramp waste drops from
-    ~2x to ~(V/(R+1)) * ((R+n)/n). Score-only (global (m, n) probe and
-    local running max folded into fin via the local clamp semantics...
-    local mode is handled by the caller keeping per-block bests);
+    ~2x to ~(V/(R+1)) * ((R+n)/n). Score-only; global mode probes
+    (m, n), local mode additionally tracks the per-lane keep-last
+    argmax (value + global j) so the caller can reduce to the
+    reference's exact local start cell (``algo.rs:311-322``);
     boundaries: top row streamed per pair, left column = global col-0
     formula (full-width blocks), bottom row captured to HBM.
     """
     C = shapes.C
+    idx = 0
+    bot_ref = refs[idx]
+    idx += 1
+    fin_ref = refs[idx]
+    idx += 1
+    bv_ref = bk_ref = None
+    if is_local:
+        bv_ref, bk_ref = refs[idx : idx + 2]
+        idx += 2
+    Ip, Sp, Dp, Qp_r, shM_r, s2j_ref, fin_s = refs[idx : idx + 7]
+    idx += 7
+    bv_s = bk_s = None
+    if is_local:
+        bv_s, bk_s = refs[idx : idx + 2]
+        idx += 2
     b_id = pl.program_id(0)
     g_id = pl.program_id(1)
     Qp, shM = Qp_r, shM_r
@@ -538,8 +653,19 @@ def _kernel_tile_batch(
         shM[:] = full_neg
         s2j_ref[:] = jnp.full((ROWS, C), 0xFF, dtype=jnp.int32)
         fin_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+        if is_local:
+            bv_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+            bk_s[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
 
     zero_lane = jnp.int32(0) if is_local else neg
+    # Loop-invariant lane vectors.
+    row0_mask = iv == 0
+    nz_mask = iv > 0
+    gtR_mask = iv > R_rows
+    Dcol = hh + (i0 + iv) * gg  # col-0 boundary D values per lane
+    m_i0 = m - i0
+    if is_local:
+        lem_mask = iv <= m_i0
 
     def body(t, _):
         k = g_id * shapes.chunk + t
@@ -553,45 +679,61 @@ def _kernel_tile_batch(
             shQ = _shift_down_flat(Qp[:], neg, row_idx, col_idx, C)
             shD = _shift_down_flat(Dp[:], neg, row_idx, col_idx, C)
 
-            j = k - iv
-            Inew = jnp.maximum(
-                jnp.maximum(Ip[:] + gg, Sp[:] + hg), zero_lane
-            )
-            Dnew = jnp.maximum(
-                jnp.maximum(shQ + hg, shD + gg), zero_lane
-            )
-            sub = jnp.where(s1m_ref[0] == s2j, sm, sx)
-            Snew = sub + jnp.maximum(shM[:], zero_lane)
+            if is_local:
+                Inew = jnp.maximum(
+                    jnp.maximum(Ip[:] + gg, Sp[:] + hg), zero_lane
+                )
+                Dnew = jnp.maximum(
+                    jnp.maximum(shQ + hg, shD + gg), zero_lane
+                )
+                sub = jnp.where(s1m_ref[0] == s2j, sm, sx)
+                Snew = sub + jnp.maximum(shM[:], zero_lane)
+            else:
+                # invalid re-clamps dead lanes every step, so the
+                # NEG_INF re-clamps are no-ops in global mode.
+                Inew = jnp.maximum(Ip[:] + gg, Sp[:] + hg)
+                Dnew = jnp.maximum(shQ + hg, shD + gg)
+                sub = jnp.where(s1m_ref[0] == s2j, sm, sx)
+                Snew = sub + shM[:]
 
             # Boundaries: top row streamed; left col = global col-0
             # (D = h + (i0+i)*g); lanes beyond R or j<0 invalid.
-            Inew = jnp.where(iv == 0, top_ref[0, 0, t], Inew)
-            Snew = jnp.where(iv == 0, top_ref[0, 1, t], Snew)
-            Dnew = jnp.where(iv == 0, top_ref[0, 2, t], Dnew)
-            is_left = (j == 0) & (iv > 0)
-            Inew = jnp.where(is_left, neg, Inew)
-            Snew = jnp.where(is_left, neg, Snew)
-            Dnew = jnp.where(is_left, hh + (i0 + iv) * gg, Dnew)
-            invalid = (j < 0) | (j > B_cols) | (iv > R_rows)
+            eq = iv == k
+            gt = iv > k
+            is_left = eq & nz_mask
+            dead_IS = is_left | gt
+            invalid = gt | (iv < k - B_cols) | gtR_mask
+            Inew = jnp.where(row0_mask, top_ref[0, 0, t], Inew)
+            Snew = jnp.where(row0_mask, top_ref[0, 1, t], Snew)
+            Dnew = jnp.where(row0_mask, top_ref[0, 2, t], Dnew)
+            Inew = jnp.where(dead_IS, neg, Inew)
+            Snew = jnp.where(dead_IS, neg, Snew)
+            Dnew = jnp.where(is_left, Dcol, Dnew)
             Inew = jnp.where(invalid, neg, Inew)
             Snew = jnp.where(invalid, neg, Snew)
             Dnew = jnp.where(invalid, neg, Dnew)
 
             Qnew = jnp.maximum(Inew, Snew)
-            cm = jnp.maximum(Qnew, Dnew)
             if is_local:
-                cm = jnp.maximum(cm, 0)
-                ig = i0 + iv
-                in_true = (~invalid) & (ig <= m) & (j <= n)
-                # Per-block running max only (start cell comes from a
-                # dirs-emitting refill when a traceback is requested).
-                fin_s[:] = jnp.maximum(
-                    fin_s[:], jnp.where(in_true, cm, int_min)
-                )
+                cm = jnp.maximum(jnp.maximum(Qnew, Dnew), 0)
+                # Keep-last per-lane argmax (>= keeps the later
+                # diagonal = larger j at fixed i), exactly like
+                # _kernel_batch; global i is i0 + lane, recovered by
+                # the caller's cross-block reduce.
+                in_true = (~invalid) & lem_mask & (iv >= k - n)
+                val = jnp.where(in_true, cm, int_min)
+                upd = val >= bv_s[:]
+                bv_s[:] = jnp.where(upd, val, bv_s[:])
+                bk_s[:] = jnp.where(upd, k - iv, bk_s[:])
+                fin_s[:] = jnp.maximum(fin_s[:], val)
             else:
-                fin_s[:] = jnp.where(
-                    (~invalid) & (i0 + iv == m) & (j == n), cm, fin_s[:]
-                )
+
+                @pl.when(k == m_i0 + n)
+                def _probe():
+                    cm = jnp.maximum(Qnew, Dnew)
+                    fin_s[:] = jnp.where(
+                        (iv == m_i0) & (~invalid), cm, fin_s[:]
+                    )
 
             lane_r, lane_c = divmod(R_rows, C)
             vals = jnp.stack(
@@ -616,6 +758,9 @@ def _kernel_tile_batch(
     @pl.when(g_id == pl.num_programs(1) - 1)
     def _finalize():
         fin_ref[0] = fin_s[:]
+        if is_local:
+            bv_ref[0] = bv_s[:]
+            bk_ref[0] = bk_s[:]
 
 
 @functools.partial(jax.jit, static_argnames=("is_local", "interpret", "R"))
@@ -643,9 +788,10 @@ def gotoh_scores_blocked(
     fixed per-step cost better than the smaller ramp waste here saves
     (4.5x more, cheaper steps lose).
 
-    Returns (score, start_i, start_j) of shape (B,) — start is
-    (m, n) for global; local returns the max value with (m, n)
-    placeholders (use the checkpointed path for local start cells).
+    Returns (score, start_i, start_j) of shape (B,) — (m, n) for
+    global; local mode returns the true reference start cell (last
+    row-major argmax, ``algo.rs:311-322``), carried per block and
+    merged with the keep-last tie-break.
     """
     B, Lm = s1eb.shape
     _, Ln = s2eb.shape
@@ -713,8 +859,10 @@ def gotoh_scores_blocked(
                 memory_space=pltpu.VMEM,
             ),
             pair_out,
-        ),
-        scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)] * 7,
+        )
+        + ((pair_out, pair_out) if is_local else ()),
+        scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)]
+        * (9 if is_local else 7),
     )
     kernel = functools.partial(
         _kernel_tile_batch,
@@ -745,23 +893,58 @@ def gotoh_scores_blocked(
             ],
             axis=1,
         )
-        bot, fin = pl.pallas_call(
+        out_shape = (
+            jax.ShapeDtypeStruct((B, shapes.Kp, 3, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, ROWS, C), jnp.int32),
+        )
+        if is_local:
+            out_shape += (
+                jax.ShapeDtypeStruct((B, ROWS, C), jnp.int32),
+            ) * 2
+        bot, fin, *rest = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=(
-                jax.ShapeDtypeStruct((B, shapes.Kp, 3, 128), jnp.int32),
-                jax.ShapeDtypeStruct((B, ROWS, C), jnp.int32),
-            ),
+            out_shape=out_shape,
             interpret=interpret,
         )(scalars, s1m_blk, s2inj, top_stream)
         new_top = jnp.transpose(bot[:, R : R + Ln + 1, :, 0], (0, 2, 1))
-        return new_top, jnp.max(fin.reshape(B, V), axis=1)
+        fin_max = jnp.max(fin.reshape(B, V), axis=1)
+        if not is_local:
+            return new_top, (fin_max,)
+        # Per-block reduce to (value, global i, global j) with the
+        # reference tie-break (larger value, then larger i, then
+        # larger j).
+        bv, bk = rest
+        bvf = bv.reshape(B, V)
+        bkf = bk.reshape(B, V)
+        ig = i0 + jnp.arange(V, dtype=jnp.int32)[None, :]
+        vmax = jnp.max(bvf, axis=1)
+        i_best = jnp.max(
+            jnp.where(bvf == vmax[:, None], ig, -1), axis=1
+        )
+        j_best = jnp.max(
+            jnp.where(
+                (bvf == vmax[:, None]) & (ig == i_best[:, None]), bkf, -1
+            ),
+            axis=1,
+        )
+        return new_top, (fin_max, vmax, i_best, j_best)
 
-    _, fins = jax.lax.scan(
+    _, outs = jax.lax.scan(
         block_step, top0, (s1m, jnp.arange(NB, dtype=jnp.int32))
     )
-    score = jnp.max(fins, axis=0)
-    return score, ms, ns
+    if not is_local:
+        return jnp.max(outs[0], axis=0), ms, ns
+    # Cross-block merge: blocks are ordered by increasing global i, so
+    # the keep-last (row-major) tie-break is again value > i > j max.
+    _, vs, is_, js = outs
+    vm = jnp.max(vs, axis=0)
+    im = jnp.max(jnp.where(vs == vm[None, :], is_, -1), axis=0)
+    jm = jnp.max(
+        jnp.where((vs == vm[None, :]) & (is_ == im[None, :]), js, -1),
+        axis=0,
+    )
+    return vm, im, jm
 
 
 def _kernel_batch(
@@ -792,7 +975,16 @@ def _kernel_batch(
       predecessor max arrives as shift(M) = max(shQ, shD) cached from
       the previous step;
     * global mode skips the local-argmax tracker entirely (only the
-      (m, n) capture matters).
+      (m, n) capture matters), captures the (m, n) probe under a
+      scalar ``pl.when(k == m + n)`` instead of a per-step vector
+      compare, and drops the NEG_INF re-clamp maxes: padded-lane
+      values then drift downward unclamped, but padding lanes only
+      ever feed other padding lanes (DP flow is down-right) and every
+      output read is masked to the true region — see the int32
+      headroom guard in ``gotoh_scores_pallas_batch``;
+    * boundary masks are factored into two per-step compares
+      (``iv == k``, ``iv > k``) plus static lane masks, with the
+      row-0 boundary values computed as *scalars* per step.
 
     The factoring reproduces the exact reference recurrence:
     I' = max(I+g, P+h+g, 0?), D' = max(shQ+h+g, shD+g, 0?),
@@ -836,6 +1028,12 @@ def _kernel_batch(
         fin_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
 
     zero_lane = jnp.int32(0) if is_local else neg
+    # Loop-invariant lane vectors (hoisted out of the diagonal loop).
+    row0_mask = iv == 0
+    nz_mask = iv > 0
+    Dcol = hh + iv * gg  # col-0 boundary D values per lane
+    if is_local:
+        lem_mask = iv <= m
 
     def body(t, _):
         k = g_id * shapes.chunk + t
@@ -849,46 +1047,60 @@ def _kernel_batch(
             shQ = _shift_down_flat(Qp[:], neg, row_idx, col_idx, C)
             shD = _shift_down_flat(Dp[:], neg, row_idx, col_idx, C)
 
-            j = k - iv
-            Inew = jnp.maximum(
-                jnp.maximum(Ip[:] + gg, Sp[:] + hg), zero_lane
-            )
-            Dnew = jnp.maximum(
-                jnp.maximum(shQ + hg, shD + gg), zero_lane
-            )
-            sub = jnp.where(s1m_ref[0] == s2j, sm, sx)
-            Snew = sub + jnp.maximum(shM[:], zero_lane)
+            if is_local:
+                Inew = jnp.maximum(
+                    jnp.maximum(Ip[:] + gg, Sp[:] + hg), zero_lane
+                )
+                Dnew = jnp.maximum(
+                    jnp.maximum(shQ + hg, shD + gg), zero_lane
+                )
+                sub = jnp.where(s1m_ref[0] == s2j, sm, sx)
+                Snew = sub + jnp.maximum(shM[:], zero_lane)
+            else:
+                Inew = jnp.maximum(Ip[:] + gg, Sp[:] + hg)
+                Dnew = jnp.maximum(shQ + hg, shD + gg)
+                sub = jnp.where(s1m_ref[0] == s2j, sm, sx)
+                Snew = sub + shM[:]
 
-            is_origin = (iv == 0) & (j == 0)
-            is_row0 = (iv == 0) & (j > 0)
-            is_col0 = (j == 0) & (iv > 0)
-            invalid = j < 0
-
-            Inew = jnp.where(is_row0, hh + j * gg, Inew)
-            Inew = jnp.where(is_col0 | invalid, neg, Inew)
-            Dnew = jnp.where(is_col0, hh + iv * gg, Dnew)
-            Dnew = jnp.where(is_row0 | invalid, neg, Dnew)
-            Snew = jnp.where(is_row0 | is_col0 | invalid, neg, Snew)
-            Inew = jnp.where(is_origin, 0, Inew)
-            Dnew = jnp.where(is_origin, 0, Dnew)
-            Snew = jnp.where(is_origin, 0, Snew)
+            # Boundary injection. Lane conditions factor into two
+            # per-step vector compares (iv == k -> col 0; iv > k ->
+            # left of col 0) plus static masks; the row-0 values are
+            # scalars (cell (0, k)).
+            eq = iv == k
+            gt = iv > k
+            col0 = eq & nz_mask
+            dead_IS = col0 | gt  # lanes where I and S are neg
+            topI_s = jnp.where(k == 0, 0, hh + k * gg)
+            topSD_s = jnp.where(k == 0, 0, neg)
+            Inew = jnp.where(row0_mask, topI_s, Inew)
+            Inew = jnp.where(dead_IS, neg, Inew)
+            Snew = jnp.where(row0_mask, topSD_s, Snew)
+            Snew = jnp.where(dead_IS, neg, Snew)
+            Dnew = jnp.where(col0, Dcol, Dnew)
+            Dnew = jnp.where(row0_mask, topSD_s, Dnew)
+            Dnew = jnp.where(gt, neg, Dnew)
 
             Qnew = jnp.maximum(Inew, Snew)
-            cm = jnp.maximum(Qnew, Dnew)
             if is_local:
+                cm = jnp.maximum(Qnew, Dnew)
                 cmc = jnp.maximum(cm, 0)
-                in_true = (iv <= m) & (j >= 0) & (j <= n)
+                # in_true: i <= m, 0 <= j <= n  (j = k - iv).
+                in_true = lem_mask & (~gt) & (iv >= k - n)
                 val = jnp.where(in_true, cmc, int_min)
                 upd = val >= bv_s[:]
                 bv_s[:] = jnp.where(upd, val, bv_s[:])
                 bk_s[:] = jnp.where(upd, k, bk_s[:])
-                fin_s[:] = jnp.where(
-                    (k == m + n) & (iv == m), cmc, fin_s[:]
-                )
+
+                @pl.when(k == m + n)
+                def _probe():
+                    fin_s[:] = jnp.where(iv == m, cmc, fin_s[:])
+
             else:
-                fin_s[:] = jnp.where(
-                    (k == m + n) & (iv == m), cm, fin_s[:]
-                )
+
+                @pl.when(k == m + n)
+                def _probe():
+                    cm = jnp.maximum(Qnew, Dnew)
+                    fin_s[:] = jnp.where(iv == m, cm, fin_s[:])
 
             shM[:] = jnp.maximum(shQ, shD)
             Ip[:] = Inew
@@ -928,6 +1140,28 @@ def gotoh_scores_pallas_batch(
     _, Ln = s2eb.shape
     shapes = _plan(Lm, Ln, emit_dirs=False)
     V, C = shapes.V, shapes.C
+
+    # Global mode drops the per-step NEG_INF re-clamp (see
+    # _kernel_batch): padded-lane values drift down by at most
+    # drift_rate per diagonal and must stay above INT32_MIN. The
+    # guard only fires when the scoring params are concrete (they are
+    # traced when this jit is nested under another trace; CLI/library
+    # entry points always pass concrete ints).
+    try:
+        drift_rate = (
+            abs(int(scores.g))
+            + abs(int(scores.h))
+            + abs(int(scores.s_mismatch))
+            + abs(int(scores.s_match))
+            + 1
+        )
+    except jax.errors.ConcretizationTypeError:
+        drift_rate = None
+    if drift_rate is not None and shapes.K * drift_rate >= 1 << 30:
+        raise ValueError(
+            f"scoring magnitudes too large for {shapes.K} diagonals "
+            "(int32 padded-lane drift headroom exceeded)"
+        )
 
     ms = jnp.asarray(ms, jnp.int32)
     ns = jnp.asarray(ns, jnp.int32)

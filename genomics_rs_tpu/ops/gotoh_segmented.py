@@ -1,0 +1,343 @@
+"""Row-segmented Pallas batch kernel for mid-length pairs (~0.1-4 kb).
+
+The flat diagonal kernel (``gotoh_pallas._kernel_batch``) pins ONE
+pair per dispatch row with a V >= 1024-lane wavefront vector; for
+pairs of a few hundred bases most lanes are idle (a 512-base pair
+keeps < 50% of the minimum vector busy) and the 256-2k band had no
+good engine (VERDICT r1 item 7).
+
+This kernel packs EIGHT pairs per (8, C) register pane — pair g lives
+in sublane row g, lane l of that row holding DP row i = l of pair g's
+wavefront. Because segments coincide with sublane rows:
+
+* the anti-diagonal shift is a pure lane-roll within each row
+  (``pltpu.roll(x, 1, axis=1)`` + one select) — no cross-row fixup at
+  all, cheaper than the flat kernel's shift;
+* per-pair per-step s2 injection is 8 SMEM scalars per step, stacked
+  into an (8, 1) column;
+* per-pair true lengths become loop-invariant (8, 1) mask columns.
+
+All pairs in a dispatch share the padded shape (Lm, Ln) — the
+length-bucketed all-pairs driver (``parallel/allpairs.py``) groups
+pairs so this holds cheaply.
+
+Semantics are identical to the scan oracle ``gotoh_scan.py`` (which
+mirrors ``/root/reference/src/alignment/algo.rs:151-282``): same
+recurrence, same local zero-floor placement, same keep-last row-major
+local argmax.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from genomics_rs_tpu.config import Scores
+from genomics_rs_tpu.ops.gotoh_scan import INT_MIN, NEG_INF
+
+ROWS = 8  # pairs per register pane (one per sublane row)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel_seg(
+    scalars,  # SMEM int32 (B, 8): m, n, sm, sx, g, h per pair
+    s1m_ref,  # VMEM int32 (1, 8, C): s1m[g, l] = s1_g[l-1]
+    s2i_ref,  # SMEM int32 (1, 8, chunk): s2 injection per pair/step
+    bv_ref,  # out (1, 8, C)
+    bk_ref,  # out (1, 8, C)
+    fin_ref,  # out (1, 8, C)
+    Ip,
+    Sp,
+    Dp,
+    Qp,
+    shM,
+    s2j_ref,
+    bv_s,
+    bk_s,
+    fin_s,
+    *,
+    K: int,
+    chunk: int,
+    C: int,
+    is_local: bool,
+):
+    b_id = pl.program_id(0)
+    g_id = pl.program_id(1)
+    base = b_id * ROWS
+
+    sm = scalars[base, 2]
+    sx = scalars[base, 3]
+    gg = scalars[base, 4]
+    hh = scalars[base, 5]
+    hg = hh + gg
+
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 1)
+    neg = jnp.int32(NEG_INF)
+    int_min = jnp.int32(INT_MIN)
+
+    # Per-pair true lengths as (8, 1) columns (loop-invariant).
+    mcol = jnp.stack(
+        [scalars[base + g, 0] for g in range(ROWS)]
+    ).reshape(ROWS, 1)
+    ncol = jnp.stack(
+        [scalars[base + g, 1] for g in range(ROWS)]
+    ).reshape(ROWS, 1)
+
+    row0_mask = col_idx == 0
+    nz_mask = col_idx > 0
+    Dcol = hh + col_idx * gg
+    lem_mask = col_idx <= mcol
+    eqm_mask = col_idx == mcol
+    mncol = mcol + ncol
+
+    @pl.when(g_id == 0)
+    def _init():
+        full_neg = jnp.full((ROWS, C), neg, dtype=jnp.int32)
+        Ip[:] = full_neg
+        Sp[:] = full_neg
+        Dp[:] = full_neg
+        Qp[:] = full_neg
+        shM[:] = full_neg
+        s2j_ref[:] = jnp.full((ROWS, C), 0xFF, dtype=jnp.int32)
+        if is_local:
+            bv_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+            bk_s[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
+        fin_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+
+    zero_lane = jnp.int32(0) if is_local else neg
+
+    def body(t, _):
+        k = g_id * chunk + t
+
+        @pl.when(k < K)
+        def _step():
+            inj = jnp.stack(
+                [s2i_ref[0, g, t] for g in range(ROWS)]
+            ).reshape(ROWS, 1)
+            s2j = jnp.where(
+                row0_mask, inj, pltpu.roll(s2j_ref[:], 1, axis=1)
+            )
+            s2j_ref[:] = s2j
+            shQ = jnp.where(row0_mask, neg, pltpu.roll(Qp[:], 1, axis=1))
+            shD = jnp.where(row0_mask, neg, pltpu.roll(Dp[:], 1, axis=1))
+
+            if is_local:
+                Inew = jnp.maximum(
+                    jnp.maximum(Ip[:] + gg, Sp[:] + hg), zero_lane
+                )
+                Dnew = jnp.maximum(
+                    jnp.maximum(shQ + hg, shD + gg), zero_lane
+                )
+                sub = jnp.where(s1m_ref[0] == s2j, sm, sx)
+                Snew = sub + jnp.maximum(shM[:], zero_lane)
+            else:
+                # Padded lanes drift unclamped; they only feed other
+                # padded lanes (DP flow is down-right within a row /
+                # to the same column of the next DP row) and every
+                # output read is masked — see the headroom guard in
+                # the wrapper.
+                Inew = jnp.maximum(Ip[:] + gg, Sp[:] + hg)
+                Dnew = jnp.maximum(shQ + hg, shD + gg)
+                sub = jnp.where(s1m_ref[0] == s2j, sm, sx)
+                Snew = sub + shM[:]
+
+            # Boundaries (lane l = DP row i of its pair; j = k - l).
+            eq = col_idx == k
+            gt = col_idx > k
+            col0 = eq & nz_mask
+            dead_IS = col0 | gt
+            topI_s = jnp.where(k == 0, 0, hh + k * gg)
+            topSD_s = jnp.where(k == 0, 0, neg)
+            Inew = jnp.where(row0_mask, topI_s, Inew)
+            Inew = jnp.where(dead_IS, neg, Inew)
+            Snew = jnp.where(row0_mask, topSD_s, Snew)
+            Snew = jnp.where(dead_IS, neg, Snew)
+            Dnew = jnp.where(col0, Dcol, Dnew)
+            Dnew = jnp.where(row0_mask, topSD_s, Dnew)
+            Dnew = jnp.where(gt, neg, Dnew)
+
+            Qnew = jnp.maximum(Inew, Snew)
+            if is_local:
+                cm = jnp.maximum(jnp.maximum(Qnew, Dnew), 0)
+                in_true = lem_mask & (~gt) & (col_idx >= k - ncol)
+                val = jnp.where(in_true, cm, int_min)
+                upd = val >= bv_s[:]
+                bv_s[:] = jnp.where(upd, val, bv_s[:])
+                bk_s[:] = jnp.where(upd, k, bk_s[:])
+            else:
+                # Per-pair (m, n) probes lie on different diagonals
+                # (k = m_g + n_g), so the capture is a per-step masked
+                # select rather than a scalar pl.when.
+                probe = eqm_mask & (k == mncol)
+                fin_s[:] = jnp.where(
+                    probe, jnp.maximum(Qnew, Dnew), fin_s[:]
+                )
+
+            shM[:] = jnp.maximum(shQ, shD)
+            Ip[:] = Inew
+            Sp[:] = jnp.maximum(Snew, Dnew)
+            Dp[:] = Dnew
+            Qp[:] = Qnew
+
+        return 0
+
+    jax.lax.fori_loop(0, chunk, body, 0)
+
+    @pl.when(g_id == pl.num_programs(1) - 1)
+    def _finalize():
+        if is_local:
+            bv_ref[0] = bv_s[:]
+            bk_ref[0] = bk_s[:]
+        else:
+            bv_ref[0] = jnp.zeros((ROWS, C), dtype=jnp.int32)
+            bk_ref[0] = jnp.zeros((ROWS, C), dtype=jnp.int32)
+        fin_ref[0] = fin_s[:]
+
+
+@functools.partial(jax.jit, static_argnames=("is_local", "interpret"))
+def gotoh_scores_segmented(
+    s1eb: jax.Array,
+    s2eb: jax.Array,
+    ms: jax.Array,
+    ns: jax.Array,
+    scores: Scores,
+    is_local: bool,
+    interpret: bool = False,
+):
+    """Score a batch of mid-length pairs, 8 per register pane.
+
+    Returns (score, start_i, start_j) of shape (B,). Shapes: s1eb
+    (B, Lm), s2eb (B, Ln), pairs padded alike (the bucketed all-pairs
+    driver guarantees this). Best for padded lengths ~128-4096; the
+    flat kernel (``gotoh_scores_pallas_batch``) wins beyond that.
+    """
+    B, Lm = s1eb.shape
+    _, Ln = s2eb.shape
+    C = max(_round_up(Lm + 1, 128), 128)
+    K = Lm + Ln + 1
+    chunk = 256
+    Kp = _round_up(K, chunk)
+
+    # int32 drift headroom guard (see kernel comment).
+    try:
+        drift_rate = (
+            abs(int(scores.g))
+            + abs(int(scores.h))
+            + abs(int(scores.s_mismatch))
+            + abs(int(scores.s_match))
+            + 1
+        )
+    except jax.errors.ConcretizationTypeError:
+        drift_rate = None
+    if drift_rate is not None and K * drift_rate >= 1 << 30:
+        raise ValueError(
+            f"scoring magnitudes too large for {K} diagonals "
+            "(int32 padded-lane drift headroom exceeded)"
+        )
+
+    # Pad the batch to a multiple of 8 with trivial pairs.
+    Bp = _round_up(max(B, 1), ROWS)
+    if Bp != B:
+        pad = Bp - B
+        s1eb = jnp.concatenate(
+            [s1eb, jnp.full((pad, Lm), 0xFE, dtype=s1eb.dtype)]
+        )
+        s2eb = jnp.concatenate(
+            [s2eb, jnp.full((pad, Ln), 0xFF, dtype=s2eb.dtype)]
+        )
+        ms = jnp.concatenate(
+            [jnp.asarray(ms, jnp.int32), jnp.ones(pad, jnp.int32)]
+        )
+        ns = jnp.concatenate(
+            [jnp.asarray(ns, jnp.int32), jnp.ones(pad, jnp.int32)]
+        )
+    ms = jnp.asarray(ms, jnp.int32)
+    ns = jnp.asarray(ns, jnp.int32)
+    Bg = Bp // ROWS
+
+    # s1m panes: (Bg, 8, C) with s1m[., g, l] = s1[l-1], lane 0 = 0xFD.
+    s1m = jnp.full((Bp, C), 0xFD, dtype=jnp.int32)
+    s1m = jax.lax.dynamic_update_slice(
+        s1m, s1eb.astype(jnp.int32), (jnp.int32(0), jnp.int32(1))
+    )
+    s1m = s1m.reshape(Bg, ROWS, C)
+
+    # s2 injection streams: (Bg, 8, Kp) with [k] = s2[k-1].
+    ks = jnp.arange(Kp, dtype=jnp.int32)
+    idx = jnp.clip(ks - 1, 0, Ln - 1)
+    s2inj = jnp.take_along_axis(
+        s2eb.astype(jnp.int32), jnp.broadcast_to(idx, (Bp, Kp)), axis=1
+    )
+    s2inj = jnp.where(ks - 1 >= Ln, 0xFF, s2inj).reshape(Bg, ROWS, Kp)
+
+    scalars = jnp.stack(
+        [
+            ms,
+            ns,
+            jnp.full((Bp,), scores.s_match, jnp.int32),
+            jnp.full((Bp,), scores.s_mismatch, jnp.int32),
+            jnp.full((Bp,), scores.g, jnp.int32),
+            jnp.full((Bp,), scores.h, jnp.int32),
+            jnp.zeros((Bp,), jnp.int32),
+            jnp.zeros((Bp,), jnp.int32),
+        ],
+        axis=1,
+    )
+
+    pane_out = pl.BlockSpec(
+        (1, ROWS, C), lambda b, g, s: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Bg, Kp // chunk),
+        in_specs=[
+            pl.BlockSpec(
+                (1, ROWS, C),
+                lambda b, g, s: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, ROWS, chunk),
+                lambda b, g, s: (b, 0, g),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=(pane_out, pane_out, pane_out),
+        scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)] * 9,
+    )
+    kernel = functools.partial(
+        _kernel_seg, K=K, chunk=chunk, C=C, is_local=is_local
+    )
+    bv, bk, fin = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((Bg, ROWS, C), jnp.int32)] * 3
+        ),
+        interpret=interpret,
+    )(scalars, s1m, s2inj)
+
+    col = jnp.arange(C, dtype=jnp.int32)[None, :]
+    finf = fin.reshape(Bp, C)
+    if is_local:
+        bvf = bv.reshape(Bp, C)
+        bkf = bk.reshape(Bp, C)
+        vmax = jnp.max(bvf, axis=1, keepdims=True)
+        i_best = jnp.max(jnp.where(bvf == vmax, col, -1), axis=1)
+        k_best = jnp.max(
+            jnp.where((bvf == vmax) & (col == i_best[:, None]), bkf, -1),
+            axis=1,
+        )
+        return (
+            vmax[:B, 0],
+            i_best[:B],
+            (k_best - i_best)[:B],
+        )
+    return jnp.max(finf, axis=1)[:B], ms[:B], ns[:B]

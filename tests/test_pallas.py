@@ -172,7 +172,7 @@ def test_blocked_batch_scores(is_local):
         s1b[i, : ms[i]] = bases[rng.integers(0, 4, ms[i])]
         s2b[i, : ns[i]] = bases[rng.integers(0, 4, ns[i])]
 
-    sc, _, _ = gotoh_scores_blocked(
+    sc, si, sj = gotoh_scores_blocked(
         s1b, s2b, ms, ns, SCORES, is_local, R=64, interpret=True
     )
     for i in range(B):
@@ -180,3 +180,7 @@ def test_blocked_batch_scores(is_local):
             s1b[i], s2b[i], ms[i], ns[i], SCORES, is_local
         )
         assert int(sc[i]) == int(ref.score), i
+        # Local mode must produce the true reference start cell (last
+        # row-major argmax), not placeholders — VERDICT r1 item 4.
+        assert int(si[i]) == int(ref.start_i), i
+        assert int(sj[i]) == int(ref.start_j), i
