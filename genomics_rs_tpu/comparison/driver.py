@@ -39,9 +39,26 @@ log = logging.getLogger(__name__)
 
 
 def recursive_lcs_similarity(
-    s1: str, s2: str, alphabet_file: str
+    s1: str, s2: str, alphabet_file: str, engine: str = "auto"
 ) -> tuple[int, int]:
-    """(total recursive LCS length, first LCS length) for one pair."""
+    """(total recursive LCS length, first LCS length) for one pair.
+
+    ``engine="native"`` runs the whole recursion in C++ with a reused
+    arena (``native/suffixtree.cpp::st_similarity``, ~20x the Python
+    loop); ``"python"`` keeps the per-sub-pair tree loop below (the
+    parity oracle); ``"auto"`` prefers native when available. Both are
+    output-identical (tests pin it).
+    """
+    if engine in ("auto", "native"):
+        try:
+            from genomics_rs_tpu.suffixtree.native import (
+                similarity_native,
+            )
+
+            return similarity_native(s1, s2, alphabet_file)
+        except (RuntimeError, OSError, AttributeError):
+            if engine == "native":
+                raise
     from genomics_rs_tpu.suffixtree import make_tree
 
     def get_matches(a: str, b: str):
@@ -112,11 +129,26 @@ def compare_all_pairs(
         if i <= j
     ]
 
+    try:
+        from genomics_rs_tpu.suffixtree.native import native_available
+
+        use_threads = native_available()
+    except Exception:  # noqa: BLE001
+        use_threads = False
+
     t0 = time.perf_counter()
     if threads <= 1:
         results = map(_pair_task, tasks)
         for i, j, score, first in results:
             matrix[j, i] = (score, len(seqs[i]), len(seqs[j]), first)
+    elif use_threads:
+        # The native similarity call releases the GIL, so a thread
+        # pool scales without process-spawn/import overhead.
+        with concurrent.futures.ThreadPoolExecutor(
+            max_workers=threads
+        ) as ex:
+            for i, j, score, first in ex.map(_pair_task, tasks):
+                matrix[j, i] = (score, len(seqs[i]), len(seqs[j]), first)
     else:
         with concurrent.futures.ProcessPoolExecutor(max_workers=threads) as ex:
             for i, j, score, first in ex.map(_pair_task, tasks):

@@ -140,6 +140,23 @@ int64_t break_edge(Tree* t, int64_t node, int32_t break_idx,
   return new_internal;
 }
 
+// First index where a and b differ, scanning block-wise with memcmp
+// (vectorized) before the byte tail — the naive per-char edge walk
+// dominated second-string insertion for highly similar genomes.
+inline int64_t first_mismatch(const char* a, const char* b, int64_t n) {
+  int64_t i = 0;
+  while (i + 4096 <= n) {
+    if (std::memcmp(a + i, b + i, 4096) != 0) break;
+    i += 4096;
+  }
+  while (i + 64 <= n) {
+    if (std::memcmp(a + i, b + i, 64) != 0) break;
+    i += 64;
+  }
+  while (i < n && a[i] == b[i]) ++i;
+  return i;
+}
+
 // Skip/count descent re-matching beta (tree.rs:633-734).
 int64_t node_hops(Tree* t, int64_t current, int32_t beta_start,
                   int32_t beta_end, int32_t beta_string_idx) {
@@ -169,14 +186,15 @@ int64_t node_hops(Tree* t, int64_t current, int32_t beta_start,
       remaining -= edge_len;
       cur = child;
     } else {
-      // Partial match: find the split point and break the edge.
+      // Partial match: find the split point and break the edge
+      // (memcmp-accelerated — this scan runs over the long tail of a
+      // split leaf edge on every CASE-2 suffix of a similar second
+      // string, and dominated generalized insertion per-char).
       const std::string& src = t->strings[child_src];
-      int32_t bidx = 0;
-      for (int32_t i = 0; i < remaining; ++i) {
-        if (src[child_start + i] != beta_string[beta_end - remaining + i])
-          break;
-        bidx = child_start + i + 1;
-      }
+      int64_t adv = first_mismatch(
+          src.data() + child_start,
+          beta_string.data() + (beta_end - remaining), remaining);
+      int32_t bidx = adv > 0 ? (int32_t)(child_start + adv) : 0;
       cur = break_edge(t, child, bidx, 0, 0, false, child_src,
                        beta_string_idx);
       break;
@@ -208,9 +226,23 @@ void find_path(Tree* t, int32_t suffix_idx, int64_t start_node,
     }
     const std::string& src_str = t->strings[current_src];
 
-    for (int32_t label_idx = edge_start; label_idx < edge_end; ++label_idx) {
+    // Edge-label walk, memcmp-accelerated; semantics identical to the
+    // per-char loop (tree.rs:808+): the virtual '\0' past the suffix
+    // end always mismatches a real edge char.
+    for (int32_t label_idx = edge_start; label_idx < edge_end;
+         ++label_idx) {
       if (suffix_sub_idx > suffix_len) break;
       int32_t spos = suffix_idx + suffix_sub_idx;
+      int64_t ncmp = (int64_t)(edge_end - label_idx);
+      if ((int64_t)(slen - spos) < ncmp) ncmp = slen - spos;
+      if (ncmp > 0) {
+        int64_t adv = first_mismatch(s.data() + spos,
+                                     src_str.data() + label_idx, ncmp);
+        label_idx += (int32_t)adv;
+        suffix_sub_idx += (int32_t)adv;
+        if (label_idx >= edge_end) break;
+        spos = suffix_idx + suffix_sub_idx;
+      }
       char suffix_char = (spos < slen) ? s[spos] : '\0';
       if (suffix_char != src_str[label_idx]) {
         break_edge(t, current, label_idx, spos, slen, true, current_src,
@@ -446,6 +478,93 @@ int st_lcs(void* tp, int32_t a, int32_t b, int64_t* out3) {
 
 int64_t st_num_strings(void* tp) {
   return (int64_t)((Tree*)tp)->strings.size();
+}
+
+// Compare-mode similarity for one pair: total length of recursively
+// found longest common substrings (the reference's Compare semantics,
+// /root/reference/src/main.rs:267-308 — fresh 2-string tree per
+// sub-pair, recurse on prefix and suffix remainders while LCS > 0).
+// Runs the whole recursion natively, reusing one arena across
+// sub-pairs: the per-sub-pair Python/ctypes/alloc overhead dominated
+// the pure-wrapper version (~2 us/char vs ~0.1 us/char here).
+// out2 = [total score, first LCS length]. Returns 0 on success.
+int st_similarity(const char* alphabet, int64_t alphabet_len,
+                  const char* a, int64_t alen, const char* b, int64_t blen,
+                  char term_a, char term_b, int64_t* out2) {
+  int32_t slot[256];
+  for (int i = 0; i < 256; ++i) slot[i] = NONE;
+  for (int64_t i = 0; i < alphabet_len; ++i) {
+    unsigned char c = (unsigned char)alphabet[i];
+    if (slot[c] == NONE) slot[c] = (int32_t)i;
+  }
+
+  Tree t;  // reused across sub-pairs (capacity persists)
+  std::memcpy(t.slot, slot, sizeof(slot));
+
+  struct Sub {
+    std::string a, b;
+    int64_t i, j, len;
+  };
+
+  // LCS of (sa+term_a, sb+term_b) via a fresh logical tree in the
+  // reused arena. Returns (i, j, len) with the tree code's exact
+  // tie-breaks (deepest qualifying node, first DFS leaf per string).
+  auto lcs = [&](const std::string& sa, const std::string& sb,
+                 int64_t out3[3]) -> int {
+    // Reset the arena without releasing capacity.
+    t.strings.clear();
+    t.leaf_ranges.clear();
+    t.next_internal_id = 0;
+    t.next_leaf_id = 1;
+    t.error = false;
+    size_t need0 = 1;
+    if (t.nodes.size() < need0) t.nodes.resize(need0);
+    t.nodes[0] = Node();
+    t.nodes[0].suffix_link = 0;
+    t.nodes[0].used = true;
+
+    std::string wa = sa;
+    wa.push_back(term_a);
+    std::string wb = sb;
+    wb.push_back(term_b);
+    // Stale nodes from a previous (larger) sub-pair are unreachable
+    // until re-created, and every creation path resets all fields —
+    // no range clearing needed, so node/children capacity is reused.
+
+    if (st_insert(&t, wa.data(), (int64_t)wa.size(), 1)) return 1;
+    if (st_insert(&t, wb.data(), (int64_t)wb.size(), 1)) return 1;
+    return st_lcs(&t, 0, 1, out3);
+  };
+
+  int64_t out3[3];
+  if (lcs(std::string(a, (size_t)alen), std::string(b, (size_t)blen), out3))
+    return 1;
+  int64_t first = out3[2];
+  int64_t score = 0;
+  std::vector<Sub> stack;
+  stack.push_back(Sub{std::string(a, (size_t)alen),
+                      std::string(b, (size_t)blen), out3[0], out3[1],
+                      out3[2]});
+  while (!stack.empty()) {
+    Sub s = std::move(stack.back());
+    stack.pop_back();
+    if (s.len > 0) {
+      std::string pa = s.a.substr(0, (size_t)s.i);
+      std::string pb = s.b.substr(0, (size_t)s.j);
+      if (lcs(pa, pb, out3)) return 1;
+      stack.push_back(
+          Sub{std::move(pa), std::move(pb), out3[0], out3[1], out3[2]});
+      std::string sa = s.a.substr((size_t)(s.i + s.len));
+      std::string sb = s.b.substr((size_t)(s.j + s.len));
+      if (lcs(sa, sb, out3)) return 1;
+      stack.push_back(
+          Sub{std::move(sa), std::move(sb), out3[0], out3[1], out3[2]});
+    }
+    score += s.len;
+  }
+  out2[0] = score;
+  out2[1] = first;
+  return 0;
 }
 
 }  // extern "C"

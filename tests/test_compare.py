@@ -33,6 +33,34 @@ def test_recursive_lcs_self():
     assert score == 7
 
 
+def test_native_similarity_matches_python():
+    """The C++ whole-recursion path (st_similarity) must be
+    output-identical to the Python per-sub-pair loop on randomized
+    pairs — same tree code, same LCS tie-breaks, same recursion."""
+    pytest.importorskip("genomics_rs_tpu.suffixtree.native")
+    from genomics_rs_tpu.suffixtree.native import native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(29)
+    alpha = reference_path("alphabets", "dna.txt")
+    for trial in range(6):
+        n1 = int(rng.integers(1, 400))
+        a = "".join(rng.choice(list("ACGT"), n1))
+        if trial % 2 == 0:
+            # Mutated copy — exercises deep shared substrings.
+            b = list(a)
+            for _ in range(max(1, n1 // 30)):
+                b[int(rng.integers(0, n1))] = rng.choice(list("ACGT"))
+            b = "".join(b)
+        else:
+            b = "".join(rng.choice(list("ACGT"), int(rng.integers(1, 400))))
+        py = recursive_lcs_similarity(a, b, alpha, engine="python")
+        nat = recursive_lcs_similarity(a, b, alpha, engine="native")
+        assert py == nat, (trial, a, b, py, nat)
+
+
 def test_compare_all_pairs(tmp_path):
     (tmp_path / "a.fasta").write_text(">a\nABANANA\n")
     (tmp_path / "b.fasta").write_text(">b\nBANANA\n")
