@@ -162,8 +162,13 @@ def main(argv: list[str] | None = None) -> int:
 
             if isinstance(tree, SuffixTree):
                 # Full Display: Graphviz for <100 nodes + stats
-                # (reference main.rs:211).
-                print(format_tree(tree))
+                # (reference main.rs:211); LOG_LEVEL=DEBUG appends the
+                # string-depth dump like RUST_LOG=debug
+                # (display.rs:50-52).
+                debug = (
+                    os.environ.get("LOG_LEVEL", "INFO").upper() == "DEBUG"
+                )
+                print(format_tree(tree, debug=debug))
             else:
                 print(format_tree_stats(tree.stats))
         return 0

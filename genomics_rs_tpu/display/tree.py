@@ -72,9 +72,29 @@ def _escape(s: str) -> str:
     return s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
 
 
-def format_tree(tree: SuffixTree) -> str:
+def format_string_depth(tree: SuffixTree) -> str:
+    """Preorder string-depth listing, reference debug parity
+    (``tree.rs:390-400``: "String Depth: depth (node ID)" then
+    "depth (nID), " per visited node)."""
+    parts = ["String Depth: depth (node ID)\n"]
+
+    def visit(node) -> bool:
+        parts.append(f"{node.string_depth} (n{node.id}), ")
+        return False
+
+    tree.dfs(visit, 0)
+    parts.append("\n\n")
+    return "".join(parts)
+
+
+def format_tree(tree: SuffixTree, debug: bool = False) -> str:
+    """``debug`` mirrors the reference's RUST_LOG=debug gate
+    (``display.rs:50-52``): the string-depth dump is appended between
+    the graphviz block and the stats."""
     parts = []
     if len(tree.nodes) < 100:
         parts.append("Graphviz:\n " + write_graphviz(tree))
+    if debug:
+        parts.append(format_string_depth(tree))
     parts.append("\nStats: " + format_tree_stats(tree.stats))
     return "\n".join(parts)

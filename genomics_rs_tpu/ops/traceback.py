@@ -24,11 +24,14 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import logging
 
 import numpy as np
 
 from genomics_rs_tpu.ops.gotoh_scan import DIR_DEL, DIR_INS, DIR_STOP, DIR_SUB
 from genomics_rs_tpu.sequence import Sequence
+
+log = logging.getLogger(__name__)
 
 
 class AlignmentChoice(enum.Enum):
@@ -98,6 +101,11 @@ def classify_moves(
         gap_extensions=0,
         opening_gaps=0,
     )
+    # Per-step retrace traces mirror the reference's RUST_LOG=debug
+    # output (``algo.rs:360-399``: "Match found at (i, j)" etc.); the
+    # reference also prints the cell max, which the 2-bit direction
+    # codes no longer carry — documented deviation.
+    dbg = log.isEnabledFor(logging.DEBUG)
     last_choice = AlignmentChoice.MATCH
     for code in codes:
         code = int(code)
@@ -106,10 +114,14 @@ def classify_moves(
                 last_choice = AlignmentChoice.MATCH
                 out.matches += 1
                 out.alignment.append((AlignmentChoice.MATCH, i, j))
+                if dbg:
+                    log.debug("Match found at (%d, %d)", i, j)
             else:
                 last_choice = AlignmentChoice.MISMATCH
                 out.mismatches += 1
                 out.alignment.append((AlignmentChoice.MISMATCH, i, j))
+                if dbg:
+                    log.debug("Mismatch found at (%d, %d)", i, j)
             i = max(i - 1, 0)
             j = max(j - 1, 0)
         elif code == DIR_INS:
@@ -121,6 +133,8 @@ def classify_moves(
                 choice = AlignmentChoice.OPEN_INSERT
             out.alignment.append((choice, i, j))
             last_choice = AlignmentChoice.INSERT
+            if dbg:
+                log.debug("Insert found at (%d, %d)", i, j)
             j = max(j - 1, 0)
         elif code == DIR_DEL:
             if last_choice == AlignmentChoice.DELETE:
@@ -131,6 +145,8 @@ def classify_moves(
                 choice = AlignmentChoice.OPEN_DELETE
             out.alignment.append((choice, i, j))
             last_choice = AlignmentChoice.DELETE
+            if dbg:
+                log.debug("Delete found at (%d, %d)", i, j)
             i = max(i - 1, 0)
         else:
             raise ValueError(f"Unexpected move code {code}")

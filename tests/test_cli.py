@@ -182,3 +182,63 @@ def test_cli_suffixtree_graphviz_small(tmp_path):
     assert 'color = "red" style = "dashed"' not in r.stdout or True
     # Integral average depth renders like Rust f64 Display ("2").
     assert "Average string depth: 2\n" in r.stdout
+
+
+def test_cli_debug_observability(tmp_path):
+    """LOG_LEVEL=DEBUG surfaces the reference's RUST_LOG=debug extras:
+    per-step retrace traces (algo.rs:345-399) and the suffix-tree
+    string-depth dump (display.rs:50-52, tree.rs:390-400)."""
+    env = dict(ENV, LOG_LEVEL="DEBUG")
+
+    pair = tmp_path / "pair.fasta"
+    pair.write_text(">s1\nACGTACGT\n>s2\nACGGACGT\n")
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "genomics_rs_tpu.cli",
+            "-c",
+            CONFIG,
+            "align",
+            "-a",
+            "global",
+            "-f",
+            str(pair),
+            "--engine",
+            "scan",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd=str(tmp_path),
+        env=env,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "Match found at (" in r.stderr
+    assert "Mismatch found at (" in r.stderr
+
+    fasta = tmp_path / "banana.fasta"
+    fasta.write_text(">b\nBANANA\n")
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "genomics_rs_tpu.cli",
+            "-c",
+            CONFIG,
+            "suffixtree",
+            "-a",
+            reference_path("alphabets", "banana.txt"),
+            "--stats",
+            "-f",
+            str(fasta),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd=str(tmp_path),
+        env=env,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "String Depth: depth (node ID)" in r.stdout
+    assert "(n0), " in r.stdout
