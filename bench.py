@@ -125,12 +125,18 @@ def _cpu_baseline(enc1, enc2, lens) -> float:
 
 
 def _median_time(fn, reps=3):
-    times = []
+    """Amortized per-call time over ``reps`` back-to-back calls.
+
+    The axon tunnel's dispatch is deeply asynchronous: timing single
+    calls (even with ``block_until_ready``) under-reports ms-scale
+    kernels by >100x. ``fn`` must force a host transfer of its result;
+    the amortized loop makes the pipeline drain visible in the total.
+    """
+    fn()
+    t0 = time.perf_counter()
     for _ in range(reps):
-        t0 = time.perf_counter()
         fn()
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    return (time.perf_counter() - t0) / reps
 
 
 def _roofline(cells_per_s: float, Lm: int, Ln: int) -> dict:
@@ -180,14 +186,14 @@ def run_headline() -> dict:
 
         def run_batch():
             out = gotoh_scores_pallas_batch(s1b, s2b, ms, ns, scores, False)
-            jax.block_until_ready(out)
+            np.asarray(out[0])  # host transfer forces completion
             return out
     else:
         from genomics_rs_tpu.parallel.batch import batch_scores
 
         def run_batch():
             out = batch_scores(s1b, s2b, ms, ns, scores, False)
-            jax.block_until_ready(out)
+            np.asarray(out.score)
             return out
 
     out = _retry(run_batch)
@@ -246,11 +252,11 @@ def run_full() -> dict:
         res = gotoh_fill_pallas(
             s1e, s2e, np.int32(m), np.int32(n), scores, False
         )
-        jax.block_until_ready(res.score)
+        np.asarray(res.score)
         return res
 
     _retry(run_dirs, label="dirs warmup")
-    dt = _median_time(run_dirs, reps=2)
+    dt = _median_time(run_dirs, reps=5)
     rows["single_pair_with_dirs"] = {
         "cells": pair_cells,
         "ms": dt * 1e3,
@@ -273,11 +279,11 @@ def run_full() -> dict:
 
     def run_reads():
         out = score_pairs(s1r, s2r, mr, nr, scores, False)
-        jax.block_until_ready(out)
+        np.asarray(out[0])
         return out
 
     _retry(run_reads, label="shortread warmup")
-    dt = _median_time(run_reads, reps=2)
+    dt = _median_time(run_reads, reps=8)
     read_cells = float(B) * (L + 1.0) ** 2
     rows["shortread_batch"] = {
         "reads": B,
@@ -321,11 +327,11 @@ def run_full() -> dict:
             mesh, s1e8, s2e, np.int32(m), np.int32(n), scores, False,
             engine="pallas",
         )
-        jax.block_until_ready(out.score)
+        np.asarray(out.score)
         return out
 
     _retry(run_seqpar, label="seqpar warmup")
-    dt = _median_time(run_seqpar, reps=2)
+    dt = _median_time(run_seqpar, reps=5)
     rows["seqpar_1dev_mesh"] = {
         "ms": dt * 1e3,
         "cells_per_s": pair_cells / dt,

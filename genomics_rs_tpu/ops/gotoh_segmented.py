@@ -25,6 +25,18 @@ Semantics are identical to the scan oracle ``gotoh_scan.py`` (which
 mirrors ``/root/reference/src/alignment/algo.rs:151-282``): same
 recurrence, same local zero-floor placement, same keep-last row-major
 local argmax.
+
+Measured crossovers (one v5e chip, amortized 10-rep timing, square
+pairs, global mode; cells/s):
+
+    B x L          segmented   flat (_kernel_batch)
+    1024 x 1024    8.1e9       2.1e9
+     256 x 2048    1.2e10      3.9e9
+      64 x 4096    1.5e10      6.1e9
+      16 x 8192    1.9e10      1.1e10
+
+Routing (``parallel/batch.py::score_pairs``): shortread <= 256 <
+segmented <= 8192 < flat.
 """
 
 from __future__ import annotations

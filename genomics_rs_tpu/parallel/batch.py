@@ -127,10 +127,10 @@ SHORTREAD_MAX_LEN = 256
 
 #: Above SHORTREAD_MAX_LEN and up to this padded length the
 #: row-segmented kernel (8 pairs per register pane,
-#: ``ops/gotoh_segmented.py``) fills the flat kernel's idle lanes —
-#: the 256-2k band that round 1 served badly (VERDICT item 7). See
-#: the measured crossover table in that module's docstring.
-SEGMENTED_MAX_LEN = 4096
+#: ``ops/gotoh_segmented.py``) beats the flat diagonal kernel — by
+#: 3.9x at 1 kb, 3.0x at 2 kb, 2.4x at 4 kb and still 1.7x at 8 kb
+#: (measured, see the crossover table in that module's docstring).
+SEGMENTED_MAX_LEN = 8192
 
 
 def score_pairs(
