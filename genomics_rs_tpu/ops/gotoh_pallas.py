@@ -1035,82 +1035,102 @@ def _kernel_batch(
     if is_local:
         lem_mask = iv <= m
 
-    def body(t, _):
-        k = g_id * shapes.chunk + t
+    def step_ssa(state, k, inj):
+        """One diagonal, pure SSA in/out (no scratch traffic)."""
+        s2j0, I0, P0, D0, Q0, M0, bv0, bk0 = state
+        s2j = _shift_down_flat(s2j0, inj, row_idx, col_idx, C)
+        shQ = _shift_down_flat(Q0, neg, row_idx, col_idx, C)
+        shD = _shift_down_flat(D0, neg, row_idx, col_idx, C)
 
-        @pl.when(k < shapes.K)
-        def _step():
-            inj = s2i_ref[0, 0, t]
-            s2j = _shift_down_flat(s2j_ref[:], inj, row_idx, col_idx, C)
-            s2j_ref[:] = s2j
+        if is_local:
+            Inew = jnp.maximum(jnp.maximum(I0 + gg, P0 + hg), zero_lane)
+            Dnew = jnp.maximum(jnp.maximum(shQ + hg, shD + gg), zero_lane)
+            sub = jnp.where(s1m_ref[0] == s2j, sm, sx)
+            Snew = sub + jnp.maximum(M0, zero_lane)
+        else:
+            Inew = jnp.maximum(I0 + gg, P0 + hg)
+            Dnew = jnp.maximum(shQ + hg, shD + gg)
+            sub = jnp.where(s1m_ref[0] == s2j, sm, sx)
+            Snew = sub + M0
 
-            shQ = _shift_down_flat(Qp[:], neg, row_idx, col_idx, C)
-            shD = _shift_down_flat(Dp[:], neg, row_idx, col_idx, C)
+        # Boundary injection. Lane conditions factor into two
+        # per-step vector compares (iv == k -> col 0; iv > k ->
+        # left of col 0) plus static masks; the row-0 values are
+        # scalars (cell (0, k)).
+        eq = iv == k
+        gt = iv > k
+        col0 = eq & nz_mask
+        dead_IS = col0 | gt  # lanes where I and S are neg
+        topI_s = jnp.where(k == 0, 0, hh + k * gg)
+        topSD_s = jnp.where(k == 0, 0, neg)
+        Inew = jnp.where(row0_mask, topI_s, Inew)
+        Inew = jnp.where(dead_IS, neg, Inew)
+        Snew = jnp.where(row0_mask, topSD_s, Snew)
+        Snew = jnp.where(dead_IS, neg, Snew)
+        Dnew = jnp.where(col0, Dcol, Dnew)
+        Dnew = jnp.where(row0_mask, topSD_s, Dnew)
+        Dnew = jnp.where(gt, neg, Dnew)
 
-            if is_local:
-                Inew = jnp.maximum(
-                    jnp.maximum(Ip[:] + gg, Sp[:] + hg), zero_lane
-                )
-                Dnew = jnp.maximum(
-                    jnp.maximum(shQ + hg, shD + gg), zero_lane
-                )
-                sub = jnp.where(s1m_ref[0] == s2j, sm, sx)
-                Snew = sub + jnp.maximum(shM[:], zero_lane)
-            else:
-                Inew = jnp.maximum(Ip[:] + gg, Sp[:] + hg)
-                Dnew = jnp.maximum(shQ + hg, shD + gg)
-                sub = jnp.where(s1m_ref[0] == s2j, sm, sx)
-                Snew = sub + shM[:]
+        Qnew = jnp.maximum(Inew, Snew)
+        if is_local:
+            cm = jnp.maximum(Qnew, Dnew)
+            cmc = jnp.maximum(cm, 0)
+            # in_true: i <= m, 0 <= j <= n  (j = k - iv).
+            in_true = lem_mask & (~gt) & (iv >= k - n)
+            val = jnp.where(in_true, cmc, int_min)
+            upd = val >= bv0
+            bv0 = jnp.where(upd, val, bv0)
+            bk0 = jnp.where(upd, k, bk0)
 
-            # Boundary injection. Lane conditions factor into two
-            # per-step vector compares (iv == k -> col 0; iv > k ->
-            # left of col 0) plus static masks; the row-0 values are
-            # scalars (cell (0, k)).
-            eq = iv == k
-            gt = iv > k
-            col0 = eq & nz_mask
-            dead_IS = col0 | gt  # lanes where I and S are neg
-            topI_s = jnp.where(k == 0, 0, hh + k * gg)
-            topSD_s = jnp.where(k == 0, 0, neg)
-            Inew = jnp.where(row0_mask, topI_s, Inew)
-            Inew = jnp.where(dead_IS, neg, Inew)
-            Snew = jnp.where(row0_mask, topSD_s, Snew)
-            Snew = jnp.where(dead_IS, neg, Snew)
-            Dnew = jnp.where(col0, Dcol, Dnew)
-            Dnew = jnp.where(row0_mask, topSD_s, Dnew)
-            Dnew = jnp.where(gt, neg, Dnew)
+            @pl.when(k == m + n)
+            def _probe():
+                fin_s[:] = jnp.where(iv == m, cmc, fin_s[:])
 
-            Qnew = jnp.maximum(Inew, Snew)
-            if is_local:
+        else:
+
+            @pl.when(k == m + n)
+            def _probe():
                 cm = jnp.maximum(Qnew, Dnew)
-                cmc = jnp.maximum(cm, 0)
-                # in_true: i <= m, 0 <= j <= n  (j = k - iv).
-                in_true = lem_mask & (~gt) & (iv >= k - n)
-                val = jnp.where(in_true, cmc, int_min)
-                upd = val >= bv_s[:]
-                bv_s[:] = jnp.where(upd, val, bv_s[:])
-                bk_s[:] = jnp.where(upd, k, bk_s[:])
+                fin_s[:] = jnp.where(iv == m, cm, fin_s[:])
 
-                @pl.when(k == m + n)
-                def _probe():
-                    fin_s[:] = jnp.where(iv == m, cmc, fin_s[:])
+        return (
+            s2j,
+            Inew,
+            jnp.maximum(Snew, Dnew),
+            Dnew,
+            Qnew,
+            jnp.maximum(shQ, shD),
+            bv0,
+            bk0,
+        )
 
-            else:
+    # Unrolled x2: one scratch load + one store per TWO diagonals —
+    # measured issue-slot-bound (a 1.6x ALU cut left throughput
+    # unchanged), so halving VMEM round-trips is the remaining lever.
+    # Steps beyond K run harmlessly (pad injections never match, the
+    # probes/argmax are masked; see the drift headroom guard).
+    UNROLL = 2
 
-                @pl.when(k == m + n)
-                def _probe():
-                    cm = jnp.maximum(Qnew, Dnew)
-                    fin_s[:] = jnp.where(iv == m, cm, fin_s[:])
-
-            shM[:] = jnp.maximum(shQ, shD)
-            Ip[:] = Inew
-            Sp[:] = jnp.maximum(Snew, Dnew)
-            Dp[:] = Dnew
-            Qp[:] = Qnew
-
+    def body(t, _):
+        k0 = g_id * shapes.chunk + UNROLL * t
+        state = (
+            s2j_ref[:],
+            Ip[:],
+            Sp[:],
+            Dp[:],
+            Qp[:],
+            shM[:],
+            bv_s[:] if is_local else None,
+            bk_s[:] if is_local else None,
+        )
+        for sub in range(UNROLL):
+            state = step_ssa(state, k0 + sub, s2i_ref[0, 0, UNROLL * t + sub])
+        (s2j_ref[:], Ip[:], Sp[:], Dp[:], Qp[:], shM[:]) = state[:6]
+        if is_local:
+            bv_s[:], bk_s[:] = state[6], state[7]
         return 0
 
-    jax.lax.fori_loop(0, shapes.chunk, body, 0)
+    jax.lax.fori_loop(0, shapes.chunk // UNROLL, body, 0)
 
     @pl.when(g_id == pl.num_programs(1) - 1)
     def _finalize():
