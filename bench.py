@@ -335,6 +335,28 @@ def run_full() -> dict:
             "cells_per_s_2pass": 2 * (len(sl) + 1.0) ** 2 / dt,
         }
 
+    # --- chr12 x chr12 exact score (1.16e12 cells, rolling blocks) --
+    chr12 = os.path.join(REF, "test_data", "chr12.fasta")
+    if os.path.exists(chr12):
+        from genomics_rs_tpu.models.longalign import score_long
+
+        c3 = SequenceContainer()
+        c3.from_fasta(chr12)
+        ch = c3.sequences[0]
+        t0 = time.perf_counter()
+        sc12 = _retry(
+            lambda: score_long(ch, ch, scores)[0],
+            attempts=2,
+            label="chr12",
+        )
+        dt = time.perf_counter() - t0
+        rows["chr12_score"] = {
+            "len": len(ch),
+            "score": int(sc12),
+            "s": dt,
+            "cells_per_s": (len(ch) + 1.0) ** 2 / dt,
+        }
+
     # --- sequence-parallel pipeline on a 1-device mesh -------------
     from genomics_rs_tpu.ops.gotoh_pallas import gotoh_scores_pallas_batch
     from genomics_rs_tpu.parallel.longseq import sharded_gotoh_score

@@ -67,7 +67,17 @@ def _build_parser() -> argparse.ArgumentParser:
     rd.add_argument("-q", "--queries", required=True)
     rd.add_argument("-r", "--refs", required=True)
     rd.add_argument("-a", "--alignment-type", default="local")
-    rd.add_argument("--engine", default="auto", choices=["auto", "shortread", "pallas", "scan"])
+    rd.add_argument(
+        "--engine",
+        default="auto",
+        choices=["auto", "shortread", "segmented", "pallas", "scan"],
+    )
+    rd.add_argument(
+        "--align",
+        action="store_true",
+        help="full per-read alignments (stats + CIGAR columns) instead "
+        "of score-only",
+    )
     rd.add_argument("-o", "--output", default="read_scores.tsv")
 
     am = sub.add_parser(
@@ -220,6 +230,30 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         is_local = args.alignment_type in ("local", "1")
         B = len(queries)
+        if args.align:
+            import time
+
+            from genomics_rs_tpu.models.reads import align_reads, cigar
+
+            t0 = time.perf_counter()
+            aligned = align_reads(
+                queries, refs, config.scores, is_local=is_local
+            )
+            dt = time.perf_counter() - t0
+            print(f"{B} reads aligned in {dt:.3f}s")
+            with open(args.output, "w") as f:
+                f.write(
+                    "query\tref\tscore\tmatches\tmismatches\t"
+                    "gap_extensions\topening_gaps\tcigar\n"
+                )
+                for q, r, a in zip(queries, refs, aligned):
+                    f.write(
+                        f"{q.name}\t{r.name}\t{a.score}\t{a.matches}\t"
+                        f"{a.mismatches}\t{a.gap_extensions}\t"
+                        f"{a.opening_gaps}\t{cigar(a)}\n"
+                    )
+            print(f"wrote {args.output}")
+            return 0
         L1 = max(max(len(s) for s in queries), 1)
         L2 = max(max(len(s) for s in refs), 1)
         L1 = -(-L1 // 128) * 128

@@ -242,3 +242,34 @@ def test_cli_debug_observability(tmp_path):
     assert r.returncode == 0, r.stderr
     assert "String Depth: depth (node ID)" in r.stdout
     assert "(n0), " in r.stdout
+
+
+def test_cli_reads_align(tmp_path):
+    """reads --align emits per-read stats + CIGAR columns."""
+    q = tmp_path / "q.fasta"
+    r = tmp_path / "r.fasta"
+    q.write_text(">q0\nACGTACGT\n>q1\nACGTTTACGT\n")
+    r.write_text(">r0\nACGGACGT\n>r1\nACGTACGT\n")
+    res = _run(
+        [
+            "reads",
+            "-q",
+            str(q),
+            "-r",
+            str(r),
+            "-a",
+            "global",
+            "--align",
+            "-o",
+            str(tmp_path / "out.tsv"),
+        ],
+        str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr
+    lines = (tmp_path / "out.tsv").read_text().splitlines()
+    assert lines[0].split("\t") == [
+        "query", "ref", "score", "matches", "mismatches",
+        "gap_extensions", "opening_gaps", "cigar",
+    ]
+    assert lines[1].split("\t")[7] == "8M"
+    assert "I" in lines[2].split("\t")[7]

@@ -1,0 +1,72 @@
+"""Batched read alignment: per-read results must be bit-identical to
+the single-pair aligner, and CIGARs must round-trip the path."""
+
+import numpy as np
+import pytest
+
+from genomics_rs_tpu.config import Scores
+from genomics_rs_tpu.models.aligner import PairwiseAligner
+from genomics_rs_tpu.models.reads import align_reads, cigar
+from genomics_rs_tpu.sequence import Sequence
+
+SCORES = Scores(s_match=1, s_mismatch=-2, g=-1, h=-5)
+
+
+@pytest.mark.parametrize("is_local", [False, True])
+def test_align_reads_matches_single_pair(is_local):
+    rng = np.random.default_rng(71)
+    queries, refs = [], []
+    for k in range(7):
+        n = int(rng.integers(20, 120))
+        q = "".join(rng.choice(list("ACGT"), n))
+        # Mutated/shifted copy so alignments are non-trivial.
+        r = list(q)
+        for _ in range(max(1, n // 15)):
+            r[int(rng.integers(0, n))] = rng.choice(list("ACGT"))
+        r = "".join(r)[int(rng.integers(0, 3)) :]
+        queries.append(Sequence(f"q{k}", q))
+        refs.append(Sequence(f"r{k}", r))
+
+    batch = align_reads(queries, refs, SCORES, is_local=is_local, batch=3)
+    single = PairwiseAligner(SCORES, is_local=is_local, engine="scan")
+    for k in range(7):
+        want = single.align(queries[k], refs[k])
+        got = batch[k]
+        assert got.score == want.score, k
+        assert got.alignment == want.alignment, k
+        assert (got.matches, got.mismatches, got.gap_extensions,
+                got.opening_gaps) == (
+            want.matches,
+            want.mismatches,
+            want.gap_extensions,
+            want.opening_gaps,
+        ), k
+
+
+def test_cigar_roundtrip():
+    q = Sequence("q", "ACGTACGT")
+    r = Sequence("r", "ACGGACGT")
+    a = align_reads([q], [r], SCORES, is_local=False)[0]
+    c = cigar(a)
+    assert c == "8M"
+    # Consumed lengths reconstruct the sequence lengths.
+    import re
+
+    runs = [(int(n), op) for n, op in re.findall(r"(\d+)([MID])", c)]
+    q_len = sum(n for n, op in runs if op in ("M", "I"))
+    r_len = sum(n for n, op in runs if op in ("M", "D"))
+    assert q_len == len(q) and r_len == len(r)
+
+
+def test_cigar_gap():
+    q = Sequence("q", "ACGTTTACGT")
+    r = Sequence("r", "ACGTACGT")
+    a = align_reads([q], [r], SCORES, is_local=False)[0]
+    c = cigar(a)
+    import re
+
+    runs = [(int(n), op) for n, op in re.findall(r"(\d+)([MID])", c)]
+    q_len = sum(n for n, op in runs if op in ("M", "I"))
+    r_len = sum(n for n, op in runs if op in ("M", "D"))
+    assert q_len == len(q) and r_len == len(r)
+    assert any(op == "I" for _, op in runs)  # the 2-base query insertion
