@@ -295,8 +295,9 @@ def run_full() -> dict:
     s2r = np.full((B, Lpad), PAD_S2, np.uint8)
     s1r[:, :L] = bases[rng.integers(0, 4, (B, L))]
     s2r[:, :L] = bases[rng.integers(0, 4, (B, L))]
-    mr = np.full(B, L, np.int32)
-    nr = np.full(B, L, np.int32)
+    s1r, s2r = jax.device_put(s1r), jax.device_put(s2r)
+    mr = jax.device_put(np.full(B, L, np.int32))
+    nr = jax.device_put(np.full(B, L, np.int32))
 
     def run_reads():
         out = score_pairs(s1r, s2r, mr, nr, scores, False)
