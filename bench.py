@@ -49,18 +49,18 @@ sys.path.insert(0, REPO)
 REF = "/root/reference"
 SCORE_ARGS = dict(s_match=1, s_mismatch=-2, g=-1, h=-5)
 
-#: int32 VPU ALU ops per lane-step of the optimized score-only batch
-#: kernel (_kernel_batch, global mode): 3 flat shifts x 2 + I(3) +
-#: D(3) + sub/S(3) + boundary masks/selects(11) + Q/carries(3).
-OPS_PER_LANE_STEP = 29
-#: VMEM scratch issue slots per lane-step: 6 pane loads (s2j, Q, D,
-#: I, P, shM) + 6 pane stores, amortized over the kernel's UNROLL=2
-#: (one load/store set per two diagonals; the unroll bought +4.6%,
-#: confirming partial memory-slot sensitivity). Cutting ALU ops 1.6x
-#: left throughput unchanged (measured), i.e. the kernel is
-#: issue-slot bound, so the roofline is reported both ALU-only and
-#: total-slot.
-MEM_SLOTS_PER_LANE_STEP = 6
+#: int32 VPU ALU ops per lane-step of the streamed multi-segment
+#: score kernel (_kernel_stream, global mode): 3 flat shifts x 2 +
+#: I(3) + D(3) + sub/S(3) + boundary selects(7) + segment counter(3)
+#: + s1 seam swap(1) + probe(3) + Q/carries(3).
+OPS_PER_LANE_STEP = 32
+#: VMEM scratch issue slots per lane-step: 9 pane loads (s2j, I, P,
+#: D, Q, shM, counter, s1cur, fin) + 9 pane stores, amortized over
+#: the kernel's UNROLL=2 (one load/store set per two diagonals).
+#: The predecessor flat kernel was measured issue-slot bound (a 1.6x
+#: ALU cut left throughput unchanged), so the roofline is reported
+#: both ALU-only and total-slot.
+MEM_SLOTS_PER_LANE_STEP = 9
 #: v5e VPU peak int32 issue slots/s: 8 * 128 * 4 ALUs * 0.94 GHz.
 VPU_PEAK = 8 * 128 * 4 * 0.94e9
 
@@ -147,12 +147,19 @@ def _median_time(fn, reps=3):
     return (time.perf_counter() - t0) / reps
 
 
-def _roofline(cells_per_s: float, Lm: int, Ln: int) -> dict:
-    """ops/cell + fraction of VPU peak for the batch kernel plan."""
-    from genomics_rs_tpu.ops.gotoh_pallas import _plan
+def _roofline(
+    cells_per_s: float, Lm: int, Ln: int, P: int, cells: float
+) -> dict:
+    """ops/cell + fraction of VPU peak for the stream kernel plan.
 
-    shapes = _plan(Lm, Ln, emit_dirs=False)
-    lane_steps_per_cell = shapes.V * shapes.Kp / (Lm * Ln)
+    The stream kernel's ramp factor (V*Kp / true cells) is ~1.1 for a
+    full-length batch — the per-pair anti-diagonal ramp (2.05x for the
+    flat batch kernel) is amortized across the whole segment stream.
+    """
+    from genomics_rs_tpu.ops.gotoh_stream import _plan_stream
+
+    V, _, _, _, Kp = _plan_stream(Lm, Ln, P)
+    lane_steps_per_cell = V * Kp / cells
     ops_per_cell = lane_steps_per_cell * OPS_PER_LANE_STEP
     ops_per_s = cells_per_s * ops_per_cell
     slots_per_s = cells_per_s * lane_steps_per_cell * (
@@ -201,12 +208,13 @@ def run_headline() -> dict:
     )
 
     if on_tpu:
-        from genomics_rs_tpu.ops.gotoh_pallas import (
-            gotoh_scores_pallas_batch,
-        )
+        from genomics_rs_tpu.ops.gotoh_stream import gotoh_scores_stream
+
+        ms_h = np.asarray(ms)
+        ns_h = np.asarray(ns)
 
         def run_batch():
-            out = gotoh_scores_pallas_batch(s1b, s2b, ms, ns, scores, False)
+            out = gotoh_scores_stream(s1b, s2b, ms_h, ns_h, scores, False)
             np.asarray(out[0])  # host transfer forces completion
             return out
     else:
@@ -224,7 +232,9 @@ def run_headline() -> dict:
     dt = _median_time(run_batch)
     value = cells / dt
     baseline = _cpu_baseline(enc1, enc2, lens)
-    roof = _roofline(value, int(s1b.shape[1]), int(s2b.shape[1]))
+    roof = _roofline(
+        value, int(s1b.shape[1]), int(s2b.shape[1]), len(pairs), cells
+    )
     return {
         "pairs": len(ms),
         "cells": cells,
@@ -503,6 +513,16 @@ def run_smoke() -> int:
         )
         check("segmented_batch", got, loc)
 
+    # Streamed multi-segment kernel (global mode; local routes to the
+    # flat kernel inside the wrapper).
+    from genomics_rs_tpu.ops.gotoh_stream import gotoh_scores_stream
+
+    got = _retry(
+        lambda: gotoh_scores_stream(s1b, s2b, ms, ns, scores, False),
+        label="smoke stream",
+    )
+    check("stream_batch", got, False)
+
     # Short-read row-scan kernel (Lpad <= 256 on both sides).
     s1s = s1b[:, :256].copy()
     mss = np.minimum(ms, 250)
@@ -625,14 +645,14 @@ def main() -> None:
                 "metric": (
                     "Gotoh DP cell-updates/sec/chip: all-pairs 10-genome "
                     f"corpus ({h['pairs']} pairs, {h['cells']:.3g} cells, "
-                    f"batch fill {h['batch_ms']:.0f} ms, sample score "
+                    "streamed multi-segment kernel, one continuous "
+                    f"wavefront, fill {h['batch_ms']:.0f} ms, sample score "
                     f"{h['sample_score']}); roofline {roof['alu_ops_per_cell']}"
-                    f" ALU ops/cell incl {roof['ramp_factor']}x diagonal ramp"
+                    f" ALU ops/cell incl {roof['ramp_factor']}x residual ramp"
                     f" = {roof['pct_of_vpu_peak_alu']}% of v5e VPU peak ALU"
                     f" ({roof['vpu_peak_ops_per_s']:.3g} int32 op/s), "
                     f"{roof['pct_of_vpu_peak_slots']}% counting VMEM ld/st"
-                    " issue slots (measured issue-bound: a 1.6x ALU cut"
-                    " left throughput unchanged);"
+                    " issue slots;"
                     " CPU baseline (native/gotoh_cpu.cpp, 1 core) "
                     f"{h['cpu_baseline_cells_per_s']:.3g} cells/s"
                 ),

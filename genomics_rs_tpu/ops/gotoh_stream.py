@@ -1,0 +1,387 @@
+"""Streamed multi-segment Gotoh score kernel: many pairs, ONE wavefront.
+
+The flat batched kernel (``gotoh_pallas.gotoh_scores_pallas_batch``)
+pays the anti-diagonal ramp per pair: lane i is only active for
+diagonals ``k in [i, i+n]``, so over a pair's ``m+n+1`` steps the
+V-lane vector is ~50% idle for square pairs (the measured 2.05x
+"ramp factor" in ``bench.py``). This kernel removes that waste for a
+*batch* by concatenating every pair's columns into one continuous
+stream: segment t occupies global columns ``[t*L1, t*L1 + Ln]`` and the
+col-0 boundary of the next pair is re-injected per lane the moment that
+lane finishes the previous pair — lane utilization approaches
+``true_cells / (V * Kp)`` ~ 85-95% instead of ~49%.
+
+How a pair boundary works (vs the reference's per-pair fresh loops,
+``/root/reference/src/alignment/algo.rs:151-282``):
+
+* each lane carries a column counter ``c = (k - lane) mod L1``;
+  ``c == 0`` marks the lane entering column 0 of its next segment and
+  overwrites I/S = -inf, D = h + i*g (the reference's boundary column,
+  ``algo.rs:204-219``) — the overwrite is also the firewall that stops
+  any padded-column garbage from leaking across segments;
+* the lane's s1 character swaps at the same moment from the next
+  pair's s1 pane (at any step at most ONE lane crosses a seam, because
+  the segment stride L1 exceeds the lane count V; ``L1 % chunk == 0``
+  additionally pins each grid chunk inside a single segment window so
+  the pane block index is a pure function of the grid step);
+* row 0 (lane 0) consumes precomputed top-boundary scalars per step,
+  exactly like the single-pair kernel's boundary stream;
+* the (m_t, n_t) probe of segment t fires at the known step
+  ``t*L1 + m_t + n_t``: the probed value is captured into a scratch
+  pane, reduced over sublanes and flushed to HBM once per chunk (the
+  wrapper guarantees at most one probe per chunk, else it falls back
+  to the flat batch kernel).
+
+Score-only and global-mode only (local mode needs per-segment argmax
+resets; route local batches to the flat kernel). The recurrence,
+factored carries and flat (8, V/8) diagonal layout are identical to
+``_kernel_batch`` — see that kernel's docstring for the algebra.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from genomics_rs_tpu.config import Scores
+from genomics_rs_tpu.ops.gotoh_pallas import (
+    ROWS,
+    _round_up,
+    _shift_down_flat,
+)
+from genomics_rs_tpu.ops.gotoh_scan import INT_MIN, NEG_INF
+
+#: diagonals per grid step (SMEM stream block width).
+CHUNK = 512
+#: SSA unroll factor: one scratch load/store set per UNROLL diagonals
+#: (the flat batch kernel is measured issue-slot bound; same trade).
+UNROLL = 2
+
+
+def _plan_stream(Lm: int, Ln: int, P: int):
+    """(V, C, L1, K, Kp) for a P-segment stream of (Lm, Ln) pairs.
+
+    L1 (the segment stride) must (a) cover a segment's Ln+1 columns,
+    (b) exceed V + CHUNK so only one seam sweeps the lane space at a
+    time and no chunk straddles two segment windows, and (c) be a
+    CHUNK multiple so every chunk lies inside one segment window.
+    """
+    V = max(_round_up(Lm + 1, 1024), 1024)
+    L1 = _round_up(max(Ln + 1, V + CHUNK), CHUNK)
+    K = (P - 1) * L1 + Lm + Ln + 1
+    Kp = _round_up(K, CHUNK)
+    return V, V // ROWS, L1, K, Kp
+
+
+def _kernel_stream(
+    scalars,  # SMEM int32[4]: sm, sx, g, h
+    s1pane_ref,  # VMEM int32 (1, 8, C): s1 pane of the active segment
+    cinit_ref,  # VMEM int32 (8, C): per-lane counter at "step -1"
+    s2i_ref,  # SMEM int32 (1, chunk): injected s2 chars
+    topI_ref,  # SMEM int32 (1, chunk): row-0 I boundary per step
+    topSD_ref,  # SMEM int32 (1, chunk): row-0 S/D boundary per step
+    probe_ref,  # SMEM int32 (1, chunk): probe lane (or -1) per step
+    fin_out_ref,  # VMEM int32 (1, C) out: chunk's probe capture
+    s2j_ref,
+    Ip,
+    Pp,
+    Dp,
+    Qp,
+    shM,
+    cnt_ref,
+    s1cur,
+    fin_s,
+    *,
+    C: int,
+    L1: int,
+    chunk: int,
+):
+    g_id = pl.program_id(0)
+    sm = scalars[0]
+    sx = scalars[1]
+    gg = scalars[2]
+    hh = scalars[3]
+    hg = hh + gg
+
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 0)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 1)
+    iv = row_idx * C + col_idx
+    neg = jnp.int32(NEG_INF)
+    int_min = jnp.int32(INT_MIN)
+
+    @pl.when(g_id == 0)
+    def _init():
+        full_neg = jnp.full((ROWS, C), neg, dtype=jnp.int32)
+        Ip[:] = full_neg
+        Pp[:] = full_neg
+        Dp[:] = full_neg
+        Qp[:] = full_neg
+        shM[:] = full_neg
+        s2j_ref[:] = jnp.full((ROWS, C), 0xFF, dtype=jnp.int32)
+        cnt_ref[:] = cinit_ref[:]
+        s1cur[:] = s1pane_ref[0]
+
+    # The probe accumulator is flushed and reset every chunk, so a
+    # stale capture from pair t can never outlive the chunk pair t+1's
+    # probe lands in (the wrapper guarantees distinct probe chunks).
+    fin_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+
+    row0_mask = iv == 0
+    Dcol = hh + iv * gg  # col-0 boundary D = h + i*g, per lane
+
+    def step_ssa(state, t):
+        (s2j0, I0, P0, D0, Q0, M0, c0, s1c0, bfin) = state
+        inj = s2i_ref[0, t]
+        # Per-lane segment-local column counter; c == 0 <=> this lane
+        # enters column 0 of its next segment at this step.
+        c1 = c0 + 1
+        c1 = jnp.where(c1 == L1, 0, c1)
+        col0 = c1 == 0
+        # Seam: swap in the next pair's s1 character for the crossing
+        # lane (at most one lane per step; the presented pane is the
+        # entered segment's because chunks never straddle seams).
+        s1c1 = jnp.where(col0, s1pane_ref[0], s1c0)
+
+        s2j = _shift_down_flat(s2j0, inj, row_idx, col_idx, C)
+        shQ = _shift_down_flat(Q0, neg, row_idx, col_idx, C)
+        shD = _shift_down_flat(D0, neg, row_idx, col_idx, C)
+
+        # Identical factored recurrence to _kernel_batch (global).
+        Inew = jnp.maximum(I0 + gg, P0 + hg)
+        Dnew = jnp.maximum(shQ + hg, shD + gg)
+        sub = jnp.where(s1c1 == s2j, sm, sx)
+        Snew = sub + M0
+
+        # Column-0 boundary (I/S = -inf, D = h + i*g), then the row-0
+        # stream overrides lane 0 (including the (0, 0) corner = 0).
+        Inew = jnp.where(col0, neg, Inew)
+        Snew = jnp.where(col0, neg, Snew)
+        Dnew = jnp.where(col0, Dcol, Dnew)
+        topI_s = topI_ref[0, t]
+        topSD_s = topSD_ref[0, t]
+        Inew = jnp.where(row0_mask, topI_s, Inew)
+        Snew = jnp.where(row0_mask, topSD_s, Snew)
+        Dnew = jnp.where(row0_mask, topSD_s, Dnew)
+
+        Qnew = jnp.maximum(Inew, Snew)
+        # Probe capture: pr is the probed lane or -1 (never matches
+        # iv >= 0) — one select against the per-step SMEM scalar.
+        pr = probe_ref[0, t]
+        bfin = jnp.where(iv == pr, jnp.maximum(Qnew, Dnew), bfin)
+        return (
+            s2j,
+            Inew,
+            jnp.maximum(Snew, Dnew),
+            Dnew,
+            Qnew,
+            jnp.maximum(shQ, shD),
+            c1,
+            s1c1,
+            bfin,
+        )
+
+    def body(tt, _):
+        state = (
+            s2j_ref[:],
+            Ip[:],
+            Pp[:],
+            Dp[:],
+            Qp[:],
+            shM[:],
+            cnt_ref[:],
+            s1cur[:],
+            fin_s[:],
+        )
+        for sub in range(UNROLL):
+            state = step_ssa(state, UNROLL * tt + sub)
+        (
+            s2j_ref[:],
+            Ip[:],
+            Pp[:],
+            Dp[:],
+            Qp[:],
+            shM[:],
+            cnt_ref[:],
+            s1cur[:],
+            fin_s[:],
+        ) = state
+        return 0
+
+    jax.lax.fori_loop(0, chunk // UNROLL, body, 0)
+    # Lane-reduce the probe pane to (8, 1) and broadcast into the
+    # chunk's (1, 8, 128) output block (Mosaic requires the block's
+    # trailing dims to be (8, 128)-aligned; a (1, C) row is not).
+    fin_out_ref[0] = jnp.broadcast_to(
+        jnp.max(fin_s[:], axis=1, keepdims=True), (ROWS, 128)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("P", "Lm", "Ln", "interpret"))
+def _stream_call(
+    s1eb: jax.Array,
+    s2eb: jax.Array,
+    ms: jax.Array,
+    ns: jax.Array,
+    scores: Scores,
+    P: int,
+    Lm: int,
+    Ln: int,
+    interpret: bool,
+) -> jax.Array:
+    V, C, L1, K, Kp = _plan_stream(Lm, Ln, P)
+    neg = jnp.int32(NEG_INF)
+
+    # s1 panes, one per segment: flat index v holds s1[v-1] (0xFD at
+    # v=0 and beyond Lm never matches any s2 char or sentinel).
+    s1m = jnp.full((P, V), 0xFD, dtype=jnp.int32)
+    s1m = jax.lax.dynamic_update_slice(
+        s1m, s1eb.astype(jnp.int32), (jnp.int32(0), jnp.int32(1))
+    )
+    s1panes = s1m.reshape(P, ROWS, C)
+
+    # Per-lane counter at "step -1": c_{-1}[lane] = (-1 - lane) mod L1
+    # so the incremented counter hits 0 exactly at step k = lane of
+    # segment 0 (and every L1 steps after).
+    ivf = jnp.arange(V, dtype=jnp.int32)
+    cinit = ((-1 - ivf) % L1).reshape(ROWS, C)
+
+    # Streams over global steps: the char entering row 0 at step k is
+    # column k of the concatenated layout = segment t = k // L1, local
+    # column c = k - t*L1 (char s2eb[t][c-1]); sentinel elsewhere.
+    ks = jnp.arange(Kp, dtype=jnp.int32)
+    t = ks // L1
+    c = ks - t * L1
+    tc = jnp.clip(t, 0, P - 1)
+    charidx = jnp.clip(c - 1, 0, Ln - 1)
+    inj = jnp.take(s2eb.astype(jnp.int32).reshape(-1), tc * Ln + charidx)
+    inj = jnp.where((c >= 1) & (c <= Ln) & (t < P), inj, 0xFF)[None, :]
+
+    # Row-0 boundary per step (reference algo.rs:193-219): corner
+    # (0, 0) = 0 in all three matrices; I(0, c) = h + c*g, S/D = -inf.
+    gg = jnp.int32(scores.g)
+    hh = jnp.int32(scores.h)
+    topI = jnp.where(c == 0, 0, hh + c * gg)
+    topI = jnp.where(t < P, topI, neg)[None, :]
+    topSD = jnp.where((c == 0) & (t < P), 0, neg)[None, :]
+
+    # Probe steps: segment t's (m_t, n_t) cell lies on lane m_t at
+    # step t*L1 + m_t + n_t.
+    ms = jnp.asarray(ms, jnp.int32)
+    ns = jnp.asarray(ns, jnp.int32)
+    probe_ks = ms + ns + jnp.arange(P, dtype=jnp.int32) * L1
+    probe = jnp.full((Kp,), -1, jnp.int32).at[probe_ks].set(ms)[None, :]
+
+    scalars = jnp.stack(
+        [
+            jnp.int32(scores.s_match),
+            jnp.int32(scores.s_mismatch),
+            gg,
+            hh,
+        ]
+    )
+
+    G = Kp // CHUNK
+    smem_chunk = pl.BlockSpec(
+        (1, CHUNK), lambda g, s: (0, g), memory_space=pltpu.SMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, ROWS, C),
+                lambda g, s: (jnp.minimum(g * CHUNK // L1, P - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (ROWS, C), lambda g, s: (0, 0), memory_space=pltpu.VMEM
+            ),
+            smem_chunk,
+            smem_chunk,
+            smem_chunk,
+            smem_chunk,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ROWS, 128), lambda g, s: (g, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)] * 9,
+    )
+    kernel = functools.partial(
+        _kernel_stream, C=C, L1=L1, chunk=CHUNK
+    )
+    fin = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G, ROWS, 128), jnp.int32),
+        interpret=interpret,
+    )(scalars, s1panes, cinit, inj, topI, topSD, probe)
+
+    return jnp.max(fin[probe_ks // CHUNK], axis=(-2, -1))
+
+
+def gotoh_scores_stream(
+    s1eb,
+    s2eb,
+    ms,
+    ns,
+    scores: Scores,
+    is_local: bool = False,
+    interpret: bool = False,
+):
+    """Score a batch of pairs through one continuous wavefront stream.
+
+    Same contract as ``gotoh_scores_pallas_batch``: returns
+    ``(score, start_i, start_j)`` of shape (B,). Host-level entry —
+    ``ms``/``ns`` must be concrete (the probe-placement checks run on
+    the host). Falls back to the flat batch kernel when the stream
+    formulation doesn't apply: local mode (per-segment argmax resets
+    not implemented), a single pair (no ramp to amortize), probe-chunk
+    collisions (pairs much shorter than their padding), or traced
+    lengths.
+    """
+    from genomics_rs_tpu.ops.gotoh_pallas import gotoh_scores_pallas_batch
+
+    def fallback():
+        return gotoh_scores_pallas_batch(
+            s1eb, s2eb, ms, ns, scores, is_local, interpret=interpret
+        )
+
+    B, Lm = s1eb.shape
+    _, Ln = s2eb.shape
+    if is_local or B < 2:
+        return fallback()
+    try:
+        ms_np = np.asarray(ms, dtype=np.int64)
+        ns_np = np.asarray(ns, dtype=np.int64)
+        drift_rate = (
+            abs(int(scores.g))
+            + abs(int(scores.h))
+            + abs(int(scores.s_mismatch))
+            + abs(int(scores.s_match))
+            + 1
+        )
+    except (jax.errors.ConcretizationTypeError, jax.errors.TracerArrayConversionError):
+        return fallback()
+    _, _, L1, _, _ = _plan_stream(Lm, Ln, B)
+    # Garbage lanes are re-clamped by a boundary write at least every
+    # L1 steps (plus the <= V pre-start window); same int32 headroom
+    # argument as the flat kernel but with a much smaller window.
+    if 2 * L1 * drift_rate >= 1 << 30:
+        return fallback()
+    probe_chunks = (ms_np + ns_np + np.arange(B, dtype=np.int64) * L1) // CHUNK
+    if (
+        np.any(ms_np < 1)
+        or np.any(ns_np < 1)
+        or len(np.unique(probe_chunks)) < B
+    ):
+        return fallback()
+    sc = _stream_call(
+        s1eb, s2eb, ms, ns, scores, P=B, Lm=Lm, Ln=Ln, interpret=interpret
+    )
+    return sc, jnp.asarray(ms, jnp.int32), jnp.asarray(ns, jnp.int32)

@@ -145,8 +145,11 @@ def score_pairs(
     """Score a batch of encoded pairs, picking the best kernel.
 
     engine: "auto" (TPU: shortread for read-scale pairs, row-segmented
-    for the mid-length band, flat diagonal batch kernel beyond; CPU:
-    vmap scan), or one of "shortread", "segmented", "pallas", "scan".
+    for the mid-length band, the streamed multi-segment kernel for
+    global long-pair batches — measured ~1.8x the flat kernel on the
+    55-pair corpus — and the flat diagonal batch kernel otherwise;
+    CPU: vmap scan), or one of "shortread", "segmented", "stream",
+    "pallas", "scan".
 
     Returns (score, start_i, start_j) arrays of shape (B,).
     """
@@ -157,10 +160,16 @@ def score_pairs(
                 engine = "shortread"
             elif s1b.shape[1] <= SEGMENTED_MAX_LEN:
                 engine = "segmented"
+            elif not is_local and s1b.shape[0] >= 2:
+                engine = "stream"
             else:
                 engine = "pallas"
         else:
             engine = "scan"
+    if engine == "stream":
+        from genomics_rs_tpu.ops.gotoh_stream import gotoh_scores_stream
+
+        return gotoh_scores_stream(s1b, s2b, ms, ns, scores, is_local)
     if engine == "shortread":
         from genomics_rs_tpu.ops.gotoh_shortread import (
             gotoh_scores_shortread,
