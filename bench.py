@@ -272,6 +272,32 @@ def run_full() -> dict:
     m, n = len(s1), len(s2)
     pair_cells = (m + 1.0) * (n + 1.0)
 
+    # --- local-mode batch (stream kernel, per-segment argmax) ------
+    from genomics_rs_tpu.ops.gotoh_stream import gotoh_scores_stream
+
+    enc1, enc2, lens = _encode_corpus(container)
+    num = len(lens)
+    pairs_l = [(i, j) for j in range(num) for i in range(num) if i <= j]
+    s1c = jax.device_put(np.stack([enc1[i] for i, _ in pairs_l]))
+    s2c = jax.device_put(np.stack([enc2[j] for _, j in pairs_l]))
+    mc = np.array([lens[i] for i, _ in pairs_l], dtype=np.int32)
+    nc = np.array([lens[j] for _, j in pairs_l], dtype=np.int32)
+    local_cells = float(np.sum((mc + 1.0) * (nc + 1.0)))
+
+    def run_local():
+        out = gotoh_scores_stream(s1c, s2c, mc, nc, scores, True)
+        np.asarray(out[0])
+        return out
+
+    _retry(run_local, label="local stream warmup")
+    dt = _median_time(run_local)
+    rows["local_batch_stream"] = {
+        "pairs": len(pairs_l),
+        "cells": local_cells,
+        "ms": dt * 1e3,
+        "cells_per_s": local_cells / dt,
+    }
+
     # --- single pair WITH traceback bitmap -------------------------
     from genomics_rs_tpu.ops.gotoh_pallas import gotoh_fill_pallas
 
@@ -513,15 +539,18 @@ def run_smoke() -> int:
         )
         check("segmented_batch", got, loc)
 
-    # Streamed multi-segment kernel (global mode; local routes to the
-    # flat kernel inside the wrapper).
+    # Streamed multi-segment kernel (global probe capture + local
+    # per-segment keep-last argmax with start cells).
     from genomics_rs_tpu.ops.gotoh_stream import gotoh_scores_stream
 
-    got = _retry(
-        lambda: gotoh_scores_stream(s1b, s2b, ms, ns, scores, False),
-        label="smoke stream",
-    )
-    check("stream_batch", got, False)
+    for loc in (False, True):
+        got = _retry(
+            lambda loc=loc: gotoh_scores_stream(
+                s1b, s2b, ms, ns, scores, loc
+            ),
+            label="smoke stream",
+        )
+        check("stream_batch", got, loc)
 
     # Short-read row-scan kernel (Lpad <= 256 on both sides).
     s1s = s1b[:, :256].copy()

@@ -32,10 +32,22 @@ How a pair boundary works (vs the reference's per-pair fresh loops,
   wrapper guarantees at most one probe per chunk, else it falls back
   to the flat batch kernel).
 
-Score-only and global-mode only (local mode needs per-segment argmax
-resets; route local batches to the flat kernel). The recurrence,
-factored carries and flat (8, V/8) diagonal layout are identical to
-``_kernel_batch`` — see that kernel's docstring for the algebra.
+Local mode streams too: each lane carries a running (best value,
+best column) pair for its *current* segment plus that segment's
+(m, n) bounds (swapped at the seam from per-chunk SMEM scalars, like
+the s1 character). When the lane crosses a seam the finished
+segment's best is flushed into a per-chunk candidate accumulator,
+reduced to (value, lane, column) rows at chunk end; the wrapper
+re-assembles each segment's argmax from its flush window of
+``V/CHUNK`` chunks with the reference's keep-last row-major tie-break
+(``algo.rs:311-322``: larger i wins, then larger j). The stream runs
+``P*L1 + V`` steps so the final segment's lanes all cross one more
+seam and flush.
+
+The recurrence, factored carries and flat (8, V/8) diagonal layout
+are identical to ``_kernel_batch`` — see that kernel's docstring for
+the algebra (including the local zero-floor placement inside every
+predecessor max, reference quirk ``algo.rs:103``).
 """
 
 from __future__ import annotations
@@ -69,12 +81,20 @@ def _plan_stream(Lm: int, Ln: int, P: int):
 
     L1 (the segment stride) must (a) cover a segment's Ln+1 columns,
     (b) exceed V + CHUNK so only one seam sweeps the lane space at a
-    time and no chunk straddles two segment windows, and (c) be a
-    CHUNK multiple so every chunk lies inside one segment window.
+    time, no chunk straddles two segment windows, and consecutive
+    segments' local-mode flush windows (V/CHUNK chunks each) never
+    overlap, and (c) be a CHUNK multiple so every chunk lies inside
+    one segment window.
+
+    K runs to ``P*L1 + V`` (not just the last true cell): lane i
+    flushes its segment-t local argmax when it crosses into segment
+    t+1 at step ``(t+1)*L1 + i``, so the final segment needs every
+    lane to cross one more seam (~0.1% extra steps; also paid in
+    global mode to keep the plan single).
     """
     V = max(_round_up(Lm + 1, 1024), 1024)
     L1 = _round_up(max(Ln + 1, V + CHUNK), CHUNK)
-    K = (P - 1) * L1 + Lm + Ln + 1
+    K = max((P - 1) * L1 + Lm + Ln + 1, P * L1 + V)
     Kp = _round_up(K, CHUNK)
     return V, V // ROWS, L1, K, Kp
 
@@ -86,22 +106,48 @@ def _kernel_stream(
     s2i_ref,  # SMEM int32 (1, chunk): injected s2 chars
     topI_ref,  # SMEM int32 (1, chunk): row-0 I boundary per step
     topSD_ref,  # SMEM int32 (1, chunk): row-0 S/D boundary per step
-    probe_ref,  # SMEM int32 (1, chunk): probe lane (or -1) per step
-    fin_out_ref,  # VMEM int32 (1, C) out: chunk's probe capture
-    s2j_ref,
-    Ip,
-    Pp,
-    Dp,
-    Qp,
-    shM,
-    cnt_ref,
-    s1cur,
-    fin_s,
-    *,
+    *rest,  # mode-dependent streams, outputs and scratch (see below)
     C: int,
     L1: int,
     chunk: int,
+    is_local: bool,
 ):
+    if is_local:
+        (
+            mseg_ref,  # SMEM int32 (1, chunk): m of the step's segment
+            nseg_ref,  # SMEM int32 (1, chunk): n of the step's segment
+            val_out,  # VMEM (1, 8, 128) out: chunk flush best value
+            lane_out,  # VMEM (1, 8, 128) out: per-sublane argmax lane
+            j_out,  # VMEM (1, 8, 128) out: per-sublane argmax column
+            s2j_ref,
+            Ip,
+            Pp,
+            Dp,
+            Qp,
+            shM,
+            cnt_ref,
+            s1cur,
+            bv_s,  # running best value, current segment, per lane
+            bj_s,  # its column
+            mc_s,  # current segment's m, per lane
+            nc_s,  # current segment's n, per lane
+            cv_s,  # chunk flush accumulator: value
+            cj_s,  # chunk flush accumulator: column
+        ) = rest
+    else:
+        (
+            probe_ref,  # SMEM int32 (1, chunk): probe lane (-1) per step
+            fin_out_ref,  # VMEM int32 (1, 8, 128) out: probe capture
+            s2j_ref,
+            Ip,
+            Pp,
+            Dp,
+            Qp,
+            shM,
+            cnt_ref,
+            s1cur,
+            fin_s,
+        ) = rest
     g_id = pl.program_id(0)
     sm = scalars[0]
     sx = scalars[1]
@@ -126,17 +172,33 @@ def _kernel_stream(
         s2j_ref[:] = jnp.full((ROWS, C), 0xFF, dtype=jnp.int32)
         cnt_ref[:] = cinit_ref[:]
         s1cur[:] = s1pane_ref[0]
+        if is_local:
+            bv_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+            bj_s[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
+            # m/n = -1 masks every lane until its first seam crossing
+            # loads the real bounds (the pre-start window).
+            mc_s[:] = jnp.full((ROWS, C), -1, dtype=jnp.int32)
+            nc_s[:] = jnp.full((ROWS, C), -1, dtype=jnp.int32)
 
-    # The probe accumulator is flushed and reset every chunk, so a
-    # stale capture from pair t can never outlive the chunk pair t+1's
-    # probe lands in (the wrapper guarantees distinct probe chunks).
-    fin_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+    # The per-chunk accumulators are flushed and reset every chunk:
+    # the probe capture (global) so a stale capture from pair t never
+    # outlives its chunk; the seam-flush candidates (local) so each
+    # chunk reports only the lanes that crossed during it.
+    if is_local:
+        cv_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+        cj_s[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
+        # Constant across the chunk (chunks never straddle seams).
+        mseg = mseg_ref[0, 0]
+        nseg = nseg_ref[0, 0]
+    else:
+        fin_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
 
     row0_mask = iv == 0
     Dcol = hh + iv * gg  # col-0 boundary D = h + i*g, per lane
+    zero = jnp.int32(0)
 
     def step_ssa(state, t):
-        (s2j0, I0, P0, D0, Q0, M0, c0, s1c0, bfin) = state
+        (s2j0, I0, P0, D0, Q0, M0, c0, s1c0, *loc) = state
         inj = s2i_ref[0, t]
         # Per-lane segment-local column counter; c == 0 <=> this lane
         # enters column 0 of its next segment at this step.
@@ -147,16 +209,33 @@ def _kernel_stream(
         # lane (at most one lane per step; the presented pane is the
         # entered segment's because chunks never straddle seams).
         s1c1 = jnp.where(col0, s1pane_ref[0], s1c0)
+        if is_local:
+            bv0, bj0, mc0, nc0, cv0, cj0 = loc
+            # Flush the finished segment's per-lane best into the
+            # chunk accumulator, reset the running best, and load the
+            # entered segment's (m, n) bounds.
+            cv0 = jnp.where(col0, bv0, cv0)
+            cj0 = jnp.where(col0, bj0, cj0)
+            bv0 = jnp.where(col0, int_min, bv0)
+            mc0 = jnp.where(col0, mseg, mc0)
+            nc0 = jnp.where(col0, nseg, nc0)
 
         s2j = _shift_down_flat(s2j0, inj, row_idx, col_idx, C)
         shQ = _shift_down_flat(Q0, neg, row_idx, col_idx, C)
         shD = _shift_down_flat(D0, neg, row_idx, col_idx, C)
 
-        # Identical factored recurrence to _kernel_batch (global).
-        Inew = jnp.maximum(I0 + gg, P0 + hg)
-        Dnew = jnp.maximum(shQ + hg, shD + gg)
+        # Identical factored recurrence to _kernel_batch; local mode
+        # injects the reference's raw-0 lane inside every predecessor
+        # max (algo.rs:103).
         sub = jnp.where(s1c1 == s2j, sm, sx)
-        Snew = sub + M0
+        if is_local:
+            Inew = jnp.maximum(jnp.maximum(I0 + gg, P0 + hg), zero)
+            Dnew = jnp.maximum(jnp.maximum(shQ + hg, shD + gg), zero)
+            Snew = sub + jnp.maximum(M0, zero)
+        else:
+            Inew = jnp.maximum(I0 + gg, P0 + hg)
+            Dnew = jnp.maximum(shQ + hg, shD + gg)
+            Snew = sub + M0
 
         # Column-0 boundary (I/S = -inf, D = h + i*g), then the row-0
         # stream overrides lane 0 (including the (0, 0) corner = 0).
@@ -170,10 +249,22 @@ def _kernel_stream(
         Dnew = jnp.where(row0_mask, topSD_s, Dnew)
 
         Qnew = jnp.maximum(Inew, Snew)
-        # Probe capture: pr is the probed lane or -1 (never matches
-        # iv >= 0) — one select against the per-step SMEM scalar.
-        pr = probe_ref[0, t]
-        bfin = jnp.where(iv == pr, jnp.maximum(Qnew, Dnew), bfin)
+        if is_local:
+            # Keep-last running argmax over the lane's true cells
+            # (boundary cells clamp to 0 exactly like _kernel_batch;
+            # see its cmc derivation for why that matches algo.rs).
+            cmc = jnp.maximum(jnp.maximum(Qnew, Dnew), zero)
+            val = jnp.where((iv <= mc0) & (c1 <= nc0), cmc, int_min)
+            upd = val >= bv0
+            bv0 = jnp.where(upd, val, bv0)
+            bj0 = jnp.where(upd, c1, bj0)
+            tail = (bv0, bj0, mc0, nc0, cv0, cj0)
+        else:
+            # Probe capture: pr is the probed lane or -1 (never
+            # matches iv >= 0) — one select per step.
+            pr = probe_ref[0, t]
+            bfin = jnp.where(iv == pr, jnp.maximum(Qnew, Dnew), loc[0])
+            tail = (bfin,)
         return (
             s2j,
             Inew,
@@ -183,46 +274,52 @@ def _kernel_stream(
             jnp.maximum(shQ, shD),
             c1,
             s1c1,
-            bfin,
-        )
+        ) + tail
+
+    if is_local:
+        tail_refs = (bv_s, bj_s, mc_s, nc_s, cv_s, cj_s)
+    else:
+        tail_refs = (fin_s,)
+    core_refs = (s2j_ref, Ip, Pp, Dp, Qp, shM, cnt_ref, s1cur)
 
     def body(tt, _):
-        state = (
-            s2j_ref[:],
-            Ip[:],
-            Pp[:],
-            Dp[:],
-            Qp[:],
-            shM[:],
-            cnt_ref[:],
-            s1cur[:],
-            fin_s[:],
-        )
+        state = tuple(r[:] for r in core_refs + tail_refs)
         for sub in range(UNROLL):
             state = step_ssa(state, UNROLL * tt + sub)
-        (
-            s2j_ref[:],
-            Ip[:],
-            Pp[:],
-            Dp[:],
-            Qp[:],
-            shM[:],
-            cnt_ref[:],
-            s1cur[:],
-            fin_s[:],
-        ) = state
+        for r, v in zip(core_refs + tail_refs, state):
+            r[:] = v
         return 0
 
     jax.lax.fori_loop(0, chunk // UNROLL, body, 0)
-    # Lane-reduce the probe pane to (8, 1) and broadcast into the
-    # chunk's (1, 8, 128) output block (Mosaic requires the block's
-    # trailing dims to be (8, 128)-aligned; a (1, C) row is not).
-    fin_out_ref[0] = jnp.broadcast_to(
-        jnp.max(fin_s[:], axis=1, keepdims=True), (ROWS, 128)
-    )
+    # Lane-reduce the chunk accumulator to (8, 1) rows and broadcast
+    # into the chunk's (1, 8, 128) output block (Mosaic requires the
+    # block's trailing dims to be (8, 128)-aligned; (1, C) is not).
+    if is_local:
+        # Per-sublane-row argmax candidates (value, lane, column);
+        # ties keep the largest lane then largest column — the host
+        # reduce preserves that order across rows and chunks.
+        cv = cv_s[:]
+        rmax = jnp.max(cv, axis=1, keepdims=True)
+        rlane = jnp.max(
+            jnp.where(cv == rmax, iv, -1), axis=1, keepdims=True
+        )
+        rj = jnp.max(
+            jnp.where((cv == rmax) & (iv == rlane), cj_s[:], -1),
+            axis=1,
+            keepdims=True,
+        )
+        val_out[0] = jnp.broadcast_to(rmax, (ROWS, 128))
+        lane_out[0] = jnp.broadcast_to(rlane, (ROWS, 128))
+        j_out[0] = jnp.broadcast_to(rj, (ROWS, 128))
+    else:
+        fin_out_ref[0] = jnp.broadcast_to(
+            jnp.max(fin_s[:], axis=1, keepdims=True), (ROWS, 128)
+        )
 
 
-@functools.partial(jax.jit, static_argnames=("P", "Lm", "Ln", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("P", "Lm", "Ln", "is_local", "interpret")
+)
 def _stream_call(
     s1eb: jax.Array,
     s2eb: jax.Array,
@@ -232,8 +329,9 @@ def _stream_call(
     P: int,
     Lm: int,
     Ln: int,
+    is_local: bool,
     interpret: bool,
-) -> jax.Array:
+):
     V, C, L1, K, Kp = _plan_stream(Lm, Ln, P)
     neg = jnp.int32(NEG_INF)
 
@@ -270,12 +368,27 @@ def _stream_call(
     topI = jnp.where(t < P, topI, neg)[None, :]
     topSD = jnp.where((c == 0) & (t < P), 0, neg)[None, :]
 
-    # Probe steps: segment t's (m_t, n_t) cell lies on lane m_t at
-    # step t*L1 + m_t + n_t.
     ms = jnp.asarray(ms, jnp.int32)
     ns = jnp.asarray(ns, jnp.int32)
-    probe_ks = ms + ns + jnp.arange(P, dtype=jnp.int32) * L1
-    probe = jnp.full((Kp,), -1, jnp.int32).at[probe_ks].set(ms)[None, :]
+    G = Kp // CHUNK
+
+    if is_local:
+        # Per-step segment bounds: every seam crossing at step k
+        # enters segment k // L1, and all steps of a chunk share one
+        # segment window, so the kernel reads the chunk's first
+        # element. Streamed like the other SMEM step streams (Mosaic
+        # rejects sub-(1,1) blocks over a (1, G) array).
+        msegs = ms[tc][None, :]
+        nsegs = ns[tc][None, :]
+        extra_streams = (msegs, nsegs)
+    else:
+        # Probe steps: segment t's (m_t, n_t) cell lies on lane m_t
+        # at step t*L1 + m_t + n_t.
+        probe_ks = ms + ns + jnp.arange(P, dtype=jnp.int32) * L1
+        probe = (
+            jnp.full((Kp,), -1, jnp.int32).at[probe_ks].set(ms)[None, :]
+        )
+        extra_streams = (probe,)
 
     scalars = jnp.stack(
         [
@@ -286,10 +399,14 @@ def _stream_call(
         ]
     )
 
-    G = Kp // CHUNK
     smem_chunk = pl.BlockSpec(
         (1, CHUNK), lambda g, s: (0, g), memory_space=pltpu.SMEM
     )
+    out_block = pl.BlockSpec(
+        (1, ROWS, 128), lambda g, s: (g, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_arr = jax.ShapeDtypeStruct((G, ROWS, 128), jnp.int32)
+    n_out = 3 if is_local else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),
@@ -305,24 +422,47 @@ def _stream_call(
             smem_chunk,
             smem_chunk,
             smem_chunk,
-            smem_chunk,
-        ],
-        out_specs=pl.BlockSpec(
-            (1, ROWS, 128), lambda g, s: (g, 0, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)] * 9,
+        ]
+        + ([smem_chunk, smem_chunk] if is_local else [smem_chunk]),
+        out_specs=tuple([out_block] * n_out),
+        scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)]
+        * (14 if is_local else 9),
     )
     kernel = functools.partial(
-        _kernel_stream, C=C, L1=L1, chunk=CHUNK
+        _kernel_stream, C=C, L1=L1, chunk=CHUNK, is_local=is_local
     )
-    fin = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((G, ROWS, 128), jnp.int32),
+        out_shape=tuple([out_arr] * n_out),
         interpret=interpret,
-    )(scalars, s1panes, cinit, inj, topI, topSD, probe)
+    )(scalars, s1panes, cinit, inj, topI, topSD, *extra_streams)
 
-    return jnp.max(fin[probe_ks // CHUNK], axis=(-2, -1))
+    if not is_local:
+        return jnp.max(outs[0][probe_ks // CHUNK], axis=(-2, -1))
+
+    # Re-assemble each segment's argmax from its flush window: lane i
+    # flushes segment t at step (t+1)*L1 + i, i.e. chunks
+    # [(t+1)*L1/CHUNK, ... + V/CHUNK - 1] (windows never overlap
+    # because L1 >= V + CHUNK). Each chunk contributed 8 per-sublane
+    # candidates; later chunks/larger lanes flush later, so the
+    # keep-last reference tie-break is "largest lane, then largest
+    # column among that lane's ties" (the kernel already kept the
+    # last column per lane).
+    vals, lanes, cols = outs
+    W = V // CHUNK
+    base = (jnp.arange(P, dtype=jnp.int32) + 1) * (L1 // CHUNK)
+    win = base[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    cv = vals[win][..., 0].reshape(P, W * ROWS)
+    cl = lanes[win][..., 0].reshape(P, W * ROWS)
+    cj = cols[win][..., 0].reshape(P, W * ROWS)
+    vmax = jnp.max(cv, axis=1)
+    tied = cv == vmax[:, None]
+    lbest = jnp.max(jnp.where(tied, cl, -1), axis=1)
+    jbest = jnp.max(
+        jnp.where(tied & (cl == lbest[:, None]), cj, -1), axis=1
+    )
+    return vmax, lbest, jbest
 
 
 def gotoh_scores_stream(
@@ -337,13 +477,14 @@ def gotoh_scores_stream(
     """Score a batch of pairs through one continuous wavefront stream.
 
     Same contract as ``gotoh_scores_pallas_batch``: returns
-    ``(score, start_i, start_j)`` of shape (B,). Host-level entry —
-    ``ms``/``ns`` must be concrete (the probe-placement checks run on
-    the host). Falls back to the flat batch kernel when the stream
-    formulation doesn't apply: local mode (per-segment argmax resets
-    not implemented), a single pair (no ramp to amortize), probe-chunk
-    collisions (pairs much shorter than their padding), or traced
-    lengths.
+    ``(score, start_i, start_j)`` of shape (B,); local mode returns
+    the reference's exact keep-last argmax start cell
+    (``algo.rs:311-322``). Host-level entry — ``ms``/``ns`` must be
+    concrete (the probe-placement checks run on the host). Falls back
+    to the flat batch kernel when the stream formulation doesn't
+    apply: a single pair (no ramp to amortize), global-mode
+    probe-chunk collisions (pairs much shorter than their padding),
+    or traced lengths.
     """
     from genomics_rs_tpu.ops.gotoh_pallas import gotoh_scores_pallas_batch
 
@@ -354,7 +495,7 @@ def gotoh_scores_stream(
 
     B, Lm = s1eb.shape
     _, Ln = s2eb.shape
-    if is_local or B < 2:
+    if B < 2:
         return fallback()
     try:
         ms_np = np.asarray(ms, dtype=np.int64)
@@ -374,14 +515,26 @@ def gotoh_scores_stream(
     # argument as the flat kernel but with a much smaller window.
     if 2 * L1 * drift_rate >= 1 << 30:
         return fallback()
-    probe_chunks = (ms_np + ns_np + np.arange(B, dtype=np.int64) * L1) // CHUNK
-    if (
-        np.any(ms_np < 1)
-        or np.any(ns_np < 1)
-        or len(np.unique(probe_chunks)) < B
-    ):
+    if np.any(ms_np < 1) or np.any(ns_np < 1):
         return fallback()
-    sc = _stream_call(
-        s1eb, s2eb, ms, ns, scores, P=B, Lm=Lm, Ln=Ln, interpret=interpret
+    if not is_local:
+        probe_chunks = (
+            ms_np + ns_np + np.arange(B, dtype=np.int64) * L1
+        ) // CHUNK
+        if len(np.unique(probe_chunks)) < B:
+            return fallback()
+    out = _stream_call(
+        s1eb,
+        s2eb,
+        ms,
+        ns,
+        scores,
+        P=B,
+        Lm=Lm,
+        Ln=Ln,
+        is_local=is_local,
+        interpret=interpret,
     )
-    return sc, jnp.asarray(ms, jnp.int32), jnp.asarray(ns, jnp.int32)
+    if is_local:
+        return out
+    return out, jnp.asarray(ms, jnp.int32), jnp.asarray(ns, jnp.int32)

@@ -146,10 +146,10 @@ def score_pairs(
 
     engine: "auto" (TPU: shortread for read-scale pairs, row-segmented
     for the mid-length band, the streamed multi-segment kernel for
-    global long-pair batches — measured ~1.8x the flat kernel on the
-    55-pair corpus — and the flat diagonal batch kernel otherwise;
-    CPU: vmap scan), or one of "shortread", "segmented", "stream",
-    "pallas", "scan".
+    long-pair batches — measured ~1.8x the flat kernel on the 55-pair
+    corpus, global and local — and the flat diagonal batch kernel
+    otherwise; CPU: vmap scan), or one of "shortread", "segmented",
+    "stream", "pallas", "scan".
 
     Returns (score, start_i, start_j) arrays of shape (B,).
     """
@@ -160,7 +160,7 @@ def score_pairs(
                 engine = "shortread"
             elif s1b.shape[1] <= SEGMENTED_MAX_LEN:
                 engine = "segmented"
-            elif not is_local and s1b.shape[0] >= 2:
+            elif s1b.shape[0] >= 2:
                 engine = "stream"
             else:
                 engine = "pallas"

@@ -60,6 +60,23 @@ def _oracle_scores(s1b, s2b, ms, ns, scores, is_local=False):
     return out
 
 
+def _oracle_local(s1b, s2b, ms, ns, scores):
+    """(score, start_i, start_j) triples from the scan oracle."""
+    out = []
+    for i in range(len(ms)):
+        res = gotoh_fill_scan(
+            s1b[i],
+            s2b[i],
+            np.int32(ms[i]),
+            np.int32(ns[i]),
+            scores,
+            True,
+            emit_dirs=False,
+        )
+        out.append((int(res.score), int(res.start_i), int(res.start_j)))
+    return out
+
+
 @pytest.mark.parametrize("scores", [SCORES, ALT_SCORES])
 def test_stream_matches_scan(scores):
     rng = np.random.default_rng(7)
@@ -115,18 +132,66 @@ def test_stream_identical_pairs_and_selfmatch():
     assert [int(x) for x in np.asarray(got)] == want
 
 
-def test_stream_fallback_paths():
-    """Local mode, B=1 and probe collisions route to the flat kernel
-    (and still produce oracle-exact results)."""
-    rng = np.random.default_rng(5)
-    s1b, s2b, ms, ns = _batch(rng, 2, 100, 150, 256, 256)
+@pytest.mark.parametrize("scores", [SCORES, ALT_SCORES])
+def test_stream_local_matches_scan(scores):
+    """Local mode: per-segment keep-last argmax (score AND the exact
+    reference start cell) vs the scan oracle."""
+    rng = np.random.default_rng(19)
+    B, Lm, Ln = 5, 256, 384
+    s1b, s2b, ms, ns = _batch(rng, B, 130, Lm, Lm, Ln)
+    want = _oracle_local(s1b, s2b, ms, ns, scores)
+    got, si, sj = gotoh_scores_stream(
+        s1b, s2b, ms, ns, scores, is_local=True, interpret=True
+    )
+    have = list(
+        zip(
+            (int(x) for x in np.asarray(got)),
+            (int(x) for x in np.asarray(si)),
+            (int(x) for x in np.asarray(sj)),
+        )
+    )
+    assert have == want
 
-    # Local mode falls back (start cells from the flat kernel).
-    want = _oracle_scores(s1b, s2b, ms, ns, SCORES, is_local=True)
-    got, _, _ = gotoh_scores_stream(
+
+def test_stream_local_no_match_and_selfmatch():
+    """Degenerate local cases: a no-match pair (table max 0, argmax
+    must be the last all-zero cell like the reference's keep-last
+    scan) next to a perfect self-match."""
+    seq = "ACGT" * 40
+    s1b = np.stack(
+        [
+            Sequence("a", "A" * 120).encoded(pad_to=256, pad_value=PAD_S1),
+            Sequence("a", seq).encoded(pad_to=256, pad_value=PAD_S1),
+        ]
+    )
+    s2b = np.stack(
+        [
+            Sequence("b", "T" * 100).encoded(pad_to=256, pad_value=PAD_S2),
+            Sequence("b", seq).encoded(pad_to=256, pad_value=PAD_S2),
+        ]
+    )
+    ms = np.array([120, 160], np.int32)
+    ns = np.array([100, 160], np.int32)
+    want = _oracle_local(s1b, s2b, ms, ns, SCORES)
+    got, si, sj = gotoh_scores_stream(
         s1b, s2b, ms, ns, SCORES, is_local=True, interpret=True
     )
-    assert [int(x) for x in np.asarray(got)] == want
+    have = list(
+        zip(
+            (int(x) for x in np.asarray(got)),
+            (int(x) for x in np.asarray(si)),
+            (int(x) for x in np.asarray(sj)),
+        )
+    )
+    assert want[1][0] == 160  # self-match sanity
+    assert have == want
+
+
+def test_stream_fallback_paths():
+    """B=1 and probe collisions route to the flat kernel (and still
+    produce oracle-exact results)."""
+    rng = np.random.default_rng(5)
+    s1b, s2b, ms, ns = _batch(rng, 2, 100, 150, 256, 256)
 
     # Single pair falls back.
     want1 = _oracle_scores(s1b[:1], s2b[:1], ms[:1], ns[:1], SCORES)
