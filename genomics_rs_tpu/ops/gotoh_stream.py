@@ -48,6 +48,20 @@ The recurrence, factored carries and flat (8, V/8) diagonal layout
 are identical to ``_kernel_batch`` — see that kernel's docstring for
 the algebra (including the local zero-floor placement inside every
 predecessor max, reference quirk ``algo.rs:103``).
+
+Measured band (v5e, vs the row-segmented kernel; 90-100%-full
+batches): the wavefront kernels are dependency-latency bound at small
+lane counts — per-step time is nearly constant (~2.2-2.5M diagonal
+steps/s) regardless of V — so throughput scales with V and the stream
+kernel only wins once pairs are long enough to fill a big lane
+vector:
+
+    Lm      512    1k     2k     4k     8k     30k
+    seg   2.5e9  6.8e9  1.6e10 2.1e10 2.0e10   —
+    strm  6.6e8  2.2e9  6.2e9  1.3e10 1.8e10 6.2e10
+
+Routing (``parallel/batch.py``) therefore keeps the segmented kernel
+through 8k and switches to the stream kernel beyond.
 """
 
 from __future__ import annotations
