@@ -552,6 +552,30 @@ def run_smoke() -> int:
         )
         check("stream_batch", got, loc)
 
+    # Lean forward row-block engine (score_long's rolling path),
+    # multi-block (255-row blocks over a 384-row pair).
+    from genomics_rs_tpu.models.longalign import score_long
+    from genomics_rs_tpu.sequence import Sequence
+
+    sa = Sequence("a", bytes(s1b[0][: ms[0]]).decode())
+    sb = Sequence("b", bytes(s2b[0][: ns[0]]).decode())
+    for loc in (False, True):
+        got = _retry(
+            lambda loc=loc: score_long(
+                sa, sb, scores, loc, block_rows=255
+            ),
+            label="smoke rowblock",
+        )
+        w = want[loc][0]
+        g = tuple(int(x) for x in got)
+        ok = g == tuple(w)
+        print(
+            f"[smoke] rowblock_long local={loc}: "
+            f"{'ok' if ok else f'MISMATCH got {g} want {w}'}"
+        )
+        if not ok:
+            failures.append(("rowblock_long", loc, 0, g, w))
+
     # Short-read row-scan kernel (Lpad <= 256 on both sides).
     s1s = s1b[:, :256].copy()
     mss = np.minimum(ms, 250)

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from genomics_rs_tpu.config import Scores
 from genomics_rs_tpu.ops.gotoh_pallas import gotoh_tile_pallas
+from genomics_rs_tpu.ops.gotoh_rowblock import gotoh_rowblock_pallas
 from genomics_rs_tpu.ops.gotoh_scan import INT_MIN
 from genomics_rs_tpu.ops.gotoh_tile import (
     global_boundary_left,
@@ -57,6 +58,7 @@ def _forward_blocks(
     is_local: bool,
     interpret: bool,
     keep_tops: bool,
+    lean: bool = False,
 ):
     """Shared forward pass over full-width row blocks.
 
@@ -77,6 +79,7 @@ def _forward_blocks(
         keep=keep_tops,
         loc=is_local,
         interp=interpret,
+        lean=lean,
     )
     best = (
         tuple(int(x) for x in best_dev) if is_local else (INT_MIN, 0, 0)
@@ -85,34 +88,46 @@ def _forward_blocks(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("NB", "R", "keep", "loc", "interp")
+    jax.jit, static_argnames=("NB", "R", "keep", "loc", "interp", "lean")
 )
-def _fwd_jit(s1e, s2e, m, n, scores, NB, R, keep, loc, interp):
+def _fwd_jit(s1e, s2e, m, n, scores, NB, R, keep, loc, interp, lean=False):
     """Module-level jit so the scan+kernel program compiles once per
     shape bucket, not per call (the closure version re-keyed the jit
-    cache on function identity every invocation)."""
+    cache on function identity every invocation).
+
+    ``lean`` fills blocks with the specialized forward row-block
+    kernel (``ops/gotoh_rowblock``) instead of the general tile
+    kernel — identical results (pinned by tests), preferred for
+    score-only passes with big blocks (``score_long``).
+    """
     Ln = s2e.shape[0]
     s1_blocks = s1e.reshape(NB, R)
 
     def body(top, xs):
         s1_blk, b = xs
         i0 = b * R
-        left = global_boundary_left(i0, R, scores)
-        res = gotoh_tile_pallas(
-            s1_blk,
-            s2e,
-            top,
-            left,
-            m,
-            n,
-            i0,
-            jnp.int32(0),
-            scores,
-            loc,
-            emit_dirs=False,
-            emit_bottom=True,
-            interpret=interp,
-        )
+        if lean:
+            res = gotoh_rowblock_pallas(
+                s1_blk, s2e, top, m, n, i0, scores, loc,
+                interpret=interp,
+            )
+        else:
+            left = global_boundary_left(i0, R, scores)
+            res = gotoh_tile_pallas(
+                s1_blk,
+                s2e,
+                top,
+                left,
+                m,
+                n,
+                i0,
+                jnp.int32(0),
+                scores,
+                loc,
+                emit_dirs=False,
+                emit_bottom=True,
+                interpret=interp,
+            )
         ys = (
             top if keep else jnp.int32(0),
             jnp.stack(res.best),
@@ -140,7 +155,7 @@ def score_long(
     seq2: Sequence,
     scores: Scores,
     is_local: bool = False,
-    block_rows: int = 16384,
+    block_rows: int = 98303,
     interpret: bool = False,
 ) -> tuple[int, int, int]:
     """(score, start_i, start_j) for arbitrarily long pairs.
@@ -148,9 +163,17 @@ def score_long(
     Forward block fills only, keeping a single rolling boundary row on
     device — O(n) memory, no checkpoints, so chromosome-scale pairs
     (chr12 x chr12 = 1.2e12 cells) score on one chip.
+
+    Blocks go through the lean forward row-block kernel. The wavefront
+    kernels are latency-bound per diagonal step, so throughput scales
+    with block height until VMEM-level costs catch up: chr12 x chr12
+    measured 3.9e10 cells/s at 16k rows (tile kernel), 7.4e10 at 64k,
+    **7.8e10 at the default 96k (14.9 s)**, regressing at 128k. R+1 a
+    multiple of 1024 wastes no lanes; short pairs shrink R to the
+    minimal lane vector.
     """
     m, n = len(seq1), len(seq2)
-    R = block_rows
+    R = min(block_rows, max(round_up(m + 1, 1024) - 1, 1023))
     Lm = max(round_up(m, R), R)
     Ln = max(round_up(n, 128), 128)
     NB = Lm // R
@@ -159,7 +182,8 @@ def score_long(
 
     t0 = time.perf_counter()
     _, best, at_mn = _forward_blocks(
-        s1e, s2e, m, n, R, NB, scores, is_local, interpret, keep_tops=False
+        s1e, s2e, m, n, R, NB, scores, is_local, interpret,
+        keep_tops=False, lean=True,
     )
     elapsed = time.perf_counter() - t0
     cells = (m + 1.0) * (n + 1.0)

@@ -1,0 +1,355 @@
+"""Lean full-width row-block Gotoh kernel (score + bottom emission).
+
+The rolling-block engines (``models/longalign.score_long`` for
+chromosome-scale scores, ``align_checkpointed``'s forward pass) fill a
+pair as full-width row blocks, carrying only each block's bottom
+boundary row — the TPU-native replacement for the reference's
+all-in-memory fill (``/root/reference/src/alignment/algo.rs:151-282``)
+at sizes the reference cannot touch. Their per-block engine was the
+general streamed-boundary tile kernel (``gotoh_pallas._kernel_tile``),
+which pays for machinery a forward score pass never uses: direction
+emission plumbing, a per-step ``k < K`` guard, left-column streams,
+and one scratch load/store set per diagonal.
+
+This kernel is the forward-pass specialization, built like the
+streamed batch kernel (``gotoh_stream``): pure-SSA step bodies
+unrolled ``UNROLL``-fold so scratch round-trips amortize, the factored
+2-shift recurrence (I, D, P = max(S, D), Q = max(I, S), cached
+shift(M)), boundary masks folded into two per-step compares, the
+col-0 left boundary computed in-register from ``h + (i0 + i) * g``
+(no left stream), and the (m, n) probe under a scalar ``pl.when``.
+Semantics are identical to ``gotoh_tile_pallas(emit_dirs=False,
+emit_bottom=True, j0=0)`` — pinned by tests in both modes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from genomics_rs_tpu.config import Scores
+from genomics_rs_tpu.ops.gotoh_pallas import (
+    ROWS,
+    TileFillResult,
+    _round_up,
+    _shift_down_flat,
+)
+from genomics_rs_tpu.ops.gotoh_scan import INT_MIN, NEG_INF
+
+#: diagonals per grid step.
+CHUNK = 512
+#: SSA unroll factor (one scratch load/store set per UNROLL diagonals).
+UNROLL = 2
+
+
+def _kernel_rows(
+    scalars,  # SMEM int32[8]: m, n, sm, sx, g, h, i0, pad
+    s1m_ref,  # VMEM int32 (8, C): s1m[v] = s1_block[v-1]
+    s2i_ref,  # SMEM int32 (1, chunk): injected s2 chars
+    top_ref,  # SMEM int32 (3, chunk): row-0 I/S/D stream
+    *rest,  # bot_ref, fin_ref, [bv_ref, bk_ref], scratch...
+    C: int,
+    K: int,
+    R: int,
+    chunk: int,
+    is_local: bool,
+):
+    if is_local:
+        (
+            bot_ref,
+            fin_ref,
+            bv_ref,
+            bk_ref,
+            s2j_ref,
+            Ip,
+            Pp,
+            Dp,
+            Qp,
+            shM,
+            fin_s,
+            bv_s,
+            bk_s,
+        ) = rest
+    else:
+        (bot_ref, fin_ref, s2j_ref, Ip, Pp, Dp, Qp, shM, fin_s) = rest
+
+    g_id = pl.program_id(0)
+    m = scalars[0]
+    n = scalars[1]
+    sm = scalars[2]
+    sx = scalars[3]
+    gg = scalars[4]
+    hh = scalars[5]
+    i0 = scalars[6]
+    hg = hh + gg
+    mi0 = m - i0  # tile-local probe lane (may be out of [0, R])
+
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 0)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 1)
+    iv = row_idx * C + col_idx
+    neg = jnp.int32(NEG_INF)
+    int_min = jnp.int32(INT_MIN)
+    zero = jnp.int32(0)
+
+    @pl.when(g_id == 0)
+    def _init():
+        full_neg = jnp.full((ROWS, C), neg, dtype=jnp.int32)
+        Ip[:] = full_neg
+        Pp[:] = full_neg
+        Dp[:] = full_neg
+        Qp[:] = full_neg
+        shM[:] = full_neg
+        s2j_ref[:] = jnp.full((ROWS, C), 0xFF, dtype=jnp.int32)
+        fin_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+        if is_local:
+            bv_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+            bk_s[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
+
+    row0_mask = iv == 0
+    nz_mask = iv > 0
+    # Lanes beyond the block's true rows are padding; without this
+    # guard their garbage could alias the probe lane or enter the
+    # local argmax when a NON-final block has m - i0 < V (the tile
+    # kernel's gtR_mask).
+    leR_mask = iv <= R
+    # Col-0 left boundary: D(i0+iv, 0) = h + (i0+iv)*g, I/S = -inf
+    # (global_boundary_left semantics, computed in-register).
+    Dcol = (hh + i0 * gg) + iv * gg
+    if is_local:
+        lem_mask = (iv <= mi0) & leR_mask
+    probe_mask = (iv == mi0) & leR_mask
+    lane_r, lane_c = divmod(R, C)
+
+    def step_ssa(state, t, k):
+        (s2j0, I0, P0, D0, Q0, M0, bv0, bk0) = state
+        inj = s2i_ref[0, t]
+        s2j = _shift_down_flat(s2j0, inj, row_idx, col_idx, C)
+        shQ = _shift_down_flat(Q0, neg, row_idx, col_idx, C)
+        shD = _shift_down_flat(D0, neg, row_idx, col_idx, C)
+
+        sub = jnp.where(s1m_ref[:] == s2j, sm, sx)
+        if is_local:
+            Inew = jnp.maximum(jnp.maximum(I0 + gg, P0 + hg), zero)
+            Dnew = jnp.maximum(jnp.maximum(shQ + hg, shD + gg), zero)
+            Snew = sub + jnp.maximum(M0, zero)
+        else:
+            Inew = jnp.maximum(I0 + gg, P0 + hg)
+            Dnew = jnp.maximum(shQ + hg, shD + gg)
+            Snew = sub + M0
+
+        # Boundary: lanes left of the wavefront (iv > k) and the col-0
+        # lane (iv == k) get the left boundary; lane 0 gets the top
+        # stream. Garbage right-of-column lanes drift unclamped (same
+        # int32 headroom argument as the flat batch kernel).
+        eq = iv == k
+        gt = iv > k
+        col0 = eq & nz_mask
+        dead_IS = col0 | gt
+        Inew = jnp.where(dead_IS, neg, Inew)
+        Snew = jnp.where(dead_IS, neg, Snew)
+        Dnew = jnp.where(col0, Dcol, Dnew)
+        Dnew = jnp.where(gt, neg, Dnew)
+        Inew = jnp.where(row0_mask, top_ref[0, t], Inew)
+        Snew = jnp.where(row0_mask, top_ref[1, t], Snew)
+        Dnew = jnp.where(row0_mask, top_ref[2, t], Dnew)
+
+        Qnew = jnp.maximum(Inew, Snew)
+        if is_local:
+            cmc = jnp.maximum(jnp.maximum(Qnew, Dnew), zero)
+            # in_true: iv <= m-i0, 0 <= j <= n (j = k - iv).
+            val = jnp.where(
+                lem_mask & (~gt) & (iv >= k - n), cmc, int_min
+            )
+            upd = val >= bv0
+            bv0 = jnp.where(upd, val, bv0)
+            bk0 = jnp.where(upd, k - iv, bk0)
+
+            @pl.when(k == mi0 + n)
+            def _probe():
+                fin_s[:] = jnp.where(probe_mask, cmc, fin_s[:])
+
+        else:
+
+            @pl.when(k == mi0 + n)
+            def _probe():
+                cm = jnp.maximum(Qnew, Dnew)
+                fin_s[:] = jnp.where(probe_mask, cm, fin_s[:])
+
+        # Bottom row: cell (R, k - R) — three scalars broadcast into
+        # this step's (3, 128) row of the bottom output block.
+        vals = jnp.stack(
+            [
+                Inew[lane_r, lane_c],
+                Snew[lane_r, lane_c],
+                Dnew[lane_r, lane_c],
+            ]
+        )
+        bot_ref[t] = jnp.broadcast_to(vals[:, None], (3, 128))
+
+        return (
+            s2j,
+            Inew,
+            jnp.maximum(Snew, Dnew),
+            Dnew,
+            Qnew,
+            jnp.maximum(shQ, shD),
+            bv0,
+            bk0,
+        )
+
+    none2 = (jnp.int32(0), jnp.int32(0))
+
+    def body(tt, _):
+        k0 = g_id * chunk + UNROLL * tt
+        state = (
+            s2j_ref[:],
+            Ip[:],
+            Pp[:],
+            Dp[:],
+            Qp[:],
+            shM[:],
+        ) + ((bv_s[:], bk_s[:]) if is_local else none2)
+        for sub in range(UNROLL):
+            state = step_ssa(state, UNROLL * tt + sub, k0 + sub)
+        (s2j_ref[:], Ip[:], Pp[:], Dp[:], Qp[:], shM[:]) = state[:6]
+        if is_local:
+            bv_s[:], bk_s[:] = state[6], state[7]
+        return 0
+
+    jax.lax.fori_loop(0, chunk // UNROLL, body, 0)
+
+    @pl.when(g_id == pl.num_programs(0) - 1)
+    def _finalize():
+        fin_ref[:] = fin_s[:]
+        if is_local:
+            bv_ref[:] = bv_s[:]
+            bk_ref[:] = bk_s[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("is_local", "interpret")
+)
+def gotoh_rowblock_pallas(
+    s1_block: jax.Array,
+    s2e: jax.Array,
+    top: jax.Array,
+    m: jax.Array,
+    n: jax.Array,
+    i0: jax.Array,
+    scores: Scores,
+    is_local: bool,
+    interpret: bool = False,
+) -> TileFillResult:
+    """Fill full-width rows [i0+1, i0+R] given the row-i0 boundary.
+
+    Drop-in for ``gotoh_tile_pallas(..., j0=0, emit_dirs=False,
+    emit_bottom=True)``: returns ``TileFillResult`` with ``bottom``
+    (3, B+1) I/S/D of row i0+R, ``score_at_mn`` (captured when the
+    block contains row m), and local-mode ``best`` in global coords.
+    Callers should size R so R+1 is a multiple of 1024 (e.g. 16383):
+    the lane vector covers R+1 rows rounded up to 1024.
+    """
+    R = s1_block.shape[0]
+    B = s2e.shape[0]
+    V = max(_round_up(R + 1, 1024), 1024)
+    C = V // ROWS
+    K = R + B + 1
+    Kp = _round_up(K, CHUNK)
+
+    s1m = jnp.full((V,), 0xFD, dtype=jnp.int32)
+    s1m = jax.lax.dynamic_update_slice(
+        s1m, s1_block.astype(jnp.int32), (jnp.int32(1),)
+    )
+    s1m2d = s1m.reshape(ROWS, C)
+
+    ks = jnp.arange(Kp, dtype=jnp.int32)
+    s2inj = jnp.take(s2e.astype(jnp.int32), jnp.clip(ks - 1, 0, B - 1))
+    s2inj = jnp.where(ks - 1 >= B, 0xFF, s2inj)[None, :]
+
+    neg = jnp.int32(NEG_INF)
+    top_stream = jnp.full((3, Kp), neg, dtype=jnp.int32)
+    top_stream = jax.lax.dynamic_update_slice(
+        top_stream, top.astype(jnp.int32), (jnp.int32(0), jnp.int32(0))
+    )
+
+    scalars = jnp.stack(
+        [
+            jnp.asarray(m, jnp.int32),
+            jnp.asarray(n, jnp.int32),
+            jnp.int32(scores.s_match),
+            jnp.int32(scores.s_mismatch),
+            jnp.int32(scores.g),
+            jnp.int32(scores.h),
+            jnp.asarray(i0, jnp.int32),
+            jnp.int32(0),
+        ]
+    )
+
+    G = Kp // CHUNK
+    vec_spec = pl.BlockSpec(
+        (ROWS, C), lambda g, s: (0, 0), memory_space=pltpu.VMEM
+    )
+    vec_out = jax.ShapeDtypeStruct((ROWS, C), jnp.int32)
+    n_panes = 4 if is_local else 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[
+            vec_spec,
+            pl.BlockSpec(
+                (1, CHUNK), lambda g, s: (0, g), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (3, CHUNK), lambda g, s: (0, g), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (CHUNK, 3, 128),
+                lambda g, s: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        + tuple([vec_spec] * (n_panes - 1)),
+        scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)]
+        * (9 if is_local else 7),
+    )
+    kernel = functools.partial(
+        _kernel_rows, C=C, K=K, R=R, chunk=CHUNK, is_local=is_local
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((Kp, 3, 128), jnp.int32),)
+        + tuple([vec_out] * (n_panes - 1)),
+        interpret=interpret,
+    )(scalars, s1m2d, s2inj, top_stream)
+
+    bot = outs[0]
+    bottom = jnp.transpose(bot[R : R + B + 1, :, 0], (1, 0))
+    fin = outs[1]
+    if not is_local:
+        return TileFillResult(
+            dirs=None,
+            score_at_mn=jnp.max(fin.reshape(V)),
+            best=(jnp.int32(INT_MIN), jnp.int32(0), jnp.int32(0)),
+            bottom=bottom,
+        )
+    bv, bk = outs[2], outs[3]
+    ivf = jnp.arange(V, dtype=jnp.int32)
+    bvf = bv.reshape(V)
+    bkf = bk.reshape(V)
+    vmax = jnp.max(bvf)
+    ig = jnp.asarray(i0, jnp.int32) + ivf
+    i_best = jnp.max(jnp.where(bvf == vmax, ig, -1))
+    j_best = jnp.max(jnp.where((bvf == vmax) & (ig == i_best), bkf, -1))
+    return TileFillResult(
+        dirs=None,
+        score_at_mn=jnp.max(fin.reshape(V)),
+        best=(vmax, i_best, j_best),
+        bottom=bottom,
+    )
