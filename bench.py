@@ -552,6 +552,19 @@ def run_smoke() -> int:
         )
         check("stream_batch", got, loc)
 
+    # Row-stacked 8-stream kernel (global mid-band route; local mode
+    # exists but is routed to segmented — still gate both).
+    from genomics_rs_tpu.ops.gotoh_stream8 import gotoh_scores_stream8
+
+    for loc in (False, True):
+        got = _retry(
+            lambda loc=loc: gotoh_scores_stream8(
+                s1b, s2b, ms, ns, scores, loc
+            ),
+            label="smoke stream8",
+        )
+        check("stream8_batch", got, loc)
+
     # Lean forward row-block engine (score_long's rolling path),
     # multi-block (255-row blocks over a 384-row pair).
     from genomics_rs_tpu.models.longalign import score_long

@@ -132,6 +132,15 @@ SHORTREAD_MAX_LEN = 256
 #: (measured, see the crossover table in that module's docstring).
 SEGMENTED_MAX_LEN = 8192
 
+#: In GLOBAL mode, above this padded length (and within the segmented
+#: band) the row-stacked 8-stream kernel (``ops/gotoh_stream8.py``)
+#: beats the row-segmented kernel: 1.32x at 2 kb, 1.16x at 4 kb,
+#: 1.19x at 8 kb (measured on a v5e chip, batches sized ~2e9 cells).
+#: At/below 1 kb it's a wash (1.04x) and at 512 a loss (0.94x); in
+#: LOCAL mode it loses everywhere (0.67-1.03x — the candidate-mask +
+#: flush machinery adds per-step pane ops), so local stays segmented.
+STREAM8_MIN_LEN = 1024
+
 
 def score_pairs(
     s1b,
@@ -145,10 +154,12 @@ def score_pairs(
     """Score a batch of encoded pairs, picking the best kernel.
 
     engine: "auto" (TPU: shortread for read-scale pairs, row-segmented
-    for the mid-length band, the streamed multi-segment kernel for
-    long-pair batches — measured ~1.8x the flat kernel on the 55-pair
-    corpus, global and local — and the flat diagonal batch kernel
-    otherwise; CPU: vmap scan), or one of "shortread", "segmented",
+    for the mid-length band — with the row-stacked 8-stream kernel
+    taking the global-mode upper half of that band, see
+    STREAM8_MIN_LEN — the streamed multi-segment kernel for long-pair
+    batches — measured ~1.8x the flat kernel on the 55-pair corpus,
+    global and local — and the flat diagonal batch kernel otherwise;
+    CPU: vmap scan), or one of "shortread", "segmented", "stream8",
     "stream", "pallas", "scan".
 
     Returns (score, start_i, start_j) arrays of shape (B,).
@@ -159,7 +170,14 @@ def score_pairs(
             if L <= SHORTREAD_MAX_LEN:
                 engine = "shortread"
             elif s1b.shape[1] <= SEGMENTED_MAX_LEN:
-                engine = "segmented"
+                if (
+                    not is_local
+                    and s1b.shape[1] > STREAM8_MIN_LEN
+                    and s1b.shape[0] >= 2
+                ):
+                    engine = "stream8"
+                else:
+                    engine = "segmented"
             elif s1b.shape[0] >= 2:
                 engine = "stream"
             else:
@@ -170,6 +188,12 @@ def score_pairs(
         from genomics_rs_tpu.ops.gotoh_stream import gotoh_scores_stream
 
         return gotoh_scores_stream(s1b, s2b, ms, ns, scores, is_local)
+    if engine == "stream8":
+        from genomics_rs_tpu.ops.gotoh_stream8 import (
+            gotoh_scores_stream8,
+        )
+
+        return gotoh_scores_stream8(s1b, s2b, ms, ns, scores, is_local)
     if engine == "shortread":
         from genomics_rs_tpu.ops.gotoh_shortread import (
             gotoh_scores_shortread,
