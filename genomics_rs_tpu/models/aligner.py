@@ -108,14 +108,16 @@ class PairwiseAligner:
             refill_cap = 2 << 30
             hard_cap = 8 << 30
             block_rows = None
-            for r in (8192, 4096, 2048, 1024):
+            # R+1 a multiple of 1024: the checkpointed forward's lean
+            # row-block kernel then wastes no lanes.
+            for r in (8191, 4095, 2047, 1023):
                 if (r + Ln + 1) * round_up(r + 1, 1024) <= refill_cap:
                     block_rows = r
                     break
             if block_rows is None:
-                min_bytes = (1025 + Ln) * 2048
+                min_bytes = (1024 + Ln) * 1024
                 if min_bytes <= hard_cap:
-                    block_rows = 1024
+                    block_rows = 1023
                 else:
                     raise MemoryError(
                         f"align {m}x{n}: a traceback block refill needs "

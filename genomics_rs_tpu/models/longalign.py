@@ -206,10 +206,17 @@ def align_checkpointed(
     seq2: Sequence,
     scores: Scores,
     is_local: bool = False,
-    block_rows: int = 4096,
+    block_rows: int = 8191,
     interpret: bool = False,
 ) -> AlignedSequences:
-    """Full global/local alignment with O((m/R + R) * n) device memory."""
+    """Full global/local alignment with O((m/R + R) * n) device memory.
+
+    The forward pass fills blocks with the lean row-block kernel
+    (``ops/gotoh_rowblock``, same results as the tile kernel — pinned
+    by tests); size ``block_rows`` so R+1 is a multiple of 1024 (the
+    lean kernel's lane vector covers R+1 rows rounded up to 1024).
+    The backward refills still use the tile kernel (it emits dirs).
+    """
     m, n = len(seq1), len(seq2)
     R = block_rows
     Lm = max(round_up(m, R), R)
@@ -221,7 +228,8 @@ def align_checkpointed(
     # ---- forward: fill blocks, checkpoint each block's top row ----
     t0 = time.perf_counter()
     tops, best, at_mn = _forward_blocks(
-        s1e, s2e, m, n, R, NB, scores, is_local, interpret, keep_tops=True
+        s1e, s2e, m, n, R, NB, scores, is_local, interpret,
+        keep_tops=True, lean=True,
     )
     t_fwd = time.perf_counter() - t0
 
