@@ -623,7 +623,10 @@ def run_smoke() -> int:
             if not ok:
                 failures.append(("shortread", loc, i, g, want_sr[i]))
 
-    # Streamed-boundary tile kernel with dirs (single pair).
+    # Single-pair fill with dirs (the lean row-block dirs engine).
+    # Scores/starts vs the C++ oracle; the packed direction words
+    # themselves vs interpret mode cell-exactly over the true region
+    # (a pack/flush miscompile would not move the score).
     for loc in (False, True):
         res = _retry(
             lambda loc=loc: gotoh_fill_pallas(
@@ -631,16 +634,25 @@ def run_smoke() -> int:
             ),
             label="smoke fill",
         )
-        got = ([res.score], [res.start_i], [res.start_j])
         w = want[loc][0]
         g = (int(res.score), int(res.start_i), int(res.start_j))
         ok = g[0] == w[0] and (not loc or g[1:] == w[1:])
+        ref_dirs = gotoh_fill_pallas(
+            s1b[0], s2b[0], ms[0], ns[0], scores, loc, interpret=True
+        ).dirs
+        got_d, ref_d = np.asarray(res.dirs), np.asarray(ref_dirs)
+        m0, n0 = int(ms[0]), int(ns[0])
+        kk = np.arange(got_d.shape[0])[:, None]
+        ii = np.arange(got_d.shape[1])[None, :]
+        valid = (ii <= m0) & (ii <= kk) & (kk - ii <= n0)
+        dirs_ok = bool(np.array_equal(got_d[valid], ref_d[valid]))
+        ok = ok and dirs_ok
         print(
-            f"[smoke] tile_fill_dirs local={loc}: "
-            f"{'ok' if ok else f'MISMATCH got {g} want {w}'}"
+            f"[smoke] fill_dirs local={loc}: "
+            f"{'ok' if ok else f'MISMATCH got {g} want {w} dirs_ok={dirs_ok}'}"
         )
         if not ok:
-            failures.append(("tile_fill_dirs", loc, 0, g, w))
+            failures.append(("fill_dirs", loc, 0, g, w))
 
     # Sequence-parallel pipeline (tile kernel w/ bottom+right) on the
     # 1-device mesh.

@@ -247,20 +247,16 @@ def align_checkpointed(
     while not done:
         blk = max(0, (i - 1) // R)
         i0 = blk * R
-        left = global_boundary_left(i0, R, scores)
-        res = gotoh_tile_pallas(
+        res = gotoh_rowblock_pallas(
             s1e[i0 : i0 + R],
             s2e,
             tops[blk],
-            left,
             np.int32(m),
             np.int32(n),
             np.int32(i0),
-            np.int32(0),
             scores,
             is_local,
             emit_dirs=True,
-            emit_bottom=False,
             interpret=interpret,
         )
         moves, count, i_f, j_f, done_f = walk_block(

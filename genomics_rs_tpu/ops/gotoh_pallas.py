@@ -1295,29 +1295,48 @@ def gotoh_fill_pallas(
     m = jnp.asarray(m, jnp.int32)
     n = jnp.asarray(n, jnp.int32)
 
-    res = gotoh_tile_pallas(
-        s1e,
-        s2e,
-        global_boundary_top(0, Ln, scores),
-        global_boundary_left(0, Lm, scores),
-        m,
-        n,
-        jnp.int32(0),
-        jnp.int32(0),
-        scores,
-        is_local,
-        emit_dirs=emit_dirs,
-        emit_bottom=False,
-        interpret=interpret,
-    )
     if emit_dirs:
+        # The lean forward row-block kernel also packs dirs and is
+        # ~1.5x the general tile kernel on forward fills (no left
+        # stream, SSA-unrolled steps); one full-height block covers
+        # the monolithic table.
+        from genomics_rs_tpu.ops.gotoh_rowblock import (
+            gotoh_rowblock_pallas,
+        )
+
+        res = gotoh_rowblock_pallas(
+            s1e,
+            s2e,
+            global_boundary_top(0, Ln, scores),
+            m,
+            n,
+            jnp.int32(0),
+            scores,
+            is_local,
+            emit_dirs=True,
+            interpret=interpret,
+        )
         # Unpack on device to keep FillResult's per-cell uint8
         # contract for the host traceback (budget-routed pairs keep
         # this array small; huge pairs go through the checkpointed
         # path which consumes the packed words directly).
-        shapes = _plan(Lm, Ln, emit_dirs=True)
-        dirs = unpack_dirs(res.dirs, shapes.Kp)
+        dirs = unpack_dirs(res.dirs, res.dirs.shape[0] * PACK)
     else:
+        res = gotoh_tile_pallas(
+            s1e,
+            s2e,
+            global_boundary_top(0, Ln, scores),
+            global_boundary_left(0, Lm, scores),
+            m,
+            n,
+            jnp.int32(0),
+            jnp.int32(0),
+            scores,
+            is_local,
+            emit_dirs=False,
+            emit_bottom=False,
+            interpret=interpret,
+        )
         dirs = jnp.zeros((0, 0), dtype=jnp.uint8)
     if is_local:
         v, bi, bj = res.best

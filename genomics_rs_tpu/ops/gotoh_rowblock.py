@@ -33,12 +33,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from genomics_rs_tpu.config import Scores
 from genomics_rs_tpu.ops.gotoh_pallas import (
+    PACK,
     ROWS,
     TileFillResult,
     _round_up,
     _shift_down_flat,
 )
-from genomics_rs_tpu.ops.gotoh_scan import INT_MIN, NEG_INF
+from genomics_rs_tpu.ops.gotoh_scan import (
+    DIR_DEL,
+    DIR_INS,
+    DIR_STOP,
+    DIR_SUB,
+    INT_MIN,
+    NEG_INF,
+)
 
 #: diagonals per grid step.
 CHUNK = 512
@@ -51,31 +59,30 @@ def _kernel_rows(
     s1m_ref,  # VMEM int32 (8, C): s1m[v] = s1_block[v-1]
     s2i_ref,  # SMEM int32 (1, chunk): injected s2 chars
     top_ref,  # SMEM int32 (3, chunk): row-0 I/S/D stream
-    *rest,  # bot_ref, fin_ref, [bv_ref, bk_ref], scratch...
+    *rest,  # bot_ref, fin_ref, [bv_ref, bk_ref], [dirs_ref], scratch...
     C: int,
     K: int,
     R: int,
     chunk: int,
     is_local: bool,
+    emit_dirs: bool,
 ):
+    idx = 0
+    bot_ref, fin_ref = rest[idx], rest[idx + 1]
+    idx += 2
     if is_local:
-        (
-            bot_ref,
-            fin_ref,
-            bv_ref,
-            bk_ref,
-            s2j_ref,
-            Ip,
-            Pp,
-            Dp,
-            Qp,
-            shM,
-            fin_s,
-            bv_s,
-            bk_s,
-        ) = rest
-    else:
-        (bot_ref, fin_ref, s2j_ref, Ip, Pp, Dp, Qp, shM, fin_s) = rest
+        bv_ref, bk_ref = rest[idx], rest[idx + 1]
+        idx += 2
+    if emit_dirs:
+        dirs_ref = rest[idx]
+        idx += 1
+    s2j_ref, Ip, Pp, Dp, Qp, shM, fin_s = rest[idx : idx + 7]
+    idx += 7
+    if is_local:
+        bv_s, bk_s = rest[idx], rest[idx + 1]
+        idx += 2
+    if emit_dirs:
+        acc_s = rest[idx]
 
     g_id = pl.program_id(0)
     m = scalars[0]
@@ -108,6 +115,8 @@ def _kernel_rows(
         if is_local:
             bv_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
             bk_s[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
+        if emit_dirs:
+            acc_s[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
 
     row0_mask = iv == 0
     nz_mask = iv > 0
@@ -125,7 +134,7 @@ def _kernel_rows(
     lane_r, lane_c = divmod(R, C)
 
     def step_ssa(state, t, k):
-        (s2j0, I0, P0, D0, Q0, M0, bv0, bk0) = state
+        (s2j0, I0, P0, D0, Q0, M0, bv0, bk0, acc0) = state
         inj = s2i_ref[0, t]
         s2j = _shift_down_flat(s2j0, inj, row_idx, col_idx, C)
         shQ = _shift_down_flat(Q0, neg, row_idx, col_idx, C)
@@ -158,6 +167,30 @@ def _kernel_rows(
         Dnew = jnp.where(row0_mask, top_ref[2, t], Dnew)
 
         Qnew = jnp.maximum(Inew, Snew)
+        if emit_dirs:
+            # Same code chain (and tie order SUB > INS > DEL > STOP)
+            # as the tile kernel; packed 16 codes per int32 word along
+            # the diagonal axis, flushed per word and at the final
+            # true diagonal (a partial last word still lands).
+            cm_d = jnp.maximum(Qnew, Dnew)
+            if is_local:
+                cm_d = jnp.maximum(cm_d, zero)
+            dcode = jnp.where(
+                cm_d == Snew,
+                DIR_SUB,
+                jnp.where(
+                    cm_d == Inew,
+                    DIR_INS,
+                    jnp.where(cm_d == Dnew, DIR_DEL, DIR_STOP),
+                ),
+            )
+            sp = t % PACK
+            acc0 = jnp.where(sp == 0, 0, acc0) | (dcode << (2 * sp))
+
+            @pl.when((sp == PACK - 1) | (k == K - 1))
+            def _flush():
+                dirs_ref[t // PACK] = acc0
+
         if is_local:
             cmc = jnp.maximum(jnp.maximum(Qnew, Dnew), zero)
             # in_true: iv <= m-i0, 0 <= j <= n (j = k - iv).
@@ -199,25 +232,33 @@ def _kernel_rows(
             jnp.maximum(shQ, shD),
             bv0,
             bk0,
+            acc0,
         )
 
     none2 = (jnp.int32(0), jnp.int32(0))
+    none1 = (jnp.int32(0),)
 
     def body(tt, _):
         k0 = g_id * chunk + UNROLL * tt
         state = (
-            s2j_ref[:],
-            Ip[:],
-            Pp[:],
-            Dp[:],
-            Qp[:],
-            shM[:],
-        ) + ((bv_s[:], bk_s[:]) if is_local else none2)
+            (
+                s2j_ref[:],
+                Ip[:],
+                Pp[:],
+                Dp[:],
+                Qp[:],
+                shM[:],
+            )
+            + ((bv_s[:], bk_s[:]) if is_local else none2)
+            + ((acc_s[:],) if emit_dirs else none1)
+        )
         for sub in range(UNROLL):
             state = step_ssa(state, UNROLL * tt + sub, k0 + sub)
         (s2j_ref[:], Ip[:], Pp[:], Dp[:], Qp[:], shM[:]) = state[:6]
         if is_local:
             bv_s[:], bk_s[:] = state[6], state[7]
+        if emit_dirs:
+            acc_s[:] = state[8]
         return 0
 
     jax.lax.fori_loop(0, chunk // UNROLL, body, 0)
@@ -231,7 +272,7 @@ def _kernel_rows(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("is_local", "interpret")
+    jax.jit, static_argnames=("is_local", "emit_dirs", "interpret")
 )
 def gotoh_rowblock_pallas(
     s1_block: jax.Array,
@@ -242,14 +283,18 @@ def gotoh_rowblock_pallas(
     i0: jax.Array,
     scores: Scores,
     is_local: bool,
+    emit_dirs: bool = False,
     interpret: bool = False,
 ) -> TileFillResult:
     """Fill full-width rows [i0+1, i0+R] given the row-i0 boundary.
 
-    Drop-in for ``gotoh_tile_pallas(..., j0=0, emit_dirs=False,
-    emit_bottom=True)``: returns ``TileFillResult`` with ``bottom``
-    (3, B+1) I/S/D of row i0+R, ``score_at_mn`` (captured when the
-    block contains row m), and local-mode ``best`` in global coords.
+    Drop-in for ``gotoh_tile_pallas(..., j0=0, emit_bottom=True)``:
+    returns ``TileFillResult`` with ``bottom`` (3, B+1) I/S/D of row
+    i0+R, ``score_at_mn`` (captured when the block contains row m),
+    local-mode ``best`` in global coords, and — with ``emit_dirs`` —
+    the packed direction words (Kp/16, V) in the tile kernel's exact
+    layout (``walk_block`` / ``unpack_dirs`` compatible; codes at
+    padded lanes/steps are garbage the walker never visits).
     Callers should size R so R+1 is a multiple of 1024 (e.g. 16383):
     the lane vector covers R+1 rows rounded up to 1024.
     """
@@ -295,6 +340,29 @@ def gotoh_rowblock_pallas(
     )
     vec_out = jax.ShapeDtypeStruct((ROWS, C), jnp.int32)
     n_panes = 4 if is_local else 2
+    out_specs = [
+        pl.BlockSpec(
+            (CHUNK, 3, 128),
+            lambda g, s: (g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ] + [vec_spec] * (n_panes - 1)
+    out_shapes = [jax.ShapeDtypeStruct((Kp, 3, 128), jnp.int32)] + [
+        vec_out
+    ] * (n_panes - 1)
+    n_scratch = 9 if is_local else 7
+    if emit_dirs:
+        out_specs.append(
+            pl.BlockSpec(
+                (CHUNK // PACK, ROWS, C),
+                lambda g, s: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((Kp // PACK, ROWS, C), jnp.int32)
+        )
+        n_scratch += 1  # pack accumulator
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),
@@ -307,34 +375,32 @@ def gotoh_rowblock_pallas(
                 (3, CHUNK), lambda g, s: (0, g), memory_space=pltpu.SMEM
             ),
         ],
-        out_specs=(
-            pl.BlockSpec(
-                (CHUNK, 3, 128),
-                lambda g, s: (g, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        )
-        + tuple([vec_spec] * (n_panes - 1)),
-        scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)]
-        * (9 if is_local else 7),
+        out_specs=tuple(out_specs),
+        scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)] * n_scratch,
     )
     kernel = functools.partial(
-        _kernel_rows, C=C, K=K, R=R, chunk=CHUNK, is_local=is_local
+        _kernel_rows,
+        C=C,
+        K=K,
+        R=R,
+        chunk=CHUNK,
+        is_local=is_local,
+        emit_dirs=emit_dirs,
     )
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((Kp, 3, 128), jnp.int32),)
-        + tuple([vec_out] * (n_panes - 1)),
+        out_shape=tuple(out_shapes),
         interpret=interpret,
     )(scalars, s1m2d, s2inj, top_stream)
 
     bot = outs[0]
     bottom = jnp.transpose(bot[R : R + B + 1, :, 0], (1, 0))
     fin = outs[1]
+    dirs = outs[n_panes].reshape(Kp // PACK, V) if emit_dirs else None
     if not is_local:
         return TileFillResult(
-            dirs=None,
+            dirs=dirs,
             score_at_mn=jnp.max(fin.reshape(V)),
             best=(jnp.int32(INT_MIN), jnp.int32(0), jnp.int32(0)),
             bottom=bottom,
@@ -348,7 +414,7 @@ def gotoh_rowblock_pallas(
     i_best = jnp.max(jnp.where(bvf == vmax, ig, -1))
     j_best = jnp.max(jnp.where((bvf == vmax) & (ig == i_best), bkf, -1))
     return TileFillResult(
-        dirs=None,
+        dirs=dirs,
         score_at_mn=jnp.max(fin.reshape(V)),
         best=(vmax, i_best, j_best),
         bottom=bottom,
