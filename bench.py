@@ -305,19 +305,47 @@ def run_full() -> dict:
     s1e = s1.encoded(pad_to=Lp, pad_value=PAD_S1)
     s2e = s2.encoded(pad_to=Lp, pad_value=PAD_S2)
 
+    # The aligner's actual path: PACKED words (no per-cell unpack),
+    # then the on-device walk ships home only the O(m+n) move list.
     def run_dirs():
         res = gotoh_fill_pallas(
-            s1e, s2e, np.int32(m), np.int32(n), scores, False
+            s1e,
+            s2e,
+            np.int32(m),
+            np.int32(n),
+            scores,
+            False,
+            packed_dirs=True,
         )
         np.asarray(res.score)
         return res
 
-    _retry(run_dirs, label="dirs warmup")
+    fill_res = _retry(run_dirs, label="dirs warmup")
     dt = _median_time(run_dirs, reps=5)
+
+    from genomics_rs_tpu.ops.traceback_device import walk_block
+
+    walk_steps = round_up(2 * Lp + 1, 8192)
+
+    def run_walk():
+        moves, count, i_f, j_f, done = walk_block(
+            fill_res.dirs,
+            fill_res.start_i,
+            fill_res.start_j,
+            np.int32(0),
+            max_steps=walk_steps,
+        )
+        np.asarray(count)
+        return count
+
+    _retry(run_walk, label="walk warmup")
+    dt_walk = _median_time(run_walk, reps=5)
     rows["single_pair_with_dirs"] = {
         "cells": pair_cells,
         "ms": dt * 1e3,
         "cells_per_s": pair_cells / dt,
+        "device_walk_ms": dt_walk * 1e3,
+        "fill_plus_walk_ms": (dt + dt_walk) * 1e3,
     }
 
     # --- short-read batch ------------------------------------------
@@ -653,6 +681,60 @@ def run_smoke() -> int:
         )
         if not ok:
             failures.append(("fill_dirs", loc, 0, g, w))
+
+        # The aligner's real retrace: packed fill + ON-DEVICE walk,
+        # classified on host — vs the host traceback over the
+        # interpret-mode per-cell table.
+        from genomics_rs_tpu.ops.traceback import (
+            classify_moves,
+            traceback_host,
+        )
+        from genomics_rs_tpu.ops.traceback_device import walk_block
+
+        pres = _retry(
+            lambda loc=loc: gotoh_fill_pallas(
+                s1b[0], s2b[0], ms[0], ns[0], scores, loc, packed_dirs=True
+            ),
+            label="smoke packed fill",
+        )
+        moves, count, i_f, j_f, done = walk_block(
+            pres.dirs,
+            pres.start_i,
+            pres.start_j,
+            np.int32(0),
+            max_steps=8192,
+        )
+        got_al = classify_moves(
+            np.asarray(moves)[: int(count)],
+            int(pres.start_i),
+            int(pres.start_j),
+            int(pres.score),
+            sa,
+            sb,
+        )
+        want_al = traceback_host(
+            ref_d,
+            int(res.start_i),
+            int(res.start_j),
+            int(res.score),
+            sa,
+            sb,
+            loc,
+        )
+        walk_ok = bool(done) and (
+            got_al.alignment == want_al.alignment
+            and got_al.score == want_al.score
+            and got_al.matches == want_al.matches
+            and got_al.mismatches == want_al.mismatches
+            and got_al.opening_gaps == want_al.opening_gaps
+            and got_al.gap_extensions == want_al.gap_extensions
+        )
+        print(
+            f"[smoke] packed_walk local={loc}: "
+            f"{'ok' if walk_ok else 'MISMATCH vs host traceback'}"
+        )
+        if not walk_ok:
+            failures.append(("packed_walk", loc, 0, None, None))
 
     # Sequence-parallel pipeline (tile kernel w/ bottom+right) on the
     # 1-device mesh.

@@ -35,7 +35,14 @@ PAD_MULTIPLE = 128
 
 
 @functools.partial(
-    jax.jit, static_argnames=("is_local", "engine", "emit_dirs")
+    jax.jit,
+    static_argnames=(
+        "is_local",
+        "engine",
+        "emit_dirs",
+        "packed_dirs",
+        "interpret",
+    ),
 )
 def _fill(
     s1e,
@@ -46,6 +53,8 @@ def _fill(
     is_local: bool,
     engine: str,
     emit_dirs: bool = True,
+    packed_dirs: bool = False,
+    interpret: bool = False,
 ):
     if engine == "scan":
         return gotoh_fill_scan(
@@ -55,7 +64,15 @@ def _fill(
         from genomics_rs_tpu.ops.gotoh_pallas import gotoh_fill_pallas
 
         return gotoh_fill_pallas(
-            s1e, s2e, m, n, scores, is_local, emit_dirs=emit_dirs
+            s1e,
+            s2e,
+            m,
+            n,
+            scores,
+            is_local,
+            emit_dirs=emit_dirs,
+            packed_dirs=packed_dirs,
+            interpret=interpret,
         )
     raise ValueError(f"Unknown engine: {engine}")
 
@@ -75,11 +92,17 @@ class PairwiseAligner:
     """
 
     def __init__(
-        self, scores: Scores, is_local: bool = False, engine: str = "auto"
+        self,
+        scores: Scores,
+        is_local: bool = False,
+        engine: str = "auto",
+        interpret: bool = False,
     ):
         self.scores = scores
         self.is_local = is_local
         self.engine = _default_engine() if engine == "auto" else engine
+        #: run Pallas kernels in interpret mode (CPU test hook only).
+        self.interpret = interpret
 
     #: Largest monolithic direction bitmap before routing to the
     #: checkpointed linear-space path (bytes). Kept well under HBM:
@@ -138,32 +161,80 @@ class PairwiseAligner:
                 self.scores,
                 is_local=self.is_local,
                 block_rows=block_rows,
+                interpret=self.interpret,
             )
 
         s1e = seq1.encoded(pad_to=Lm, pad_value=PAD_S1)
         s2e = seq2.encoded(pad_to=Ln, pad_value=PAD_S2)
 
+        # The pallas engine keeps the direction bitmap PACKED (2 bits
+        # per cell) and chases it on device — only the O(m+n) move
+        # list ever reaches the host, vs a per-cell uint8 table
+        # (4x the HBM and a table-sized device->host transfer).
+        packed = self.engine == "pallas"
         timer = PhaseTimer("align")
         with spinner(
             "Computing sequence table...", "Sequence table computed"
         ), timer.span("fill table", cells=(m + 1.0) * (n + 1.0)):
             res = _fill(
-                s1e, s2e, m, n, self.scores, self.is_local, self.engine
+                s1e,
+                s2e,
+                m,
+                n,
+                self.scores,
+                self.is_local,
+                self.engine,
+                packed_dirs=packed,
+                interpret=self.interpret,
             )
             jax.block_until_ready(res.score)
         with spinner(
             "Retracing optimal alignment...", "Retrace complete"
         ), timer.span("retrace"):
-            dirs = np.asarray(res.dirs)
-            out = traceback_host(
-                dirs,
-                int(res.start_i),
-                int(res.start_j),
-                int(res.score),
-                seq1,
-                seq2,
-                self.is_local,
-            )
+            if packed:
+                from genomics_rs_tpu.ops.traceback import classify_moves
+                from genomics_rs_tpu.ops.traceback_device import walk_block
+
+                # max_steps is a static arg — bucket it coarsely so
+                # length-neighbouring pairs share the compiled walker.
+                max_steps = round_up(Lm + Ln + 1, 8192)
+                moves, count, i_f, j_f, done = walk_block(
+                    res.dirs,
+                    res.start_i,
+                    res.start_j,
+                    np.int32(0),
+                    max_steps=max_steps,
+                )
+                if not bool(done):
+                    raise RuntimeError(
+                        f"monolithic retrace did not terminate within "
+                        f"{max_steps} steps at ({int(i_f)}, {int(j_f)})"
+                    )
+                if not self.is_local and (int(i_f), int(j_f)) != (0, 0):
+                    raise RuntimeError(
+                        "global retrace hit a stop code at "
+                        f"({int(i_f)}, {int(j_f)})"
+                    )
+                codes = np.asarray(moves)[: int(count)]
+                out = classify_moves(
+                    codes,
+                    int(res.start_i),
+                    int(res.start_j),
+                    int(res.score),
+                    seq1,
+                    seq2,
+                )
+            else:
+                dirs = np.asarray(res.dirs)
+                out = traceback_host(
+                    dirs,
+                    int(res.start_i),
+                    int(res.start_j),
+                    int(res.score),
+                    seq1,
+                    seq2,
+                    self.is_local,
+                )
         return out
 
     #: Above this many rows the monolithic wavefront state no longer

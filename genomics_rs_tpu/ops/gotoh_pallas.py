@@ -1262,7 +1262,8 @@ def gotoh_scores_pallas_batch(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("is_local", "emit_dirs", "interpret")
+    jax.jit,
+    static_argnames=("is_local", "emit_dirs", "packed_dirs", "interpret"),
 )
 def gotoh_fill_pallas(
     s1e: jax.Array,
@@ -1272,6 +1273,7 @@ def gotoh_fill_pallas(
     scores: Scores,
     is_local: bool,
     emit_dirs: bool = True,
+    packed_dirs: bool = False,
     interpret: bool = False,
 ) -> FillResult:
     """Pallas-kernel wavefront fill; drop-in for ``gotoh_fill_scan``.
@@ -1284,6 +1286,13 @@ def gotoh_fill_pallas(
     ``dirs[i + j, i]`` = move code at table cell (i, j) — the same
     indexing contract as the scan engine (V >= Lm + 1; rows beyond the
     true diagonal count and lanes beyond row m are garbage/unreached).
+
+    With ``packed_dirs=True`` the per-cell unpack is skipped and
+    ``dirs`` stays the kernel's packed int32 words ``(Kp/16, V)``
+    (code at (i, j) = ``(dirs[(i+j)//16, i] >> (2*((i+j)%16))) & 3``)
+    — 4x smaller and directly consumable by the on-device walker
+    (``ops/traceback_device.walk_block``), so a full retrace never
+    materialises or transfers a per-cell table.
     """
     from genomics_rs_tpu.ops.gotoh_tile import (
         global_boundary_left,
@@ -1316,11 +1325,14 @@ def gotoh_fill_pallas(
             emit_dirs=True,
             interpret=interpret,
         )
-        # Unpack on device to keep FillResult's per-cell uint8
-        # contract for the host traceback (budget-routed pairs keep
-        # this array small; huge pairs go through the checkpointed
-        # path which consumes the packed words directly).
-        dirs = unpack_dirs(res.dirs, res.dirs.shape[0] * PACK)
+        if packed_dirs:
+            dirs = res.dirs
+        else:
+            # Unpack on device to keep FillResult's per-cell uint8
+            # contract for the host traceback (budget-routed pairs
+            # keep this array small; the aligner and the checkpointed
+            # path consume the packed words directly instead).
+            dirs = unpack_dirs(res.dirs, res.dirs.shape[0] * PACK)
     else:
         res = gotoh_tile_pallas(
             s1e,

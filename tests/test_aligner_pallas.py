@@ -1,0 +1,66 @@
+"""End-to-end parity of the pallas aligner path vs the scan oracle.
+
+The pallas engine fills with PACKED direction words and retraces with
+the on-device walker (``ops/traceback_device.walk_block``) — no
+per-cell table is ever materialised. These tests pin that whole
+pipeline (fill -> packed words -> device walk -> classification)
+against the scan engine's host traceback, which itself is pinned to
+the reference integration tests (``tests/test_alignment.py``).
+"""
+
+import numpy as np
+import pytest
+
+from genomics_rs_tpu.config import Scores
+from genomics_rs_tpu.models.aligner import PairwiseAligner
+from genomics_rs_tpu.sequence import Sequence
+
+SCORES = Scores(s_match=1, s_mismatch=-2, g=-2, h=-5)
+
+
+def _random_pair(rng, lo=40, hi=200):
+    m = int(rng.integers(lo, hi))
+    a = rng.choice(list("ACGT"), m)
+    # Mutate a copy so the pair has indel/substitution structure.
+    b = list(a)
+    for _ in range(int(rng.integers(1, 8))):
+        p = int(rng.integers(0, len(b)))
+        op = int(rng.integers(0, 3))
+        if op == 0:
+            b[p] = rng.choice(list("ACGT"))
+        elif op == 1 and len(b) > 2:
+            del b[p]
+        else:
+            b.insert(p, rng.choice(list("ACGT")))
+    return "".join(a), "".join(b)
+
+
+def _assert_same(got, want):
+    assert got.score == want.score
+    assert got.alignment == want.alignment
+    assert got.matches == want.matches
+    assert got.mismatches == want.mismatches
+    assert got.opening_gaps == want.opening_gaps
+    assert got.gap_extensions == want.gap_extensions
+
+
+@pytest.mark.parametrize("is_local", [False, True])
+def test_pallas_packed_align_matches_scan(is_local):
+    rng = np.random.default_rng(7)
+    scan = PairwiseAligner(SCORES, is_local=is_local, engine="scan")
+    pallas = PairwiseAligner(
+        SCORES, is_local=is_local, engine="pallas", interpret=True
+    )
+    for trial in range(3):
+        a, b = _random_pair(rng)
+        s1, s2 = Sequence("s1", a), Sequence("s2", b)
+        _assert_same(pallas.align(s1, s2), scan.align(s1, s2))
+
+
+def test_pallas_packed_align_reference_case():
+    """The reference affine-gap integration case through the packed path."""
+    scan = PairwiseAligner(SCORES, engine="scan")
+    pallas = PairwiseAligner(SCORES, engine="pallas", interpret=True)
+    s1 = Sequence("s1", "ACGGATAAAAAAAATC")
+    s2 = Sequence("s2", "ACGGATAAAATC")
+    _assert_same(pallas.align(s1, s2), scan.align(s1, s2))
