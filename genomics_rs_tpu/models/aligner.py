@@ -104,10 +104,11 @@ class PairwiseAligner:
         #: run Pallas kernels in interpret mode (CPU test hook only).
         self.interpret = interpret
 
-    #: Largest monolithic direction bitmap before routing to the
-    #: checkpointed linear-space path (bytes). Kept well under HBM:
-    #: block tiles also compile far faster than one huge-V kernel,
-    #: and the checkpointed output is bit-identical.
+    #: Largest monolithic PACKED direction bitmap before routing to
+    #: the checkpointed linear-space path (bytes; the pallas path
+    #: never unpacks — 2 bits/cell). Kept well under HBM: block tiles
+    #: also compile far faster than one huge-V kernel, and the
+    #: checkpointed output is bit-identical.
     DIRS_BYTE_BUDGET = 256 << 20
 
     def align(self, seq1: Sequence, seq2: Sequence) -> AlignedSequences:
@@ -115,30 +116,32 @@ class PairwiseAligner:
         Lm = max(round_up(m, PAD_MULTIPLE), PAD_MULTIPLE)
         Ln = max(round_up(n, PAD_MULTIPLE), PAD_MULTIPLE)
 
-        # Monolithic dirs is (Lm+Ln+1) x roundup(Lm+1, 1024) bytes; a
-        # 60kb+ pair overflows HBM -> checkpointed block traceback
+        # Monolithic PACKED dirs is (Lm+Ln+1) x roundup(Lm+1, 1024) / 4
+        # bytes (2 bits/cell, never unpacked); a very long pair
+        # overflows HBM -> checkpointed block traceback
         # (bit-identical output, O((m/R + R) * n) memory).
-        est_dirs = (Lm + Ln + 1) * (round_up(Lm + 1, 1024))
+        est_dirs = (Lm + Ln + 1) * (round_up(Lm + 1, 1024)) // 4
         if self.engine == "pallas" and est_dirs > self.DIRS_BYTE_BUDGET:
             from genomics_rs_tpu.models.longalign import align_checkpointed
 
             # A backward-pass block refill materialises
-            # (R + Ln + 1) * roundup(R+1, 1024) dirs bytes — pick the
-            # largest R that keeps one refill under ~2 GB HBM. The
-            # row-only decomposition can never go below ~Ln * 1024
-            # bytes per refill, so extremely long second sequences
-            # need the sequence-parallel/score-only paths instead.
+            # (R + Ln + 1) * roundup(R+1, 1024) / 4 packed-dirs
+            # bytes — pick the largest R that keeps one refill under
+            # ~2 GB HBM. The row-only decomposition can never go below
+            # ~Ln * 1024 / 4 bytes per refill, so extremely long
+            # second sequences need the sequence-parallel/score-only
+            # paths instead.
             refill_cap = 2 << 30
             hard_cap = 8 << 30
             block_rows = None
             # R+1 a multiple of 1024: the checkpointed forward's lean
             # row-block kernel then wastes no lanes.
             for r in (8191, 4095, 2047, 1023):
-                if (r + Ln + 1) * round_up(r + 1, 1024) <= refill_cap:
+                if (r + Ln + 1) * round_up(r + 1, 1024) // 4 <= refill_cap:
                     block_rows = r
                     break
             if block_rows is None:
-                min_bytes = (1024 + Ln) * 1024
+                min_bytes = (1024 + Ln) * 1024 // 4
                 if min_bytes <= hard_cap:
                     block_rows = 1023
                 else:

@@ -211,11 +211,13 @@ def align_checkpointed(
 ) -> AlignedSequences:
     """Full global/local alignment with O((m/R + R) * n) device memory.
 
-    The forward pass fills blocks with the lean row-block kernel
-    (``ops/gotoh_rowblock``, same results as the tile kernel — pinned
-    by tests); size ``block_rows`` so R+1 is a multiple of 1024 (the
-    lean kernel's lane vector covers R+1 rows rounded up to 1024).
-    The backward refills still use the tile kernel (it emits dirs).
+    Both passes use the lean row-block kernel (``ops/gotoh_rowblock``,
+    same results as the tile kernel — pinned by tests): the forward
+    pass emits each block's bottom row as the next block's top
+    boundary, and the backward pass refills crossed blocks with packed
+    dirs (no bottom) and walks them on device. Size ``block_rows`` so
+    R+1 is a multiple of 1024 (the lean kernel's lane vector covers
+    R+1 rows rounded up to 1024).
     """
     m, n = len(seq1), len(seq2)
     R = block_rows
@@ -257,6 +259,7 @@ def align_checkpointed(
             scores,
             is_local,
             emit_dirs=True,
+            emit_bottom=False,
             interpret=interpret,
         )
         moves, count, i_f, j_f, done_f = walk_block(

@@ -1323,6 +1323,7 @@ def gotoh_fill_pallas(
             scores,
             is_local,
             emit_dirs=True,
+            emit_bottom=False,
             interpret=interpret,
         )
         if packed_dirs:

@@ -59,17 +59,21 @@ def _kernel_rows(
     s1m_ref,  # VMEM int32 (8, C): s1m[v] = s1_block[v-1]
     s2i_ref,  # SMEM int32 (1, chunk): injected s2 chars
     top_ref,  # SMEM int32 (3, chunk): row-0 I/S/D stream
-    *rest,  # bot_ref, fin_ref, [bv_ref, bk_ref], [dirs_ref], scratch...
+    *rest,  # [bot_ref], fin_ref, [bv_ref, bk_ref], [dirs_ref], scratch...
     C: int,
     K: int,
     R: int,
     chunk: int,
     is_local: bool,
     emit_dirs: bool,
+    emit_bottom: bool,
 ):
     idx = 0
-    bot_ref, fin_ref = rest[idx], rest[idx + 1]
-    idx += 2
+    if emit_bottom:
+        bot_ref = rest[idx]
+        idx += 1
+    fin_ref = rest[idx]
+    idx += 1
     if is_local:
         bv_ref, bk_ref = rest[idx], rest[idx + 1]
         idx += 2
@@ -212,16 +216,17 @@ def _kernel_rows(
                 cm = jnp.maximum(Qnew, Dnew)
                 fin_s[:] = jnp.where(probe_mask, cm, fin_s[:])
 
-        # Bottom row: cell (R, k - R) — three scalars broadcast into
-        # this step's (3, 128) row of the bottom output block.
-        vals = jnp.stack(
-            [
-                Inew[lane_r, lane_c],
-                Snew[lane_r, lane_c],
-                Dnew[lane_r, lane_c],
-            ]
-        )
-        bot_ref[t] = jnp.broadcast_to(vals[:, None], (3, 128))
+        if emit_bottom:
+            # Bottom row: cell (R, k - R) — three scalars broadcast
+            # into this step's (3, 128) row of the bottom output block.
+            vals = jnp.stack(
+                [
+                    Inew[lane_r, lane_c],
+                    Snew[lane_r, lane_c],
+                    Dnew[lane_r, lane_c],
+                ]
+            )
+            bot_ref[t] = jnp.broadcast_to(vals[:, None], (3, 128))
 
         return (
             s2j,
@@ -272,7 +277,8 @@ def _kernel_rows(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("is_local", "emit_dirs", "interpret")
+    jax.jit,
+    static_argnames=("is_local", "emit_dirs", "emit_bottom", "interpret"),
 )
 def gotoh_rowblock_pallas(
     s1_block: jax.Array,
@@ -284,6 +290,7 @@ def gotoh_rowblock_pallas(
     scores: Scores,
     is_local: bool,
     emit_dirs: bool = False,
+    emit_bottom: bool = True,
     interpret: bool = False,
 ) -> TileFillResult:
     """Fill full-width rows [i0+1, i0+R] given the row-i0 boundary.
@@ -295,6 +302,9 @@ def gotoh_rowblock_pallas(
     the packed direction words (Kp/16, V) in the tile kernel's exact
     layout (``walk_block`` / ``unpack_dirs`` compatible; codes at
     padded lanes/steps are garbage the walker never visits).
+    ``emit_bottom=False`` drops the bottom-row output and its
+    per-step HBM store — use it when only dirs/score are consumed
+    (the monolithic fill, the checkpointed backward refills).
     Callers should size R so R+1 is a multiple of 1024 (e.g. 16383):
     the lane vector covers R+1 rows rounded up to 1024.
     """
@@ -340,16 +350,19 @@ def gotoh_rowblock_pallas(
     )
     vec_out = jax.ShapeDtypeStruct((ROWS, C), jnp.int32)
     n_panes = 4 if is_local else 2
-    out_specs = [
-        pl.BlockSpec(
-            (CHUNK, 3, 128),
-            lambda g, s: (g, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-    ] + [vec_spec] * (n_panes - 1)
-    out_shapes = [jax.ShapeDtypeStruct((Kp, 3, 128), jnp.int32)] + [
-        vec_out
-    ] * (n_panes - 1)
+    out_specs: list = []
+    out_shapes: list = []
+    if emit_bottom:
+        out_specs.append(
+            pl.BlockSpec(
+                (CHUNK, 3, 128),
+                lambda g, s: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((Kp, 3, 128), jnp.int32))
+    out_specs += [vec_spec] * (n_panes - 1)
+    out_shapes += [vec_out] * (n_panes - 1)
     n_scratch = 9 if is_local else 7
     if emit_dirs:
         out_specs.append(
@@ -386,6 +399,7 @@ def gotoh_rowblock_pallas(
         chunk=CHUNK,
         is_local=is_local,
         emit_dirs=emit_dirs,
+        emit_bottom=emit_bottom,
     )
     outs = pl.pallas_call(
         kernel,
@@ -394,10 +408,18 @@ def gotoh_rowblock_pallas(
         interpret=interpret,
     )(scalars, s1m2d, s2inj, top_stream)
 
-    bot = outs[0]
-    bottom = jnp.transpose(bot[R : R + B + 1, :, 0], (1, 0))
-    fin = outs[1]
-    dirs = outs[n_panes].reshape(Kp // PACK, V) if emit_dirs else None
+    oi = 0
+    if emit_bottom:
+        bot = outs[oi]
+        oi += 1
+        bottom = jnp.transpose(bot[R : R + B + 1, :, 0], (1, 0))
+    else:
+        bottom = None
+    fin = outs[oi]
+    if is_local:
+        bv, bk = outs[oi + 1], outs[oi + 2]
+        oi += 2
+    dirs = outs[oi + 1].reshape(Kp // PACK, V) if emit_dirs else None
     if not is_local:
         return TileFillResult(
             dirs=dirs,
@@ -405,7 +427,6 @@ def gotoh_rowblock_pallas(
             best=(jnp.int32(INT_MIN), jnp.int32(0), jnp.int32(0)),
             bottom=bottom,
         )
-    bv, bk = outs[2], outs[3]
     ivf = jnp.arange(V, dtype=jnp.int32)
     bvf = bv.reshape(V)
     bkf = bk.reshape(V)

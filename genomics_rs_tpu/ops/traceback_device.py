@@ -20,6 +20,13 @@ import jax.numpy as jnp
 from genomics_rs_tpu.ops.gotoh_scan import DIR_DEL, DIR_INS, DIR_STOP
 
 
+#: dependent walk steps per ``while_loop`` iteration. The walk is a
+#: chain of single-word gathers whose per-move cost is dominated by
+#: the loop-iteration overhead, not the gather itself — unrolling
+#: amortizes that overhead (measured ~2.4 us/move at UNROLL=1).
+UNROLL = 8
+
+
 @functools.partial(jax.jit, static_argnames=("max_steps",))
 def walk_block(
     dirs: jax.Array,
@@ -48,14 +55,17 @@ def walk_block(
         li, j, pos, done, exited, moves = st
         return (~done) & (~exited) & (pos < max_steps)
 
-    def body(st):
+    def substep(st):
         li, j, pos, done, exited, moves = st
+        # Once halted, later unrolled substeps are identity (the
+        # gather still executes with the frozen — valid — indices).
+        halt = done | exited | (pos >= max_steps)
         k = li + j
         if os.environ.get("GENOMICS_TPU_DEBUG"):
             # Invariant: the walk must never read outside the bitmap
             # (a padded lane / out-of-range diagonal would be silently
             # clamped by the gather and corrupt the path).
-            oob = (
+            oob = (~halt) & (
                 (li < 0)
                 | (li >= dirs.shape[1])
                 | (k < 0)
@@ -83,21 +93,33 @@ def walk_block(
         ig_new = jnp.maximum(ig - di, 0)
         j_new = jnp.maximum(j - dj, 0)
 
+        write = (~halt) & (~is_stop)
         moves = jnp.where(
-            is_stop, moves, moves.at[pos].set(code.astype(jnp.uint8))
-        )
-        pos = jnp.where(is_stop, pos, pos + 1)
-
-        done_now = is_stop | ((ig_new == 0) & (j_new == 0))
-        exited_now = (~done_now) & (ig_new < i0)
-        return (
-            jnp.maximum(ig_new - i0, 0),
-            j_new,
-            pos,
-            done_now,
-            exited_now,
+            write,
+            moves.at[jnp.minimum(pos, max_steps - 1)].set(
+                code.astype(jnp.uint8)
+            ),
             moves,
         )
+        pos = jnp.where(write, pos + 1, pos)
+
+        done_now = (~halt) & (
+            is_stop | ((ig_new == 0) & (j_new == 0))
+        )
+        exited_now = (~halt) & (~done_now) & (ig_new < i0)
+        return (
+            jnp.where(halt, li, jnp.maximum(ig_new - i0, 0)),
+            jnp.where(halt, j, j_new),
+            pos,
+            done | done_now,
+            exited | exited_now,
+            moves,
+        )
+
+    def body(st):
+        for _ in range(UNROLL):
+            st = substep(st)
+        return st
 
     init = (
         jnp.asarray(start_li, jnp.int32),
