@@ -323,20 +323,21 @@ def run_full() -> dict:
     fill_res = _retry(run_dirs, label="dirs warmup")
     dt = _median_time(run_dirs, reps=5)
 
-    from genomics_rs_tpu.ops.traceback_device import walk_block
+    # The production retrace path (device_walk -> Mosaic hardware
+    # loop on TPU; ships home only the packed O(m+n) move list).
+    from genomics_rs_tpu.ops.traceback_device import device_walk
 
     walk_steps = round_up(2 * Lp + 1, 8192)
 
     def run_walk():
-        moves, count, i_f, j_f, done = walk_block(
+        codes, i_f, j_f, done = device_walk(
             fill_res.dirs,
             fill_res.start_i,
             fill_res.start_j,
             np.int32(0),
             max_steps=walk_steps,
         )
-        np.asarray(count)
-        return count
+        return len(codes)
 
     _retry(run_walk, label="walk warmup")
     dt_walk = _median_time(run_walk, reps=5)
@@ -735,6 +736,33 @@ def run_smoke() -> int:
         )
         if not walk_ok:
             failures.append(("packed_walk", loc, 0, None, None))
+
+        # The Mosaic hardware-loop walker must chase the same packed
+        # words to the identical move list (small max_steps forces
+        # its internal resume loop on the chip too).
+        from genomics_rs_tpu.ops.traceback_pallas import walk_full
+
+        pcodes, pi_f, pj_f, pdone = _retry(
+            lambda: walk_full(
+                pres.dirs,
+                int(pres.start_i),
+                int(pres.start_j),
+                0,
+                max_steps=8192,
+            ),
+            label="smoke pallas walk",
+        )
+        pwalk_ok = (
+            np.array_equal(pcodes, np.asarray(moves)[: int(count)])
+            and (int(pi_f), int(pj_f), bool(pdone))
+            == (int(i_f), int(j_f), bool(done))
+        )
+        print(
+            f"[smoke] pallas_walk local={loc}: "
+            f"{'ok' if pwalk_ok else 'MISMATCH vs walk_block'}"
+        )
+        if not pwalk_ok:
+            failures.append(("pallas_walk", loc, 0, None, None))
 
     # Sequence-parallel pipeline (tile kernel w/ bottom+right) on the
     # 1-device mesh.

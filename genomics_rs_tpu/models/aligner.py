@@ -196,12 +196,14 @@ class PairwiseAligner:
         ), timer.span("retrace"):
             if packed:
                 from genomics_rs_tpu.ops.traceback import classify_moves
-                from genomics_rs_tpu.ops.traceback_device import walk_block
+                from genomics_rs_tpu.ops.traceback_device import (
+                    device_walk,
+                )
 
                 # max_steps is a static arg — bucket it coarsely so
                 # length-neighbouring pairs share the compiled walker.
                 max_steps = round_up(Lm + Ln + 1, 8192)
-                moves, count, i_f, j_f, done = walk_block(
+                codes, i_f, j_f, done = device_walk(
                     res.dirs,
                     res.start_i,
                     res.start_j,
@@ -210,15 +212,14 @@ class PairwiseAligner:
                 )
                 if not bool(done):
                     raise RuntimeError(
-                        f"monolithic retrace did not terminate within "
-                        f"{max_steps} steps at ({int(i_f)}, {int(j_f)})"
+                        "monolithic retrace left the table at "
+                        f"({int(i_f)}, {int(j_f)})"
                     )
                 if not self.is_local and (int(i_f), int(j_f)) != (0, 0):
                     raise RuntimeError(
                         "global retrace hit a stop code at "
                         f"({int(i_f)}, {int(j_f)})"
                     )
-                codes = np.asarray(moves)[: int(count)]
                 out = classify_moves(
                     codes,
                     int(res.start_i),

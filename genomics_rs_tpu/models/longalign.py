@@ -11,7 +11,7 @@ The reference materialises 48 B/cell (SURVEY §2.4-9: ~43 GB for one
 2. **Backward pass** — walking from the end cell, each crossed block
    is *refilled* with its 2-bit direction bitmap (O(R * n) transient,
    device-resident) and the path is chased on device
-   (``ops/traceback_device.walk_block``); only O(m+n) move codes ever
+   (``ops/traceback_device.device_walk``); only O(m+n) move codes ever
    reach the host.
 
 Because every block refill injects the exact checkpointed boundary
@@ -40,7 +40,7 @@ from genomics_rs_tpu.ops.gotoh_tile import (
     global_boundary_top,
 )
 from genomics_rs_tpu.ops.traceback import AlignedSequences, classify_moves
-from genomics_rs_tpu.ops.traceback_device import walk_block
+from genomics_rs_tpu.ops.traceback_device import device_walk
 from genomics_rs_tpu.sequence import PAD_S1, PAD_S2, Sequence, round_up
 
 log = logging.getLogger(__name__)
@@ -241,18 +241,34 @@ def align_checkpointed(
         score, start_i, start_j = at_mn, m, n
 
     # ---- backward: refill crossed blocks with dirs, walk on device ----
+    # Two latency optimizations over the naive refill-then-walk loop:
+    #
+    # * COLUMN TRUNCATION — the walk enters block ``blk`` at column
+    #   ``j`` and only ever moves left, so cells right of ``j`` are
+    #   never read: refill just columns [0, Bt] with ``Bt >= j``.
+    #   Fill time scales with the column count (diagonals = R+B+1 at
+    #   a fixed lane vector), so a roughly diagonal path halves the
+    #   backward fill. ``Bt`` is quantized to quarter-width buckets
+    #   to bound the number of compiled kernel variants at 4.
+    # * PREFETCH — the walk always exits into block ``blk - 1`` (or
+    #   terminates), and its exit column can't exceed its entry
+    #   column, so the next block's refill is enqueued (JAX async
+    #   dispatch) BEFORE the walk's host sync: one device round-trip
+    #   per block instead of two.
     t0 = time.perf_counter()
     codes: list[np.ndarray] = []
     i, j = start_i, start_j
     done = i == 0 and j == 0
     max_steps = R + Ln + 1
-    while not done:
-        blk = max(0, (i - 1) // R)
+    quantum = max(round_up(-(-Ln // 4), 128), 128)
+
+    def refill(blk: int, jcap: int):
         i0 = blk * R
+        Bt = min(Ln, round_up(max(jcap, 1), quantum))
         res = gotoh_rowblock_pallas(
             s1e[i0 : i0 + R],
-            s2e,
-            tops[blk],
+            s2e[:Bt],
+            tops[blk][:, : Bt + 1],
             np.int32(m),
             np.int32(n),
             np.int32(i0),
@@ -262,28 +278,33 @@ def align_checkpointed(
             emit_bottom=False,
             interpret=interpret,
         )
-        moves, count, i_f, j_f, done_f = walk_block(
+        return res, i0
+
+    blk = max(0, (i - 1) // R) if not done else 0
+    if not done:
+        res, i0 = refill(blk, j)
+    while not done:
+        if blk > 0:
+            nxt = refill(blk - 1, j)
+        blk_codes, i_f, j_f, done_f = device_walk(
             res.dirs,
             np.int32(i - i0),
             np.int32(j),
             np.int32(i0),
             max_steps=max_steps,
         )
-        count = int(count)
-        codes.append(np.asarray(moves)[:count])
-        prev = (i, j)
+        codes.append(blk_codes)
         i, j, done = int(i_f), int(j_f), bool(done_f)
-        if not done and count == 0 and (i, j) == prev:
-            # walk_block bailed at max_steps without a single move —
-            # retrying the same block with identical (i, j) would hang
-            # forever; fail loudly instead.
-            raise RuntimeError(
-                f"traceback made no progress at ({i}, {j}) in block {blk}"
-            )
+        # device_walk only returns on terminate/exit (it resumes a
+        # filled buffer internally and raises on zero progress), so
+        # the remaining failure mode is exiting past the first block.
         if not done and blk == 0:
             raise RuntimeError(
                 f"traceback left block 0 at ({i}, {j}) without terminating"
             )
+        if not done:
+            res, i0 = nxt
+            blk -= 1
     t_bwd = time.perf_counter() - t0
     log.info(
         "[LongAlign] %dx%d in %d blocks of %d rows: forward %.2fs, "

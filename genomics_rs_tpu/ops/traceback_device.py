@@ -7,6 +7,11 @@ to transfer the bitmap. Movement semantics replicate the reference
 retrace (``/root/reference/src/alignment/algo.rs:339-421``): per-axis
 saturation at 0, break when (0, 0) is reached after a move, local
 termination on a stop code.
+
+:func:`device_walk` is the front door: on a TPU backend it runs the
+Mosaic hardware-loop walker (``ops/traceback_pallas.walk_full``,
+~3x the XLA ``while_loop`` per move); elsewhere it runs
+:func:`walk_block` below.
 """
 
 from __future__ import annotations
@@ -133,3 +138,60 @@ def walk_block(
     # On exit li was clamped to 0; the true row is i0 - 1.
     i_final = jnp.where(exited, i0 - 1, i0 + li)
     return moves, pos, i_final, j, done
+
+
+def device_walk(
+    dirs: jax.Array,
+    start_li,
+    start_j,
+    i0,
+    max_steps: int,
+):
+    """Chase a packed-dirs block from (start_li, start_j); returns
+    ``(codes uint8[count], i_final, j_final, done)``.
+
+    Same movement semantics as :func:`walk_block`; on TPU the chase
+    runs as a Mosaic scalar-core hardware loop with the bitmap left
+    in HBM (see ``ops/traceback_pallas``), everywhere else as the XLA
+    ``while_loop`` above. ``max_steps`` only sizes the move buffer —
+    both paths keep walking past it by resuming (the XLA path via the
+    same caller-visible resume loop the Pallas path uses internally).
+    """
+    if jax.default_backend() == "tpu":
+        from genomics_rs_tpu.ops.traceback_pallas import walk_full
+
+        return walk_full(dirs, start_li, start_j, i0, max_steps=max_steps)
+
+    import numpy as np
+
+    li, j = int(start_li), int(start_j)
+    i0 = int(i0)
+    chunks = []
+    while True:
+        out = walk_block(
+            dirs,
+            np.int32(li),
+            np.int32(j),
+            np.int32(i0),
+            max_steps=max_steps,
+        )
+        # Single D2H transfer for the whole tuple (see walk_full).
+        moves, count, i_f, j_f, done = jax.device_get(out)
+        count = int(count)
+        chunks.append(moves[:count])
+        prev = (i0 + li, j)
+        i_g, j_g, done = int(i_f), int(j_f), bool(done)
+        if done or i_g < i0:
+            return (
+                np.concatenate(chunks)
+                if chunks
+                else np.zeros(0, np.uint8),
+                i_g,
+                j_g,
+                done,
+            )
+        if count == 0 and (i_g, j_g) == prev:
+            raise RuntimeError(
+                f"traceback made no progress at ({i_g}, {j_g})"
+            )
+        li, j = i_g - i0, j_g

@@ -1,0 +1,301 @@
+"""Pallas traceback walker: the move chase as a hardware loop.
+
+The XLA ``while_loop`` walker (``ops/traceback_device.walk_block``)
+costs ~2.4 us per move — each single-word gather/scatter round-trips
+through the XLA scalar path with per-op dispatch overhead, so a 30 kb
+retrace (~30k moves) takes longer than its own 894M-cell fill. This
+kernel runs the identical chase (reference semantics: per-axis
+saturation, stop codes, block-exit detection — ``algo.rs:339-421``)
+as a Mosaic hardware loop:
+
+* the packed direction words stay in HBM (``ANY`` memory space); a
+  ~18 KB window around the walk head is DMA'd into SMEM whenever the
+  head leaves the previous window (every <= 128 moves, since a move
+  decreases the lane by at most 1 and the window holds 256 lanes);
+* per move: one scalar SMEM load (SMEM, unlike VMEM, allows fully
+  dynamic scalar indexing), 2-bit decode, and scalar state updates —
+  all scalar-core ops with no vector unit involvement;
+* move codes accumulate 16-to-a-word in a register and flush with one
+  row store per 16 moves, so the output traffic is 2 bits/move.
+
+``walk_pallas`` mirrors ``walk_block``'s contract but returns the
+moves PACKED (16 x 2-bit codes per int32 word; ``unpack_moves``
+decodes on host). ``walk_full`` loops it until the path terminates or
+leaves the block, for callers whose paths may exceed one call's
+buffer.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from genomics_rs_tpu.ops.gotoh_scan import DIR_DEL, DIR_INS, DIR_STOP
+
+#: lanes per DMA window (two 128-lane groups: the head's group and
+#: the one below, so a fresh window always has >= 128 moves of
+#: downward room — except near lane 0, where the walk exits anyway).
+LW = 256
+#: kwords per DMA window: 128 moves span <= 256 diagonals = 16 words,
+#: plus the head's word and one of slack.
+PKW = 18
+#: moves per packed output word (matches the dirs PACK).
+MPW = 16
+#: hard cap on one call's move buffer (VMEM: cap/16 x 128 x 4 B).
+MAX_STEPS_CAP = 65536
+
+
+def _kernel_walk(
+    scalars,  # SMEM int32[4]: start_li, start_j, i0
+    dirs_ref,  # ANY (KW, V/128, 128): packed direction words (HBM)
+    words_ref,  # VMEM (NW, 128): packed move codes (column 0)
+    meta_ref,  # VMEM (8, 128): pos, li, j, done, exited (column 0)
+    patch_ref,  # SMEM (PKW, 2, 128) scratch: DMA'd window
+    sem,  # DMA semaphore
+    *,
+    KW: int,
+    VG: int,  # lane groups (V / 128)
+    max_steps: int,
+):
+    start_li = scalars[0]
+    start_j = scalars[1]
+    i0 = scalars[2]
+
+    def outer_cond(st):
+        li, j, pos, done, exited, acc = st
+        return (done == 0) & (exited == 0) & (pos < max_steps)
+
+    def outer_body(st):
+        li, j, pos, done, exited, acc = st
+        k0 = li + j
+        kb = jnp.maximum(k0 // 16 - (PKW - 2), 0)
+        kb = jnp.minimum(kb, KW - PKW)
+        lbi = jnp.maximum(li // 128 - 1, 0)
+        lbi = jnp.minimum(lbi, VG - 2)
+        dma = pltpu.make_async_copy(
+            dirs_ref.at[pl.ds(kb, PKW), pl.ds(lbi, 2), :],
+            patch_ref,
+            sem,
+        )
+        dma.start()
+        dma.wait()
+        lb = lbi * 128
+
+        def in_cond(st2):
+            li, j, pos, done, exited, acc = st2
+            k = li + j
+            return (
+                (done == 0)
+                & (exited == 0)
+                & (pos < max_steps)
+                & (li >= lb)
+                & (k // 16 >= kb)
+            )
+
+        def in_body(st2):
+            li, j, pos, done, exited, acc = st2
+            k = li + j
+            lane = li - lb
+            word = patch_ref[k // 16 - kb, lane // 128, lane % 128]
+            code = (word >> (2 * (k % 16))) & 3
+            ig = i0 + li
+            is_stop = code == DIR_STOP
+            di = jnp.where(code == DIR_INS, 0, 1)
+            dj = jnp.where(code == DIR_DEL, 0, 1)
+            # Reference saturation: each axis floors at 0 independently.
+            ig_new = jnp.maximum(ig - di, 0)
+            j_new = jnp.maximum(j - dj, 0)
+
+            write = ~is_stop
+            sp = pos % MPW
+            acc = jnp.where(sp == 0, 0, acc) | jnp.where(
+                write, code << (2 * sp), 0
+            )
+
+            @pl.when(write & (sp == MPW - 1))
+            def _flush():
+                words_ref[pl.ds(pos // MPW, 1)] = jnp.full(
+                    (1, 128), acc, dtype=jnp.int32
+                )
+
+            pos = jnp.where(write, pos + 1, pos)
+            done = jnp.where(
+                is_stop | ((ig_new == 0) & (j_new == 0)), 1, done
+            )
+            exited = jnp.where((done == 0) & (ig_new < i0), 1, exited)
+            return (
+                jnp.maximum(ig_new - i0, 0),
+                j_new,
+                pos,
+                done,
+                exited,
+                acc,
+            )
+
+        return jax.lax.while_loop(in_cond, in_body, st)
+
+    init = (
+        start_li,
+        start_j,
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.int32(0),
+    )
+    li, j, pos, done, exited, acc = jax.lax.while_loop(
+        outer_cond, outer_body, init
+    )
+
+    # A partial final word still lands.
+    @pl.when(pos % MPW != 0)
+    def _flush_partial():
+        words_ref[pl.ds(pos // MPW, 1)] = jnp.full(
+            (1, 128), acc, dtype=jnp.int32
+        )
+
+    for row, val in enumerate((pos, li, j, done, exited)):
+        meta_ref[pl.ds(row, 1)] = jnp.full(
+            (1, 128), val, dtype=jnp.int32
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps", "interpret"))
+def walk_pallas(
+    dirs: jax.Array,
+    start_li: jax.Array,
+    start_j: jax.Array,
+    i0: jax.Array,
+    max_steps: int,
+    interpret: bool = False,
+):
+    """``walk_block`` semantics with PACKED move output.
+
+    Returns ``(words int32[ceil(max_steps/16)], count, i_final,
+    j_final, done)`` — decode the first ``count`` codes with
+    :func:`unpack_moves`. ``done`` False with ``exited`` implied by
+    ``i_final == i0 - 1`` means the walk left the block upward; a
+    not-done, not-exited return means the buffer filled (resume from
+    ``(i_final, j_final)`` — see :func:`walk_full`).
+    """
+    if max_steps > MAX_STEPS_CAP:
+        raise ValueError(
+            f"max_steps {max_steps} > {MAX_STEPS_CAP}; loop walk_full"
+        )
+    KW, V = dirs.shape
+    if V % 128 or V < 256:
+        # The DMA window spans two 128-lane groups; every fill kernel
+        # emits V >= 1024 (gotoh_pallas.py:76), so this only guards
+        # hand-built inputs.
+        raise ValueError(f"dirs lane count {V} not a multiple of 128 >= 256")
+    VG = V // 128
+    NW = -(-max_steps // MPW)
+    i0 = jnp.asarray(i0, jnp.int32)
+    dirs3 = dirs.reshape(KW, VG, 128)
+    scalars = jnp.stack(
+        [
+            jnp.asarray(start_li, jnp.int32),
+            jnp.asarray(start_j, jnp.int32),
+            i0,
+            jnp.int32(0),
+        ]
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec(
+                (NW, 128), lambda g, s: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (8, 128), lambda g, s: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((PKW, 2, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_walk, KW=KW, VG=VG, max_steps=max_steps
+    )
+    words, meta = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((NW, 128), jnp.int32),
+            jax.ShapeDtypeStruct((8, 128), jnp.int32),
+        ),
+        interpret=interpret,
+    )(scalars, dirs3)
+    pos = meta[0, 0]
+    li = meta[1, 0]
+    j = meta[2, 0]
+    done = meta[3, 0] != 0
+    exited = meta[4, 0] != 0
+    i_final = jnp.where(exited, i0 - 1, i0 + li)
+    return words[:, 0], pos, i_final, j, done
+
+
+def unpack_moves(words: np.ndarray, count: int) -> np.ndarray:
+    """Decode ``count`` 2-bit move codes from packed words (host)."""
+    words = np.asarray(words).astype(np.uint32)
+    t = np.arange(MPW, dtype=np.uint32)
+    codes = (words[:, None] >> (2 * t)[None, :]) & 3
+    return codes.reshape(-1).astype(np.uint8)[:count]
+
+
+def walk_full(
+    dirs: jax.Array,
+    start_li: int,
+    start_j: int,
+    i0: int,
+    max_steps: int,
+    interpret: bool = False,
+):
+    """Loop :func:`walk_pallas` until the path terminates or exits the
+    block, concatenating the decoded codes on host.
+
+    Returns ``(codes uint8[count], i_final, j_final, done)`` with the
+    same meaning as one ``walk_block`` call that never fills its
+    buffer.
+    """
+    cap = min(max_steps, MAX_STEPS_CAP)
+    li, j = int(start_li), int(start_j)
+    i0 = int(i0)
+    chunks: list[np.ndarray] = []
+    while True:
+        out = walk_pallas(
+            dirs,
+            np.int32(li),
+            np.int32(j),
+            np.int32(i0),
+            max_steps=cap,
+            interpret=interpret,
+        )
+        # One D2H transfer for the whole result tuple: per-array
+        # syncs each pay a full host round-trip (expensive over the
+        # axon tunnel, non-free everywhere).
+        words, count, i_f, j_f, done = jax.device_get(out)
+        count = int(count)
+        chunks.append(unpack_moves(words, count))
+        prev = (i0 + li, j)
+        i_g, j_g, done = int(i_f), int(j_f), bool(done)
+        if done or i_g < i0:
+            return (
+                np.concatenate(chunks) if chunks else np.zeros(0, np.uint8),
+                i_g,
+                j_g,
+                done,
+            )
+        if count == 0 and (i_g, j_g) == prev:
+            raise RuntimeError(
+                f"traceback made no progress at ({i_g}, {j_g})"
+            )
+        li, j = i_g - i0, j_g
