@@ -379,6 +379,36 @@ def run_full() -> dict:
         "cells_per_s": read_cells / dt,
     }
 
+    # --- full read pipeline (fill + dirs + batched walk + CIGARs) --
+    from genomics_rs_tpu.models.reads import align_reads
+    from genomics_rs_tpu.sequence import Sequence as _Seq
+
+    n_full = 16384
+    s1h, s2h = np.asarray(s1r), np.asarray(s2r)
+    rq = [
+        _Seq(f"q{i}", bytes(s1h[i][:L]).decode()) for i in range(n_full)
+    ]
+    rr = [
+        _Seq(f"r{i}", bytes(s2h[i][:L]).decode()) for i in range(n_full)
+    ]
+
+    def run_reads_full():
+        out = align_reads(
+            rq, rr, scores, is_local=False, with_paths=False
+        )
+        return len(out)
+
+    _retry(run_reads_full, label="reads pipeline warmup")
+    t0 = time.perf_counter()
+    run_reads_full()
+    dt_full = time.perf_counter() - t0
+    rows["reads_full_pipeline"] = {
+        "reads": n_full,
+        "read_len": L,
+        "s": dt_full,
+        "reads_per_s": n_full / dt_full,
+    }
+
     # --- checkpointed 155 kb full traceback ------------------------
     slyco = os.path.join(REF, "test_data", "Slyco.fasta")
     if os.path.exists(slyco):
@@ -651,6 +681,47 @@ def run_smoke() -> int:
             )
             if not ok:
                 failures.append(("shortread", loc, i, g, want_sr[i]))
+
+    # Full read pipeline: packed-dirs short-read kernel + batched
+    # device walk + vectorized classification, vs the scan engine
+    # (paths, stats and CIGARs must be bit-identical).
+    from genomics_rs_tpu.models.reads import align_reads, cigar
+    from genomics_rs_tpu.sequence import Sequence as Seq
+
+    rq = [Seq(f"q{i}", bytes(s1s[i][: mss[i]]).decode()) for i in range(B)]
+    rr = [Seq(f"r{i}", bytes(s2b[i][: ns[i]]).decode()) for i in range(B)]
+    for loc in (False, True):
+        got_r = _retry(
+            lambda loc=loc: align_reads(
+                rq, rr, scores, is_local=loc, engine="pallas"
+            ),
+            label="smoke reads pipeline",
+        )
+        want_r = align_reads(rq, rr, scores, is_local=loc, engine="scan")
+        for i in range(B):
+            ok = (
+                got_r[i].alignment == want_r[i].alignment
+                and got_r[i].score == want_r[i].score
+                and cigar(got_r[i]) == cigar(want_r[i])
+                and (
+                    got_r[i].matches,
+                    got_r[i].mismatches,
+                    got_r[i].gap_extensions,
+                    got_r[i].opening_gaps,
+                )
+                == (
+                    want_r[i].matches,
+                    want_r[i].mismatches,
+                    want_r[i].gap_extensions,
+                    want_r[i].opening_gaps,
+                )
+            )
+            print(
+                f"[smoke] reads_pipeline local={loc} pair{i}: "
+                f"{'ok' if ok else 'MISMATCH vs scan engine'}"
+            )
+            if not ok:
+                failures.append(("reads_pipeline", loc, i, None, None))
 
     # Single-pair fill with dirs (the lean row-block dirs engine).
     # Scores/starts vs the C++ oracle; the packed direction words

@@ -4,15 +4,21 @@ The reference aligns exactly one pair per process run
 (``/root/reference/src/main.rs:123-153``); the score-only read batches
 (``ops/gotoh_shortread.py``) extend that to thousands of pairs but
 return only (score, end). This driver completes the read-mapping use
-case: every read gets its full alignment — path, stats, CIGAR — while
-the O(m*n) work stays batched on device:
+case: every read gets its full alignment — path, stats, CIGAR — with
+the whole O(m*n) fill AND the O(m+n) walks batched on device:
 
-* fills run as a ``vmap``-ed wavefront with the 2-bit direction bitmap
-  emitted per read (read-scale bitmaps are tiny: ~130 KB at 256 bp);
-* tracebacks are O(m+n) host walks over the bitmaps, sharing the
-  reference-quirk classification (``ops/traceback.py``) so every
-  per-read result is bit-identical to ``PairwiseAligner.align`` on
-  that pair (pinned by tests).
+* on TPU the fill is the short-read row-scan Pallas kernel with packed
+  2-bit direction words (``emit_dirs=True`` — 16 codes/int32 word,
+  streamed to HBM in row chunks); elsewhere a ``vmap``-ed wavefront
+  scan emits per-cell codes;
+* every read's traceback is walked in lockstep by ONE device dispatch
+  (``ops/traceback_batch.walk_batch`` — a ``lax.scan`` whose state is
+  (i, j, done) per read), so no bitmap ever reaches the host;
+* classification (reference quirks: ``is_match`` off-by-one,
+  open-vs-extend ``last_choice``) is whole-batch numpy
+  (``ops/traceback_batch.classify_batch``) — per-read results are
+  bit-identical to ``PairwiseAligner.align`` on that pair (pinned by
+  tests).
 
 CIGAR convention (query = s1 vs reference = s2): ``M`` consumes both
 (match or mismatch), ``I`` consumes only the query (the DP's DELETE
@@ -34,8 +40,8 @@ from genomics_rs_tpu.ops.gotoh_scan import gotoh_fill_scan
 from genomics_rs_tpu.ops.traceback import (
     AlignedSequences,
     AlignmentChoice,
-    traceback_host,
 )
+from genomics_rs_tpu.ops.traceback_batch import classify_batch, walk_batch
 from genomics_rs_tpu.sequence import PAD_S1, PAD_S2, Sequence, round_up
 
 log = logging.getLogger(__name__)
@@ -75,20 +81,33 @@ def align_reads(
     refs: list[Sequence],
     scores: Scores,
     is_local: bool = True,
-    batch: int = 512,
+    batch: int = 4096,
+    engine: str = "auto",
+    with_paths: bool = True,
+    interpret: bool = False,
 ) -> list[AlignedSequences]:
     """Full alignments for query[i] vs ref[i], batched on device.
 
-    Reads are chunked into ``batch``-sized device fills (bounding the
-    resident bitmap memory to ``batch * K * (L1+1)`` bytes) and
-    traced back on host. Output order matches the input order.
+    Reads are chunked into ``batch``-sized device rounds (each round =
+    one fill dispatch + one walk dispatch); ``engine`` picks the fill
+    ("pallas" = short-read kernel with packed dirs, "scan" = vmapped
+    wavefront oracle, "auto" = pallas on TPU). ``with_paths=False``
+    skips building each result's per-move ``alignment`` list (stats
+    and :func:`cigar` input still exact) — the remaining Python cost
+    then scales with reads, not moves. Output order matches input.
     """
     if len(queries) != len(refs):
         raise ValueError(
             f"query/ref count mismatch: {len(queries)} vs {len(refs)}"
         )
+    if engine not in ("auto", "pallas", "scan"):
+        raise ValueError(f"unknown engine {engine!r}")
+    use_pallas = engine == "pallas" or (
+        engine == "auto" and jax.default_backend() == "tpu"
+    )
     L1 = max(round_up(max((len(s) for s in queries), default=1), 128), 128)
     L2 = max(round_up(max((len(s) for s in refs), default=1), 128), 128)
+    max_steps = L1 + L2 + 1
 
     out: list[AlignedSequences] = []
     for k0 in range(0, len(queries), batch):
@@ -102,21 +121,49 @@ def align_reads(
         )
         ms = np.array([len(s) for s in qs], dtype=np.int32)
         ns = np.array([len(s) for s in rs], dtype=np.int32)
-        dirs, sc, si, sj = _fill_batch(
-            s1b, s2b, ms, ns, scores, is_local
-        )
-        dirs = np.asarray(dirs)
-        sc, si, sj = np.asarray(sc), np.asarray(si), np.asarray(sj)
-        for k in range(len(qs)):
-            out.append(
-                traceback_host(
-                    dirs[k],
-                    int(si[k]),
-                    int(sj[k]),
-                    int(sc[k]),
-                    qs[k],
-                    rs[k],
-                    is_local,
-                )
+        if use_pallas:
+            from genomics_rs_tpu.ops.gotoh_shortread import (
+                gotoh_scores_shortread,
             )
+
+            sc, si, sj, codes = gotoh_scores_shortread(
+                s1b,
+                s2b,
+                ms,
+                ns,
+                scores,
+                is_local,
+                emit_dirs=True,
+                interpret=interpret,
+            )
+            layout = "rows16"
+        else:
+            codes, sc, si, sj = _fill_batch(
+                s1b, s2b, ms, ns, scores, is_local
+            )
+            layout = "diag"
+        walked = walk_batch(
+            codes, si, sj, scores, is_local, layout, max_steps
+        )
+        # One D2H transfer for everything the host needs.
+        moves, counts, i_f, j_f, done, sc_h, si_h, sj_h = jax.device_get(
+            walked + (sc, si, sj)
+        )
+        if not bool(np.all(done)):
+            bad = int(np.flatnonzero(~np.asarray(done))[0])
+            raise RuntimeError(
+                f"read {k0 + bad} retrace did not terminate at "
+                f"({int(i_f[bad])}, {int(j_f[bad])})"
+            )
+        aligned, _ = classify_batch(
+            moves,
+            counts,
+            si_h,
+            sj_h,
+            sc_h,
+            qs,
+            rs,
+            with_paths=with_paths,
+        )
+        out.extend(aligned)
     return out

@@ -33,7 +33,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from genomics_rs_tpu.config import Scores
-from genomics_rs_tpu.ops.gotoh_scan import INT_MIN, NEG_INF
+from genomics_rs_tpu.ops.gotoh_scan import (
+    DIR_DEL,
+    DIR_INS,
+    DIR_STOP,
+    DIR_SUB,
+    INT_MIN,
+    NEG_INF,
+)
 
 PANE = (8, 128)
 PANE_N = 1024
@@ -48,17 +55,16 @@ def _rowscan_body(
     fin_ref,
     bv_ref,
     bi_ref,
-    rI,  # scratch (L2, 8, 128): previous row I
-    rS,
-    rD,
-    fin_s,  # scratch (L2, 8, 128)
-    bv_s,
-    bi_s,
-    *,
+    *rest,  # [codes_ref (1, RC, W, 8, 128) iff RC] + 6 scratch refs
     L1: int,
     L2: int,
     is_local: bool,
+    RC: int | None = None,
 ):
+    if RC is not None:
+        codes_ref, (rI, rS, rD, fin_s, bv_s, bi_s) = rest[0], rest[1:]
+    else:
+        codes_ref, (rI, rS, rD, fin_s, bv_s, bi_s) = None, rest
     sm = scalars[0]
     sx = scalars[1]
     gg = scalars[2]
@@ -75,16 +81,27 @@ def _rowscan_body(
     # Column index per row-position: jrow[j] = j + 1 (cols are 1..L2).
     jrow = 1 + jax.lax.broadcasted_iota(jnp.int32, (L2, 8, 128), 0)
 
-    # Row 0: I(0, j) = h + j*g, S = D = -inf (j >= 1).
-    rI[:] = hh + jrow * gg
-    rS[:] = jnp.full((L2, 8, 128), neg, dtype=jnp.int32)
-    rD[:] = jnp.full((L2, 8, 128), neg, dtype=jnp.int32)
-    # bv/bi are only consumed in local mode, but the final stores run
-    # unconditionally — initialize always so the outputs are never
-    # uninitialized VMEM.
-    fin_s[:] = jnp.full((L2, 8, 128), int_min, dtype=jnp.int32)
-    bv_s[:] = jnp.full((L2, 8, 128), int_min, dtype=jnp.int32)
-    bi_s[:] = jnp.zeros((L2, 8, 128), dtype=jnp.int32)
+    chunked = codes_ref is not None
+    chunk = pl.program_id(1) if chunked else 0
+    row_lo = chunk * RC + 1 if chunked else 1
+    row_hi = row_lo + RC if chunked else L1 + 1
+
+    def init_scratch():
+        # Row 0: I(0, j) = h + j*g, S = D = -inf (j >= 1).
+        rI[:] = hh + jrow * gg
+        rS[:] = jnp.full((L2, 8, 128), neg, dtype=jnp.int32)
+        rD[:] = jnp.full((L2, 8, 128), neg, dtype=jnp.int32)
+        # bv/bi are only consumed in local mode, but the final stores
+        # run unconditionally — initialize always so the outputs are
+        # never uninitialized VMEM.
+        fin_s[:] = jnp.full((L2, 8, 128), int_min, dtype=jnp.int32)
+        bv_s[:] = jnp.full((L2, 8, 128), int_min, dtype=jnp.int32)
+        bi_s[:] = jnp.zeros((L2, 8, 128), dtype=jnp.int32)
+
+    if chunked:
+        pl.when(chunk == 0)(init_scratch)
+    else:
+        init_scratch()
 
     def shift_row(x, fill):
         """y[j] = x[j-1] along the column axis; y[0] = fill."""
@@ -105,15 +122,17 @@ def _rowscan_body(
             jnp.maximum(jnp.maximum(Ip, Sp) + hg, Dp + gg), zero_lane
         )
         # S(i, j) = sub + max(M(i-1, j-1) [,0]).
-        s1c = s1_ref[0, i - 1]  # (8, 128)
+        s1c = s1_ref[0, i - row_lo]  # (8, 128); block-local row index
         sub = jnp.where(s1c == s2v, sm, sx)
         Sn = sub + jnp.maximum(Mp_sh, zero_lane)
 
         # I(i, j) = max(I(i, j-1) + g, max(S, D)(i, j-1) + h + g [,0]):
         # a (max, +) prefix over j. Seed v[j] with the non-I sources
-        # shifted into place; col 0 contributes only -inf (I bound).
+        # shifted into place; column 0 contributes its boundary cell
+        # (I = S = -inf, D = h + i*g — algo.rs:193-220) with the
+        # local zero floor applied like any other predecessor max.
         N = jnp.maximum(jnp.maximum(Sn, Dn) + hg, zero_lane)
-        x = shift_row(N, neg)
+        x = shift_row(N, jnp.maximum(hh + i * gg + hg, zero_lane))
         d = 1
         while d < L2:
             r = pltpu.roll(x, shift=d, axis=0)
@@ -132,18 +151,39 @@ def _rowscan_body(
             bi_s[:] = jnp.where(upd, i, bi_s[:])
         fin_s[:] = jnp.where((i == mv) & (jrow == nv), cm, fin_s[:])
 
+        if chunked:
+            # Retrace move code, reference arm order S > I > D then
+            # stop (algo.rs:351-399; matches gotoh_scan's emission),
+            # packed 16 j-consecutive codes per int32 word.
+            code = jnp.where(
+                cm == Sn,
+                DIR_SUB,
+                jnp.where(
+                    cm == In,
+                    DIR_INS,
+                    jnp.where(cm == Dn, DIR_DEL, DIR_STOP),
+                ),
+            )
+            seg = code.reshape(L2 // 16, 16, 8, 128)
+            acc = seg[:, 0]
+            for t in range(1, 16):
+                acc = acc | (seg[:, t] << (2 * t))
+            codes_ref[0, pl.ds(i - row_lo, 1)] = acc[None]
+
         rI[:] = In
         rS[:] = Sn
         rD[:] = Dn
         return 0
 
-    jax.lax.fori_loop(1, L1 + 1, row_body, 0)
+    jax.lax.fori_loop(row_lo, row_hi, row_body, 0)
     fin_ref[0] = fin_s[:]
     bv_ref[0] = bv_s[:]
     bi_ref[0] = bi_s[:]
 
 
-@functools.partial(jax.jit, static_argnames=("is_local", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("is_local", "emit_dirs", "interpret")
+)
 def gotoh_scores_shortread(
     s1b: jax.Array,
     s2b: jax.Array,
@@ -151,6 +191,7 @@ def gotoh_scores_shortread(
     ns: jax.Array,
     scores: Scores,
     is_local: bool,
+    emit_dirs: bool = False,
     interpret: bool = False,
 ):
     """Score B short pairs, 1024 per kernel pane.
@@ -158,7 +199,11 @@ def gotoh_scores_shortread(
     s1b (B, L1), s2b (B, L2) uint8 (padded; pad bytes of the two sides
     must differ); ms/ns true lengths (>= 1; degenerate empty sequences
     are the caller's edge case). Returns (score, start_i, start_j)
-    arrays of shape (B,).
+    arrays of shape (B,); with ``emit_dirs`` a fourth element carries
+    the per-read packed direction words ``codes[b, i-1, (j-1)//16]``
+    (16 x 2-bit interior-cell codes per int32, the ``rows16`` layout of
+    ``ops/traceback_batch.walk_batch``), streamed to HBM in row chunks
+    so VMEM holds only one chunk at a time.
     """
     B, L1 = s1b.shape
     _, L2 = s2b.shape
@@ -193,43 +238,111 @@ def gotoh_scores_shortread(
         ]
     )
 
-    pane_in = pl.BlockSpec(
-        (1, 8, 128), lambda p, s: (p, 0, 0), memory_space=pltpu.VMEM
-    )
-    row_out = pl.BlockSpec(
-        (1, L2, 8, 128), lambda p, s: (p, 0, 0, 0), memory_space=pltpu.VMEM
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_panes,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, L1, 8, 128),
-                lambda p, s: (p, 0, 0, 0),
-                memory_space=pltpu.VMEM,
+    if emit_dirs:
+        # Row-chunked grid: VMEM holds one RC-row slab of packed codes
+        # (and of s1) per step; rI/rS/rD scratch carries the DP rows
+        # across chunks of the same pane (the chunk axis is innermost,
+        # so a pane's chunks run consecutively).
+        RC = min(L1, 32)
+        if L1 % RC:
+            raise ValueError(f"L1 {L1} not a multiple of the {RC}-row chunk")
+        W = L2 // 16
+        n_chunks = L1 // RC
+        pane_in = pl.BlockSpec(
+            (1, 8, 128), lambda p, c, s: (p, 0, 0), memory_space=pltpu.VMEM
+        )
+        row_out = pl.BlockSpec(
+            (1, L2, 8, 128),
+            lambda p, c, s: (p, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_panes, n_chunks),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, RC, 8, 128),
+                    lambda p, c, s: (p, c, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, L2, 8, 128),
+                    lambda p, c, s: (p, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pane_in,
+                pane_in,
+            ],
+            out_specs=(row_out,) * 3
+            + (
+                pl.BlockSpec(
+                    (1, RC, W, 8, 128),
+                    lambda p, c, s: (p, c, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
             ),
-            pl.BlockSpec(
-                (1, L2, 8, 128),
-                lambda p, s: (p, 0, 0, 0),
-                memory_space=pltpu.VMEM,
+            scratch_shapes=[pltpu.VMEM((L2, 8, 128), jnp.int32)] * 6,
+        )
+        kernel = functools.partial(
+            _rowscan_body, L1=L1, L2=L2, is_local=is_local, RC=RC
+        )
+        fin, bv, bi, codes = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=tuple(
+                [jax.ShapeDtypeStruct((n_panes, L2, 8, 128), jnp.int32)] * 3
+            )
+            + (
+                jax.ShapeDtypeStruct(
+                    (n_panes, L1, W, 8, 128), jnp.int32
+                ),
             ),
-            pane_in,
-            pane_in,
-        ],
-        out_specs=(row_out,) * 3,
-        scratch_shapes=[pltpu.VMEM((L2, 8, 128), jnp.int32)] * 6,
-    )
-    kernel = functools.partial(
-        _rowscan_body, L1=L1, L2=L2, is_local=is_local
-    )
-    fin, bv, bi = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=tuple(
-            [jax.ShapeDtypeStruct((n_panes, L2, 8, 128), jnp.int32)] * 3
-        ),
-        interpret=interpret,
-    )(scalars, s1p, s2p, mp, np_)
+            interpret=interpret,
+        )(scalars, s1p, s2p, mp, np_)
+        # (panes, L1, W, 8, 128) -> (B, L1, W) in batch order.
+        codes = jnp.transpose(codes, (0, 3, 4, 1, 2)).reshape(
+            Bp, L1, W
+        )[:B]
+    else:
+        pane_in = pl.BlockSpec(
+            (1, 8, 128), lambda p, s: (p, 0, 0), memory_space=pltpu.VMEM
+        )
+        row_out = pl.BlockSpec(
+            (1, L2, 8, 128),
+            lambda p, s: (p, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_panes,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, L1, 8, 128),
+                    lambda p, s: (p, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, L2, 8, 128),
+                    lambda p, s: (p, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pane_in,
+                pane_in,
+            ],
+            out_specs=(row_out,) * 3,
+            scratch_shapes=[pltpu.VMEM((L2, 8, 128), jnp.int32)] * 6,
+        )
+        kernel = functools.partial(
+            _rowscan_body, L1=L1, L2=L2, is_local=is_local
+        )
+        fin, bv, bi = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=tuple(
+                [jax.ShapeDtypeStruct((n_panes, L2, 8, 128), jnp.int32)] * 3
+            ),
+            interpret=interpret,
+        )(scalars, s1p, s2p, mp, np_)
 
     # (panes, L2, 8, 128) -> (L2, B): reduce over columns in XLA.
     def flat(x):
@@ -250,10 +363,12 @@ def gotoh_scores_shortread(
         # All-cells max can be 0 with an empty alignment at (m, n)
         # (reference scans boundaries too; see kernel notes).
         empty = vmax <= 0
-        return (
+        out = (
             jnp.maximum(vmax, 0),
             jnp.where(empty, ms, i_best),
             jnp.where(empty, ns, j_best),
         )
+        return out + (codes,) if emit_dirs else out
     finf = flat(fin)
-    return jnp.max(finf, axis=0), ms, ns
+    out = (jnp.max(finf, axis=0), ms, ns)
+    return out + (codes,) if emit_dirs else out

@@ -70,3 +70,31 @@ def test_cigar_gap():
     r_len = sum(n for n, op in runs if op in ("M", "D"))
     assert q_len == len(q) and r_len == len(r)
     assert any(op == "I" for _, op in runs)  # the 2-base query insertion
+
+
+@pytest.mark.parametrize("is_local", [False, True])
+def test_align_reads_pallas_engine_matches_scan(is_local):
+    # The packed-dirs short-read kernel + batched walk must reproduce
+    # the scan engine bit-for-bit (interpret mode stands in for the
+    # chip; the hardware gate re-checks compiled — bench.py --smoke).
+    rng = np.random.default_rng(5)
+    queries, refs = [], []
+    for k in range(6):
+        n = int(rng.integers(30, 120))
+        q = "".join(rng.choice(list("ACGT"), n))
+        r = list(q)
+        for _ in range(max(1, n // 10)):
+            r[int(rng.integers(0, n))] = rng.choice(list("ACGT"))
+        queries.append(Sequence(f"q{k}", q))
+        refs.append(Sequence(f"r{k}", "".join(r)[int(rng.integers(0, 3)):]))
+    ref = align_reads(queries, refs, SCORES, is_local=is_local,
+                      engine="scan")
+    got = align_reads(queries, refs, SCORES, is_local=is_local,
+                      engine="pallas", interpret=True)
+    for a, c in zip(got, ref):
+        assert a.score == c.score
+        assert a.alignment == c.alignment
+        assert (a.matches, a.mismatches, a.gap_extensions,
+                a.opening_gaps) == (c.matches, c.mismatches,
+                                    c.gap_extensions, c.opening_gaps)
+        assert cigar(a) == cigar(c)
