@@ -123,3 +123,64 @@ def test_device_bwt_vs_tree_random():
         tree.insert_string(s, True, False)
         st = tree.compute_stats(0)
         assert bwt_device(s) == st.bwt, (trial, s)
+
+
+@pytest.mark.parametrize("is_local", [False, True])
+def test_walk_batch_vs_host_walker_score_grid(is_local):
+    """Batched lockstep walk + whole-batch classification equals the
+    per-pair host walker across the scoring grid (paths, stats,
+    tie-breaks — the open-vs-extend and is_match quirks are scoring-
+    sensitive, so the goldens' two configs are not enough)."""
+    import jax
+
+    from genomics_rs_tpu.ops.traceback import traceback_host
+    from genomics_rs_tpu.ops.traceback_batch import (
+        classify_batch,
+        walk_batch,
+    )
+
+    rng = np.random.default_rng(17)
+    qs, rs = [], []
+    for b in range(8):
+        m = int(rng.integers(2, 50))
+        n = int(rng.integers(2, 50))
+        q = "".join(rng.choice(list("ACGT"), m))
+        r = "".join(rng.choice(list("ACGT"), n))
+        if b % 2:  # related pairs: long SUB runs + gaps
+            r = (q[: max(1, m // 2)] + r)[:n]
+        qs.append(Sequence(f"q{b}", q))
+        rs.append(Sequence(f"r{b}", r))
+    s1b = np.stack([s.encoded(pad_to=LPAD, pad_value=PAD_S1) for s in qs])
+    s2b = np.stack([s.encoded(pad_to=LPAD, pad_value=PAD_S2) for s in rs])
+    ms = np.array([len(s) for s in qs], np.int32)
+    ns = np.array([len(s) for s in rs], np.int32)
+
+    def one(s1e, s2e, m, n, sc):
+        res = gotoh_fill_scan(s1e, s2e, m, n, sc, is_local)
+        return res.dirs, res.score, res.start_i, res.start_j
+
+    fill = jax.jit(jax.vmap(one, (0, 0, 0, 0, None)))
+    for sc in SCORE_GRID:
+        dirs, score, si, sj = fill(s1b, s2b, ms, ns, sc)
+        moves, counts, _, _, done = walk_batch(
+            dirs, si, sj, sc, is_local, "diag", 2 * LPAD + 1
+        )
+        assert bool(np.all(np.asarray(done))), sc.as_tuple()
+        aligned, _ = classify_batch(
+            np.asarray(moves), np.asarray(counts), np.asarray(si),
+            np.asarray(sj), np.asarray(score), qs, rs, with_paths=True,
+        )
+        for b in range(len(qs)):
+            want = traceback_host(
+                np.asarray(dirs[b]), int(si[b]), int(sj[b]),
+                int(score[b]), qs[b], rs[b], is_local,
+            )
+            got = aligned[b]
+            assert got.alignment == want.alignment, (sc.as_tuple(), b)
+            assert (
+                got.score, got.matches, got.mismatches,
+                got.gap_extensions, got.opening_gaps,
+            ) == (
+                want.score, want.matches, want.mismatches,
+                want.gap_extensions, want.opening_gaps,
+            ), (sc.as_tuple(), b)
