@@ -869,6 +869,39 @@ def run_smoke() -> int:
         if not ok:
             failures.append(("seqpar_pallas", loc, 0, g, w))
 
+    # Sharded data-parallel batch with a per-shard Pallas fill on a
+    # 1-device mesh (the single-process multi-chip all-pairs path,
+    # compiled — CPU tests only cover interpret mode).
+    from genomics_rs_tpu.parallel.batch import (
+        batch_scores_sharded,
+        mesh_bucket_engine,
+    )
+    from genomics_rs_tpu.parallel.mesh import make_mesh
+
+    dmesh = make_mesh(1)
+    for loc in (False, True):
+        eng = mesh_bucket_engine("auto", Lm, Ln, loc)
+        out = _retry(
+            lambda loc=loc, eng=eng: batch_scores_sharded(
+                dmesh, s1b, s2b, ms, ns, scores, loc, engine=eng
+            ),
+            label="smoke sharded batch",
+        )
+        for i in range(B):
+            w = want[loc][i]
+            g = (
+                int(np.asarray(out.score)[i]),
+                int(np.asarray(out.start_i)[i]),
+                int(np.asarray(out.start_j)[i]),
+            )
+            ok = g[0] == w[0] and (not loc or g[1:] == w[1:])
+            print(
+                f"[smoke] sharded_batch[{eng}] local={loc} pair{i}: "
+                f"{'ok' if ok else f'MISMATCH got {g} want {w}'}"
+            )
+            if not ok:
+                failures.append(("sharded_batch", loc, i, g, w))
+
     if failures:
         print(f"[smoke] FAILED: {len(failures)} mismatches", file=sys.stderr)
         return 1

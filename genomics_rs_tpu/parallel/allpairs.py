@@ -93,10 +93,24 @@ def _score_pairs_bucketed(
     is_local: bool,
     engine: str,
     mesh: jax.sharding.Mesh | None = None,
+    interpret: bool = False,
 ) -> tuple[np.ndarray, float]:
     """Score ``pairs`` in length buckets; returns (scores[k],
-    padded_cells dispatched)."""
-    from genomics_rs_tpu.parallel.batch import score_pairs
+    padded_cells dispatched).
+
+    With a multi-device ``mesh``, each bucket is sharded over the
+    mesh's data axis and filled per shard by the best traced-length
+    kernel for the bucket's padded size (``mesh_bucket_engine``) — the
+    streamed kernels' host-side probe layout can't trace inside
+    ``shard_map``, so long-pair buckets run the flat diagonal batch
+    kernel per chip instead. Without a mesh (or on one device) the
+    host-level :func:`score_pairs` routing applies, streamed kernels
+    included.
+    """
+    from genomics_rs_tpu.parallel.batch import (
+        mesh_bucket_engine,
+        score_pairs,
+    )
 
     seqs = container.sequences
     out = np.zeros(len(pairs), dtype=np.int64)
@@ -122,18 +136,7 @@ def _score_pairs_bucketed(
         s2b = np.stack([enc(pairs[k][1], Ln, PAD_S2) for k in idxs])
         ms = np.array([lens[pairs[k][0]] for k in idxs], dtype=np.int32)
         ns = np.array([lens[pairs[k][1]] for k in idxs], dtype=np.int32)
-        if engine in ("pallas", "shortread", "segmented", "auto"):
-            sc, _, _ = score_pairs(
-                s1b, s2b, ms, ns, scores, is_local, engine=engine
-            )
-        elif mesh is None:
-            # Host-local scoring without a device mesh (the multihost
-            # driver path: each process only sees its own devices, so
-            # a global-mesh shard_map output would be non-addressable).
-            from genomics_rs_tpu.parallel.batch import batch_scores
-
-            sc = batch_scores(s1b, s2b, ms, ns, scores, is_local).score
-        else:
+        if mesh is not None and mesh.devices.size > 1:
             n_dev = mesh.devices.size
             (s1p, s2p, mp, np_), _ = pad_batch(
                 (s1b, s2b, ms, ns),
@@ -142,8 +145,41 @@ def _score_pairs_bucketed(
                 pad_values=[None, None, 0, 0],
             )
             sc = batch_scores_sharded(
-                mesh, s1p, s2p, mp, np_, scores, is_local
+                mesh,
+                s1p,
+                s2p,
+                mp,
+                np_,
+                scores,
+                is_local,
+                engine=mesh_bucket_engine(engine, Lm, Ln, is_local),
+                interpret=interpret,
             ).score
+        elif engine in (
+            "pallas",
+            "shortread",
+            "segmented",
+            "stream",
+            "stream8",
+            "auto",
+        ):
+            # Host-local scoring (also the multihost driver path: each
+            # process only sees its own devices, so a global-mesh
+            # shard_map output would be non-addressable).
+            sc, _, _ = score_pairs(
+                s1b,
+                s2b,
+                ms,
+                ns,
+                scores,
+                is_local,
+                engine=engine,
+                interpret=interpret,
+            )
+        else:
+            from genomics_rs_tpu.parallel.batch import batch_scores
+
+            sc = batch_scores(s1b, s2b, ms, ns, scores, is_local).score
         sc = np.asarray(sc)
         for pos, k in enumerate(idxs):
             out[k] = int(sc[pos])
@@ -164,10 +200,22 @@ def allpairs_scores(
     is_local: bool = False,
     engine: str = "auto",
     mesh: jax.sharding.Mesh | None = None,
+    interpret: bool = False,
 ) -> AllPairsResult:
-    """Score matrix over all pairs (i <= j), lower-triangle layout."""
+    """Score matrix over all pairs (i <= j), lower-triangle layout.
+
+    Single-process multi-device runs shard each length bucket over the
+    local data mesh (per-shard Pallas fills, psum/pmax stat merge);
+    multi-host runs go through ``allpairs_multihost`` instead (pair
+    dealing — each process's devices are not globally addressable).
+    """
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "scan"
+    if mesh is None and (
+        engine == "scan"
+        or (jax.process_count() == 1 and len(jax.devices()) > 1)
+    ):
+        mesh = make_mesh()
 
     names = [s.name for s in container.sequences]
     num = len(names)
@@ -179,10 +227,8 @@ def allpairs_scores(
     matrix = np.zeros((num, num), dtype=np.int64)
 
     t0 = time.perf_counter()
-    if engine not in ("pallas", "shortread", "segmented", "auto"):
-        mesh = mesh or make_mesh()
     sc, padded_cells = _score_pairs_bucketed(
-        container, pairs, lens, scores, is_local, engine, mesh
+        container, pairs, lens, scores, is_local, engine, mesh, interpret
     )
     for k, (i, j) in enumerate(pairs):
         matrix[j, i] = int(sc[k])
@@ -236,7 +282,9 @@ def allpairs_scores_resumable(
     pairs = [(i, j) for j in range(num) for i in range(num) if i <= j]
     matrix = np.zeros((num, num), dtype=np.int64)
     mesh = None
-    if engine not in ("pallas", "shortread", "segmented", "auto"):
+    if engine == "scan" or (
+        jax.process_count() == 1 and len(jax.devices()) > 1
+    ):
         mesh = make_mesh()
 
     import hashlib

@@ -72,6 +72,76 @@ def batch_scores(
     return BatchScores(sc, si, sj, jnp.max(sc), cells)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_scores_fn(
+    mesh: jax.sharding.Mesh,
+    axis_name: str,
+    engine: str,
+    is_local: bool,
+    interpret: bool,
+    scores_tuple: tuple,
+):
+    """Build (once per static config) the jitted sharded scorer.
+
+    Rebuilding ``shard_map`` per call re-traces and re-lowers every
+    invocation — prohibitive through a remote-compile path — so the
+    jitted callable is cached on the full static key (the
+    ``longseq._sharded_fn`` pattern). ``scores_tuple`` is static so
+    the per-shard kernels see plain ints (no replicated-operand vma
+    casts needed).
+    """
+    scores = Scores(*scores_tuple)
+
+    def shard_fn(s1eb, s2eb, ms, ns):
+        if engine == "scan":
+            local = batch_scores(
+                s1eb, s2eb, ms, ns, scores, is_local, vma_axes=(axis_name,)
+            )
+            sc, si, sj = local.score, local.start_i, local.start_j
+        else:
+            sc, si, sj = _kernel_scores(
+                engine, s1eb, s2eb, ms, ns, scores, is_local, interpret
+            )
+        cells = jnp.sum(
+            (ms.astype(jnp.float32) + 1) * (ns.astype(jnp.float32) + 1)
+        )
+        return BatchScores(
+            score=sc,
+            start_i=si,
+            start_j=sj,
+            max_score=jax.lax.pmax(jnp.max(sc), axis_name),
+            total_cells=jax.lax.psum(cells, axis_name),
+        )
+
+    return jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(
+                P(axis_name),
+                P(axis_name),
+                P(axis_name),
+                P(axis_name),
+            ),
+            out_specs=BatchScores(
+                score=P(axis_name),
+                start_i=P(axis_name),
+                start_j=P(axis_name),
+                max_score=P(),
+                total_cells=P(),
+            ),
+            # Pallas *interpret* mode slices varying block operands
+            # internally in ways the vma checker rejects (JAX's error
+            # message itself prescribes check_vma=False); compiled
+            # kernels pass the checker.
+            check_vma=not (engine != "scan" and interpret),
+        )
+    )
+
+
 def batch_scores_sharded(
     mesh: jax.sharding.Mesh,
     s1eb: jax.Array,
@@ -81,6 +151,8 @@ def batch_scores_sharded(
     scores: Scores,
     is_local: bool,
     axis_name: str = DATA_AXIS,
+    engine: str = "scan",
+    interpret: bool = False,
 ) -> BatchScores:
     """Shard the batch over ``axis_name`` and merge stats with collectives.
 
@@ -89,33 +161,39 @@ def batch_scores_sharded(
     same axis; ``max_score``/``total_cells`` are replicated via
     ``pmax``/``psum`` over ICI — the TPU-native version of the
     reference's shared-memory matrix writes.
+
+    ``engine`` picks the per-shard fill: ``"scan"`` (the oracle) or
+    one of the traced-length Pallas kernels (``"shortread"``,
+    ``"segmented"``, ``"pallas"`` — the flat diagonal batch kernel).
+    The streamed kernels need concrete lengths for host-side probe
+    placement and cannot trace inside ``shard_map``; route long-pair
+    batches to ``"pallas"`` here (see :func:`mesh_bucket_engine`).
     """
-
-    def shard_fn(s1eb, s2eb, ms, ns):
-        local = batch_scores(
-            s1eb, s2eb, ms, ns, scores, is_local, vma_axes=(axis_name,)
-        )
-        return BatchScores(
-            score=local.score,
-            start_i=local.start_i,
-            start_j=local.start_j,
-            max_score=jax.lax.pmax(local.max_score, axis_name),
-            total_cells=jax.lax.psum(local.total_cells, axis_name),
-        )
-
-    sharded = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
-        out_specs=BatchScores(
-            score=P(axis_name),
-            start_i=P(axis_name),
-            start_j=P(axis_name),
-            max_score=P(),
-            total_cells=P(),
-        ),
+    fn = _sharded_scores_fn(
+        mesh, axis_name, engine, is_local, interpret, scores.as_tuple()
     )
-    return sharded(s1eb, s2eb, ms, ns)
+    return fn(s1eb, s2eb, ms, ns)
+
+
+def mesh_bucket_engine(engine: str, L1: int, L2: int, is_local: bool) -> str:
+    """Per-shard engine for a sharded bucket of padded length L1 x L2.
+
+    Mirrors :func:`score_pairs`'s auto routing minus the streamed
+    kernels (host-concrete probe layout can't trace inside
+    ``shard_map``): stream tiers fall back to the flat diagonal batch
+    kernel, which still beats the scan oracle by orders of magnitude
+    per chip.
+    """
+    if engine in ("scan",):
+        return "scan"
+    if engine in ("shortread", "segmented"):
+        return engine
+    L = max(L1, L2)
+    if L <= SHORTREAD_MAX_LEN:
+        return "shortread"
+    if L1 <= SEGMENTED_MAX_LEN:
+        return "segmented"
+    return "pallas"
 
 
 #: Below this padded length the row-scan read kernel beats the
@@ -142,6 +220,56 @@ SEGMENTED_MAX_LEN = 8192
 STREAM8_MIN_LEN = 1024
 
 
+def _kernel_scores(
+    engine, s1b, s2b, ms, ns, scores: Scores, is_local: bool, interpret: bool
+):
+    """Dispatch one named engine. Traceable for the traced-length
+    kernels (shortread/segmented/pallas); stream/stream8 need concrete
+    ``ms``/``ns`` (host-level probe placement)."""
+    if engine == "stream":
+        from genomics_rs_tpu.ops.gotoh_stream import gotoh_scores_stream
+
+        return gotoh_scores_stream(
+            s1b, s2b, ms, ns, scores, is_local, interpret=interpret
+        )
+    if engine == "stream8":
+        from genomics_rs_tpu.ops.gotoh_stream8 import (
+            gotoh_scores_stream8,
+        )
+
+        return gotoh_scores_stream8(
+            s1b, s2b, ms, ns, scores, is_local, interpret=interpret
+        )
+    if engine == "shortread":
+        from genomics_rs_tpu.ops.gotoh_shortread import (
+            gotoh_scores_shortread,
+        )
+
+        return gotoh_scores_shortread(
+            s1b, s2b, ms, ns, scores, is_local, interpret=interpret
+        )
+    if engine == "segmented":
+        from genomics_rs_tpu.ops.gotoh_segmented import (
+            gotoh_scores_segmented,
+        )
+
+        return gotoh_scores_segmented(
+            s1b, s2b, ms, ns, scores, is_local, interpret=interpret
+        )
+    if engine == "pallas":
+        from genomics_rs_tpu.ops.gotoh_pallas import (
+            gotoh_scores_pallas_batch,
+        )
+
+        return gotoh_scores_pallas_batch(
+            s1b, s2b, ms, ns, scores, is_local, interpret=interpret
+        )
+    if engine == "scan":
+        out = batch_scores(s1b, s2b, ms, ns, scores, is_local)
+        return out.score, out.start_i, out.start_j
+    raise ValueError(f"unknown engine {engine!r}")
+
+
 def score_pairs(
     s1b,
     s2b,
@@ -150,6 +278,7 @@ def score_pairs(
     scores: Scores,
     is_local: bool = False,
     engine: str = "auto",
+    interpret: bool = False,
 ):
     """Score a batch of encoded pairs, picking the best kernel.
 
@@ -184,36 +313,9 @@ def score_pairs(
                 engine = "pallas"
         else:
             engine = "scan"
-    if engine == "stream":
-        from genomics_rs_tpu.ops.gotoh_stream import gotoh_scores_stream
-
-        return gotoh_scores_stream(s1b, s2b, ms, ns, scores, is_local)
-    if engine == "stream8":
-        from genomics_rs_tpu.ops.gotoh_stream8 import (
-            gotoh_scores_stream8,
-        )
-
-        return gotoh_scores_stream8(s1b, s2b, ms, ns, scores, is_local)
-    if engine == "shortread":
-        from genomics_rs_tpu.ops.gotoh_shortread import (
-            gotoh_scores_shortread,
-        )
-
-        return gotoh_scores_shortread(s1b, s2b, ms, ns, scores, is_local)
-    if engine == "segmented":
-        from genomics_rs_tpu.ops.gotoh_segmented import (
-            gotoh_scores_segmented,
-        )
-
-        return gotoh_scores_segmented(s1b, s2b, ms, ns, scores, is_local)
-    if engine == "pallas":
-        from genomics_rs_tpu.ops.gotoh_pallas import (
-            gotoh_scores_pallas_batch,
-        )
-
-        return gotoh_scores_pallas_batch(s1b, s2b, ms, ns, scores, is_local)
-    out = batch_scores(s1b, s2b, ms, ns, scores, is_local)
-    return out.score, out.start_i, out.start_j
+    return _kernel_scores(
+        engine, s1b, s2b, ms, ns, scores, is_local, interpret
+    )
 
 
 def pad_batch(arrs, batch: int, multiple: int, pad_values=None):

@@ -147,3 +147,64 @@ def test_resumable_invalidates_on_content_change(tmp_path):
     r = allpairs_scores_resumable(container2, SCORES, ckpt, engine="scan")
     full = allpairs_scores(container2, SCORES, engine="scan")
     np.testing.assert_array_equal(r.matrix, full.matrix)
+
+
+def test_allpairs_sharded_pallas_engines_match_scan():
+    """Single-process multi-device all-pairs: buckets sharded over the
+    8-device CPU mesh with per-shard Pallas fills (interpret mode
+    stands in for the chip) must reproduce the scan matrix. Mixed
+    lengths force two buckets — one short-read-kernel bucket and one
+    row-segmented bucket (``mesh_bucket_engine`` routing)."""
+    import pytest
+
+    rng = np.random.default_rng(41)
+    seqs = [
+        Sequence(
+            f"s{k}",
+            "".join(
+                rng.choice(list("ACGT"), int(rng.integers(40, 200)))
+            ),
+        )
+        for k in range(5)
+    ] + [
+        Sequence(
+            f"m{k}",
+            "".join(
+                rng.choice(list("ACGT"), int(rng.integers(280, 380)))
+            ),
+        )
+        for k in range(2)
+    ]
+    container = SequenceContainer(sequences=seqs)
+    want = allpairs_scores(container, SCORES, is_local=False, engine="scan")
+    got = allpairs_scores(
+        container,
+        SCORES,
+        is_local=False,
+        engine="pallas",
+        interpret=True,
+    )
+    if not np.array_equal(got.matrix, want.matrix):
+        pytest.fail(
+            f"sharded pallas matrix != scan:\n{got.matrix}\n{want.matrix}"
+        )
+
+
+def test_mesh_bucket_engine_routing():
+    from genomics_rs_tpu.parallel.batch import (
+        SEGMENTED_MAX_LEN,
+        SHORTREAD_MAX_LEN,
+        mesh_bucket_engine,
+    )
+
+    assert mesh_bucket_engine("scan", 128, 128, False) == "scan"
+    assert mesh_bucket_engine("shortread", 9000, 9000, False) == "shortread"
+    assert mesh_bucket_engine("auto", 128, SHORTREAD_MAX_LEN, False) == (
+        "shortread"
+    )
+    assert mesh_bucket_engine("pallas", 512, 512, False) == "segmented"
+    # stream tiers fall back to the flat batch kernel per shard.
+    assert (
+        mesh_bucket_engine("stream", SEGMENTED_MAX_LEN + 1, 128, False)
+        == "pallas"
+    )

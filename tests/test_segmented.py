@@ -46,7 +46,7 @@ def test_score_pairs_routes_segmented(monkeypatch):
 
     picked = {}
 
-    def fake_segmented(s1b, s2b, ms, ns, scores, is_local):
+    def fake_segmented(s1b, s2b, ms, ns, scores, is_local, interpret=False):
         picked["engine"] = "segmented"
         import jax.numpy as jnp
 
