@@ -235,9 +235,16 @@ def main(argv: list[str] | None = None) -> int:
 
             from genomics_rs_tpu.models.reads import align_reads, cigar
 
+            # align_reads engines: the packed-dirs short-read kernel
+            # ("pallas") or the vmapped wavefront scan; the score-only
+            # engine names map onto the kernel family.
+            rd_engine = {"scan": "scan", "auto": "auto"}.get(
+                args.engine, "pallas"
+            )
             t0 = time.perf_counter()
             aligned = align_reads(
-                queries, refs, config.scores, is_local=is_local
+                queries, refs, config.scores, is_local=is_local,
+                engine=rd_engine,
             )
             dt = time.perf_counter() - t0
             print(f"{B} reads aligned in {dt:.3f}s")

@@ -164,6 +164,7 @@ def align_reads(
             qs,
             rs,
             with_paths=with_paths,
+            encoded=(s1b, s2b, ms, ns),
         )
         out.extend(aligned)
     return out

@@ -156,16 +156,43 @@ def walk_batch(
     return moves.T, counts, i_f, j_f, done
 
 
-def _rle_cigar(ops: np.ndarray) -> str:
-    """Run-length encode a per-move CIGAR op array ('M'/'I'/'D')."""
-    if ops.size == 0:
-        return ""
-    change = np.flatnonzero(ops[1:] != ops[:-1]) + 1
-    starts = np.concatenate([[0], change])
-    ends = np.concatenate([change, [ops.size]])
-    return "".join(
-        f"{e - s}{ops[s]}" for s, e in zip(starts, ends)
+#: CIGAR op characters by numeric run code (0 = padding, dropped).
+_CIG_CHARS = np.array(["", "M", "I", "D"])
+
+
+def _batch_cigars(cigc: np.ndarray, counts: np.ndarray) -> list[str]:
+    """Run-length encode every read's CIGAR in one pass.
+
+    ``cigc`` (B, T) uint8 numeric op codes in *traceback* order
+    (1 = M, 2 = I, 3 = D, 0 past the path end); emitted strings are
+    start-of-alignment first. One global change-point scan over the
+    zero-separated reversed batch replaces per-read-per-run Python
+    formatting (the dominant classify cost at read scale).
+    """
+    B, T = cigc.shape
+    if T == 0 or B == 0:
+        return [""] * B
+    ridx = counts[:, None] - 1 - np.arange(T)[None, :]
+    revc = np.where(
+        ridx >= 0,
+        np.take_along_axis(cigc, np.clip(ridx, 0, T - 1), 1),
+        0,
     )
+    # A zero column separates consecutive reads in the flat view.
+    revz = np.concatenate([revc, np.zeros((B, 1), cigc.dtype)], 1).ravel()
+    chg = np.flatnonzero(revz[1:] != revz[:-1]) + 1
+    bounds = np.concatenate([[0], chg, [revz.size]])
+    vals = revz[bounds[:-1]]
+    keep = vals != 0
+    starts_f = bounds[:-1][keep]
+    runlens = np.diff(bounds)[keep]
+    rid = starts_f // (T + 1)
+    chunks = np.char.add(
+        runlens.astype("U10"), _CIG_CHARS[vals[keep]]
+    ).tolist()
+    lo = np.searchsorted(rid, np.arange(B))
+    hi = np.searchsorted(rid, np.arange(B), side="right")
+    return ["".join(chunks[a:b]) for a, b in zip(lo, hi)]
 
 
 _CHOICE_BY_CODE = {
@@ -187,6 +214,7 @@ def classify_batch(
     queries: list[Sequence],
     refs: list[Sequence],
     with_paths: bool = True,
+    encoded: tuple | None = None,
 ) -> tuple[list[AlignedSequences], list[str]]:
     """Classify every read's move list at once; returns
     ``(aligned_list, cigar_list)``.
@@ -197,6 +225,13 @@ def classify_batch(
     ``with_paths=False`` leaves each ``AlignedSequences.alignment``
     empty (stats and CIGARs only) — the per-read Python list is the
     one O(path) interpreter cost left.
+
+    ``encoded=(s1b, s2b, ms, ns)`` — the padded encoded device batches
+    the caller already built — lets the match test run on them
+    directly (encoding is per-char bijective, so byte equality is
+    preserved) instead of re-encoding every sequence in a Python loop;
+    pad positions are masked to the shared past-the-end sentinel
+    (None == None, algo.rs:354).
     """
     moves = np.asarray(moves)
     counts = np.asarray(counts)
@@ -219,15 +254,35 @@ def classify_batch(
     # the consumed base (off-by-one quirk, algo.rs:354) and None ==
     # None beyond both ends. Sentinels: 0x100 + side keeps "past end"
     # equal only to "past end" of the other side.
-    L1 = max((len(s) for s in queries), default=0)
-    L2 = max((len(s) for s in refs), default=0)
-    s1x = np.full((B, L1 + T + 2), 0x100, np.int32)
-    s2x = np.full((B, L2 + T + 2), 0x100, np.int32)
-    for b, (q, r) in enumerate(zip(queries, refs)):
-        qb = np.frombuffer(q.sequence.encode("ascii"), np.uint8)
-        rb = np.frombuffer(r.sequence.encode("ascii"), np.uint8)
-        s1x[b, : len(qb)] = qb
-        s2x[b, : len(rb)] = rb
+    if encoded is not None:
+        s1b, s2b, ms, ns = (np.asarray(a) for a in encoded)
+
+        def _sentineled(sb, lens):
+            # One extra column keeps index == padded-length in range;
+            # pad positions (>= true length) become the shared
+            # past-the-end sentinel (encoded symbols are < 0x100).
+            sx = np.concatenate(
+                [
+                    sb.astype(np.int32),
+                    np.full((B, 1), 0x100, np.int32),
+                ],
+                axis=1,
+            )
+            live_cols = np.arange(sx.shape[1])[None, :] < lens[:, None]
+            return np.where(live_cols, sx, 0x100)
+
+        s1x = _sentineled(s1b, ms)
+        s2x = _sentineled(s2b, ns)
+    else:
+        L1 = max((len(s) for s in queries), default=0)
+        L2 = max((len(s) for s in refs), default=0)
+        s1x = np.full((B, L1 + T + 2), 0x100, np.int32)
+        s2x = np.full((B, L2 + T + 2), 0x100, np.int32)
+        for b, (q, r) in enumerate(zip(queries, refs)):
+            qb = np.frombuffer(q.sequence.encode("ascii"), np.uint8)
+            rb = np.frombuffer(r.sequence.encode("ascii"), np.uint8)
+            s1x[b, : len(qb)] = qb
+            s2x[b, : len(rb)] = rb
     c1 = np.take_along_axis(s1x, np.clip(i_at, 0, s1x.shape[1] - 1), 1)
     c2 = np.take_along_axis(s2x, np.clip(j_at, 0, s2x.shape[1] - 1), 1)
     match = is_sub & (c1 == c2)
@@ -258,13 +313,13 @@ def classify_batch(
 
     # CIGAR (query = s1): M consumes both; the DP DELETE move is a
     # gap in s2 (consumes only the query) = CIGAR I; INSERT = D.
-    cig_ops = np.full((B, T), "", dtype="U1")
-    cig_ops[is_sub] = "M"
-    cig_ops[is_del] = "I"
-    cig_ops[is_ins] = "D"
+    cigc = np.zeros((B, T), np.uint8)
+    cigc[is_sub] = 1
+    cigc[is_del] = 2
+    cigc[is_ins] = 3
+    cigars = _batch_cigars(cigc, counts)
 
     out: list[AlignedSequences] = []
-    cigars: list[str] = []
     for b in range(B):
         cnt = int(counts[b])
         alignment: list[tuple[AlignmentChoice, int, int]] = []
@@ -288,7 +343,4 @@ def classify_batch(
                 opening_gaps=int(opening[b]),
             )
         )
-        # CIGAR is emitted start-of-alignment first (reverse of the
-        # traceback order the moves arrive in).
-        cigars.append(_rle_cigar(cig_ops[b, :cnt][::-1]))
     return out, cigars

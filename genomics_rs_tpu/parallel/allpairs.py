@@ -137,24 +137,45 @@ def _score_pairs_bucketed(
         ms = np.array([lens[pairs[k][0]] for k in idxs], dtype=np.int32)
         ns = np.array([lens[pairs[k][1]] for k in idxs], dtype=np.int32)
         if mesh is not None and mesh.devices.size > 1:
-            n_dev = mesh.devices.size
-            (s1p, s2p, mp, np_), _ = pad_batch(
-                (s1b, s2b, ms, ns),
-                len(idxs),
-                n_dev,
-                pad_values=[None, None, 0, 0],
-            )
-            sc = batch_scores_sharded(
-                mesh,
-                s1p,
-                s2p,
-                mp,
-                np_,
-                scores,
-                is_local,
-                engine=mesh_bucket_engine(engine, Lm, Ln, is_local),
-                interpret=interpret,
-            ).score
+            eng = mesh_bucket_engine(engine, Lm, Ln, is_local)
+            if eng == "pallas":
+                # Long-pair bucket (stream tier): the streamed kernel
+                # needs concrete host lengths, so instead of shard_map
+                # each device gets its own slice + dispatch.
+                from genomics_rs_tpu.parallel.batch import (
+                    device_loop_scores,
+                )
+
+                sc, _, _ = device_loop_scores(
+                    mesh.devices.flat,
+                    s1b,
+                    s2b,
+                    ms,
+                    ns,
+                    scores,
+                    is_local,
+                    engine="stream",
+                    interpret=interpret,
+                )
+            else:
+                n_dev = mesh.devices.size
+                (s1p, s2p, mp, np_), _ = pad_batch(
+                    (s1b, s2b, ms, ns),
+                    len(idxs),
+                    n_dev,
+                    pad_values=[None, None, 0, 0],
+                )
+                sc = batch_scores_sharded(
+                    mesh,
+                    s1p,
+                    s2p,
+                    mp,
+                    np_,
+                    scores,
+                    is_local,
+                    engine=eng,
+                    interpret=interpret,
+                ).score
         elif engine in (
             "pallas",
             "shortread",

@@ -196,6 +196,65 @@ def mesh_bucket_engine(engine: str, L1: int, L2: int, is_local: bool) -> str:
     return "pallas"
 
 
+def device_loop_scores(
+    devices,
+    s1b,
+    s2b,
+    ms,
+    ns,
+    scores: Scores,
+    is_local: bool,
+    engine: str = "stream",
+    interpret: bool = False,
+):
+    """Score a bucket across local devices by explicit placement.
+
+    The streamed kernels lay out probes from *concrete* host lengths,
+    so they cannot trace inside ``shard_map`` — instead each device
+    gets an equal slice of the batch via ``jax.device_put`` and its
+    own kernel dispatch (XLA dispatches are async, so the K per-device
+    fills overlap; within a bucket every pair has the same padded
+    shape, so equal counts = equal work). The batch is padded to a
+    multiple of the device count so every slice compiles one shape.
+
+    Returns (score, start_i, start_j) numpy arrays of shape (B,).
+    """
+    import numpy as np
+
+    devices = list(devices)
+    B = len(ms)
+    n_dev = min(len(devices), B)
+    # Padding rows replicate pair 0 (NOT zero-length fills: the stream
+    # wrapper's host-side probe layout keys off concrete lengths, and
+    # a degenerate length could demote the whole slice to the flat
+    # fallback). At most n_dev - 1 duplicated pairs, discarded below.
+    (s1p, s2p, mp, np_), Bp = pad_batch(
+        (np.asarray(s1b), np.asarray(s2b), np.asarray(ms), np.asarray(ns)),
+        B,
+        n_dev,
+    )
+    per = Bp // n_dev
+    outs = []
+    for k, d in enumerate(devices[:n_dev]):
+        sl = slice(k * per, (k + 1) * per)
+        outs.append(
+            _kernel_scores(
+                engine,
+                jax.device_put(s1p[sl], d),
+                jax.device_put(s2p[sl], d),
+                mp[sl],
+                np_[sl],
+                scores,
+                is_local,
+                interpret,
+            )
+        )
+    sc = np.concatenate([np.asarray(o[0]) for o in outs])[:B]
+    si = np.concatenate([np.asarray(o[1]) for o in outs])[:B]
+    sj = np.concatenate([np.asarray(o[2]) for o in outs])[:B]
+    return sc, si, sj
+
+
 #: Below this padded length the row-scan read kernel beats the
 #: diagonal batch kernel (whose flat-diagonal lanes go mostly idle).
 #: Bounded by the shortread kernel's VMEM footprint (~6 row-pane

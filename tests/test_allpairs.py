@@ -208,3 +208,83 @@ def test_mesh_bucket_engine_routing():
         mesh_bucket_engine("stream", SEGMENTED_MAX_LEN + 1, 128, False)
         == "pallas"
     )
+
+
+def test_device_loop_scores_matches_scan():
+    """Explicit per-device placement (the long-pair stream-tier path):
+    slices dispatched to each of the 8 CPU devices must reproduce the
+    scan scores, including the row-0-replicating batch padding."""
+    import jax
+
+    from genomics_rs_tpu.parallel.batch import (
+        batch_scores,
+        device_loop_scores,
+    )
+    from genomics_rs_tpu.sequence import PAD_S1, PAD_S2
+
+    rng = np.random.default_rng(47)
+    B, L = 10, 256
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ms = rng.integers(L // 2, L + 1, B).astype(np.int32)
+    ns = rng.integers(L // 2, L + 1, B).astype(np.int32)
+    s1b = np.full((B, L), PAD_S1, np.uint8)
+    s2b = np.full((B, L), PAD_S2, np.uint8)
+    for i in range(B):
+        s1b[i, : ms[i]] = bases[rng.integers(0, 4, ms[i])]
+        s2b[i, : ns[i]] = bases[rng.integers(0, 4, ns[i])]
+    for is_local in (False, True):
+        want = batch_scores(s1b, s2b, ms, ns, SCORES, is_local)
+        sc, si, sj = device_loop_scores(
+            jax.devices(),
+            s1b,
+            s2b,
+            ms,
+            ns,
+            SCORES,
+            is_local,
+            engine="stream",
+            interpret=True,
+        )
+        assert np.array_equal(sc, np.asarray(want.score)), is_local
+        if is_local:
+            assert np.array_equal(si, np.asarray(want.start_i))
+            assert np.array_equal(sj, np.asarray(want.start_j))
+
+
+def test_bucketed_long_bucket_routes_device_loop(monkeypatch):
+    """Buckets past the segmented band route to the per-device stream
+    loop when a multi-device mesh is present."""
+    import genomics_rs_tpu.parallel.allpairs as ap
+    import genomics_rs_tpu.parallel.batch as batch
+    from genomics_rs_tpu.parallel.mesh import make_mesh
+
+    called = {}
+
+    def fake_loop(devs, s1b, s2b, ms, ns, scores, is_local, engine="stream",
+                  interpret=False):
+        called["engine"] = engine
+        called["n"] = len(ms)
+        return (
+            np.zeros(len(ms), np.int32),
+            np.zeros(len(ms), np.int32),
+            np.zeros(len(ms), np.int32),
+        )
+
+    monkeypatch.setattr(batch, "device_loop_scores", fake_loop)
+    rng = np.random.default_rng(3)
+    seqs = [
+        Sequence(
+            f"L{k}",
+            "".join(rng.choice(list("ACGT"), 9000)),
+        )
+        for k in range(2)
+    ]
+    container = SequenceContainer(sequences=seqs)
+    lens = np.array([len(s) for s in seqs], np.int32)
+    pairs = [(0, 0), (0, 1), (1, 1)]
+    sc, _ = ap._score_pairs_bucketed(
+        container, pairs, lens, SCORES, False, "pallas",
+        mesh=make_mesh(), interpret=True,
+    )
+    assert called == {"engine": "stream", "n": 3}
+    assert list(sc) == [0, 0, 0]
