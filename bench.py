@@ -393,9 +393,15 @@ def run_full() -> dict:
     ]
 
     def run_reads_full():
-        out = align_reads(
-            rq, rr, scores, is_local=False, with_paths=False
+        out, cigs = align_reads(
+            rq,
+            rr,
+            scores,
+            is_local=False,
+            with_paths=False,
+            with_cigars=True,
         )
+        assert len(cigs) == len(out)
         return len(out)
 
     _retry(run_reads_full, label="reads pipeline warmup")

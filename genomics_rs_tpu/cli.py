@@ -233,18 +233,21 @@ def main(argv: list[str] | None = None) -> int:
         if args.align:
             import time
 
-            from genomics_rs_tpu.models.reads import align_reads, cigar
+            from genomics_rs_tpu.models.reads import align_reads
 
             # align_reads engines: the packed-dirs short-read kernel
-            # ("pallas") or the vmapped wavefront scan; the score-only
-            # engine names map onto the kernel family.
-            rd_engine = {"scan": "scan", "auto": "auto"}.get(
-                args.engine, "pallas"
-            )
+            # ("pallas", TPU) or the vmapped wavefront scan; score-only
+            # kernel names coerce to auto (backend + budget routed).
+            rd_engine = args.engine if args.engine in ("scan", "auto") else "auto"
+            if rd_engine != args.engine:
+                log.info(
+                    "engine %s is score-only; --align uses auto routing",
+                    args.engine,
+                )
             t0 = time.perf_counter()
-            aligned = align_reads(
+            aligned, cigars = align_reads(
                 queries, refs, config.scores, is_local=is_local,
-                engine=rd_engine,
+                engine=rd_engine, with_paths=False, with_cigars=True,
             )
             dt = time.perf_counter() - t0
             print(f"{B} reads aligned in {dt:.3f}s")
@@ -253,11 +256,11 @@ def main(argv: list[str] | None = None) -> int:
                     "query\tref\tscore\tmatches\tmismatches\t"
                     "gap_extensions\topening_gaps\tcigar\n"
                 )
-                for q, r, a in zip(queries, refs, aligned):
+                for q, r, a, cg in zip(queries, refs, aligned, cigars):
                     f.write(
                         f"{q.name}\t{r.name}\t{a.score}\t{a.matches}\t"
                         f"{a.mismatches}\t{a.gap_extensions}\t"
-                        f"{a.opening_gaps}\t{cigar(a)}\n"
+                        f"{a.opening_gaps}\t{cg}\n"
                     )
             print(f"wrote {args.output}")
             return 0

@@ -76,6 +76,21 @@ def cigar(aligned: AlignedSequences) -> str:
     return "".join(f"{count}{op}" for op, count in ops)
 
 
+#: Past this padded length the short-read kernel's VMEM scratch
+#: (~6 row-pane buffers of L2*4 KiB plus the streamed codes blocks)
+#: exceeds the per-core budget — mirror of
+#: ``parallel.batch.SHORTREAD_MAX_LEN``; longer reads fall back to the
+#: scan fill (or use the per-pair aligner, which routes by budget).
+_PALLAS_MAX_LEN = 256
+
+#: Resident direction-table budget per scan-engine round, bytes. The
+#: vmapped scan emits a per-cell diag-major table of
+#: ``(L1+L2+1) * (L1+1)`` bytes per read; rounds are sized to stay
+#: under this (the packed-dirs kernel path needs ~L1*L2/4 per read
+#: and keeps the full ``batch``).
+_SCAN_DIRS_BUDGET = 2 << 30
+
+
 def align_reads(
     queries: list[Sequence],
     refs: list[Sequence],
@@ -84,17 +99,21 @@ def align_reads(
     batch: int = 4096,
     engine: str = "auto",
     with_paths: bool = True,
+    with_cigars: bool = False,
     interpret: bool = False,
-) -> list[AlignedSequences]:
+):
     """Full alignments for query[i] vs ref[i], batched on device.
 
     Reads are chunked into ``batch``-sized device rounds (each round =
     one fill dispatch + one walk dispatch); ``engine`` picks the fill
     ("pallas" = short-read kernel with packed dirs, "scan" = vmapped
-    wavefront oracle, "auto" = pallas on TPU). ``with_paths=False``
-    skips building each result's per-move ``alignment`` list (stats
-    and :func:`cigar` input still exact) — the remaining Python cost
-    then scales with reads, not moves. Output order matches input.
+    wavefront oracle, "auto" = pallas on TPU for reads within the
+    kernel's VMEM budget, scan otherwise). ``with_paths=False`` skips
+    building each result's per-move ``alignment`` list — the remaining
+    Python cost then scales with reads, not moves; pair it with
+    ``with_cigars=True``, which returns ``(aligned, cigars)`` using
+    the batch-vectorized CIGARs (an empty ``alignment`` yields nothing
+    through :func:`cigar`). Output order matches input.
     """
     if len(queries) != len(refs):
         raise ValueError(
@@ -102,14 +121,21 @@ def align_reads(
         )
     if engine not in ("auto", "pallas", "scan"):
         raise ValueError(f"unknown engine {engine!r}")
-    use_pallas = engine == "pallas" or (
-        engine == "auto" and jax.default_backend() == "tpu"
-    )
     L1 = max(round_up(max((len(s) for s in queries), default=1), 128), 128)
     L2 = max(round_up(max((len(s) for s in refs), default=1), 128), 128)
     max_steps = L1 + L2 + 1
+    use_pallas = engine == "pallas" or (
+        engine == "auto"
+        and jax.default_backend() == "tpu"
+        and max(L1, L2) <= _PALLAS_MAX_LEN
+    )
+    if not use_pallas:
+        # Bound the resident per-round direction-table memory.
+        per_read = (L1 + L2 + 1) * (L1 + 1)
+        batch = max(16, min(batch, _SCAN_DIRS_BUDGET // per_read))
 
     out: list[AlignedSequences] = []
+    all_cigars: list[str] = []
     for k0 in range(0, len(queries), batch):
         qs = queries[k0 : k0 + batch]
         rs = refs[k0 : k0 + batch]
@@ -149,13 +175,19 @@ def align_reads(
         moves, counts, i_f, j_f, done, sc_h, si_h, sj_h = jax.device_get(
             walked + (sc, si, sj)
         )
-        if not bool(np.all(done)):
-            bad = int(np.flatnonzero(~np.asarray(done))[0])
+        # A global retrace is complete only at (0, 0) — a mid-table
+        # stop code there means a corrupt fill (the per-pair host
+        # walker raises "Unexpected stop code during global retrace").
+        complete = (
+            done if is_local else done & (i_f == 0) & (j_f == 0)
+        )
+        if not bool(np.all(complete)):
+            bad = int(np.flatnonzero(~np.asarray(complete))[0])
             raise RuntimeError(
                 f"read {k0 + bad} retrace did not terminate at "
                 f"({int(i_f[bad])}, {int(j_f[bad])})"
             )
-        aligned, _ = classify_batch(
+        aligned, cigars = classify_batch(
             moves,
             counts,
             si_h,
@@ -167,4 +199,7 @@ def align_reads(
             encoded=(s1b, s2b, ms, ns),
         )
         out.extend(aligned)
+        all_cigars.extend(cigars)
+    if with_cigars:
+        return out, all_cigars
     return out

@@ -238,111 +238,76 @@ def gotoh_scores_shortread(
         ]
     )
 
+    # One grid-spec construction for both modes. emit_dirs adds a
+    # row-chunk grid axis: VMEM holds one RC-row slab of packed codes
+    # (and of s1) per step; rI/rS/rD scratch carries the DP rows
+    # across chunks of the same pane (the chunk axis is innermost, so
+    # a pane's chunks run consecutively).
     if emit_dirs:
-        # Row-chunked grid: VMEM holds one RC-row slab of packed codes
-        # (and of s1) per step; rI/rS/rD scratch carries the DP rows
-        # across chunks of the same pane (the chunk axis is innermost,
-        # so a pane's chunks run consecutively).
         RC = min(L1, 32)
         if L1 % RC:
             raise ValueError(f"L1 {L1} not a multiple of the {RC}-row chunk")
         W = L2 // 16
-        n_chunks = L1 // RC
-        pane_in = pl.BlockSpec(
-            (1, 8, 128), lambda p, c, s: (p, 0, 0), memory_space=pltpu.VMEM
+        grid = (n_panes, L1 // RC)
+        maps = {
+            "pane": lambda p, c, s: (p, 0, 0),
+            "rows": lambda p, c, s: (p, 0, 0, 0),
+            "s1": lambda p, c, s: (p, c, 0, 0),
+            "codes": lambda p, c, s: (p, c, 0, 0, 0),
+        }
+        s1_block = (1, RC, 8, 128)
+    else:
+        RC = None
+        grid = (n_panes,)
+        maps = {
+            "pane": lambda p, s: (p, 0, 0),
+            "rows": lambda p, s: (p, 0, 0, 0),
+            "s1": lambda p, s: (p, 0, 0, 0),
+        }
+        s1_block = (1, L1, 8, 128)
+
+    def _spec(block_shape, which):
+        return pl.BlockSpec(
+            block_shape, maps[which], memory_space=pltpu.VMEM
         )
-        row_out = pl.BlockSpec(
-            (1, L2, 8, 128),
-            lambda p, c, s: (p, 0, 0, 0),
-            memory_space=pltpu.VMEM,
+
+    row_out = _spec((1, L2, 8, 128), "rows")
+    out_specs = (row_out,) * 3
+    out_shape = [jax.ShapeDtypeStruct((n_panes, L2, 8, 128), jnp.int32)] * 3
+    if emit_dirs:
+        out_specs += (_spec((1, RC, W, 8, 128), "codes"),)
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_panes, L1, W, 8, 128), jnp.int32)
         )
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n_panes, n_chunks),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, RC, 8, 128),
-                    lambda p, c, s: (p, c, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, L2, 8, 128),
-                    lambda p, c, s: (p, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pane_in,
-                pane_in,
-            ],
-            out_specs=(row_out,) * 3
-            + (
-                pl.BlockSpec(
-                    (1, RC, W, 8, 128),
-                    lambda p, c, s: (p, c, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ),
-            scratch_shapes=[pltpu.VMEM((L2, 8, 128), jnp.int32)] * 6,
-        )
-        kernel = functools.partial(
-            _rowscan_body, L1=L1, L2=L2, is_local=is_local, RC=RC
-        )
-        fin, bv, bi, codes = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=tuple(
-                [jax.ShapeDtypeStruct((n_panes, L2, 8, 128), jnp.int32)] * 3
-            )
-            + (
-                jax.ShapeDtypeStruct(
-                    (n_panes, L1, W, 8, 128), jnp.int32
-                ),
-            ),
-            interpret=interpret,
-        )(scalars, s1p, s2p, mp, np_)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            _spec(s1_block, "s1"),
+            _spec((1, L2, 8, 128), "rows"),
+            _spec((1, 8, 128), "pane"),
+            _spec((1, 8, 128), "pane"),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((L2, 8, 128), jnp.int32)] * 6,
+    )
+    kernel = functools.partial(
+        _rowscan_body, L1=L1, L2=L2, is_local=is_local, RC=RC
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(scalars, s1p, s2p, mp, np_)
+    if emit_dirs:
+        fin, bv, bi, codes = outs
         # (panes, L1, W, 8, 128) -> (B, L1, W) in batch order.
         codes = jnp.transpose(codes, (0, 3, 4, 1, 2)).reshape(
             Bp, L1, W
         )[:B]
     else:
-        pane_in = pl.BlockSpec(
-            (1, 8, 128), lambda p, s: (p, 0, 0), memory_space=pltpu.VMEM
-        )
-        row_out = pl.BlockSpec(
-            (1, L2, 8, 128),
-            lambda p, s: (p, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n_panes,),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, L1, 8, 128),
-                    lambda p, s: (p, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, L2, 8, 128),
-                    lambda p, s: (p, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pane_in,
-                pane_in,
-            ],
-            out_specs=(row_out,) * 3,
-            scratch_shapes=[pltpu.VMEM((L2, 8, 128), jnp.int32)] * 6,
-        )
-        kernel = functools.partial(
-            _rowscan_body, L1=L1, L2=L2, is_local=is_local
-        )
-        fin, bv, bi = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=tuple(
-                [jax.ShapeDtypeStruct((n_panes, L2, 8, 128), jnp.int32)] * 3
-            ),
-            interpret=interpret,
-        )(scalars, s1p, s2p, mp, np_)
+        fin, bv, bi = outs
 
     # (panes, L2, 8, 128) -> (L2, B): reduce over columns in XLA.
     def flat(x):

@@ -14,6 +14,7 @@ full traceback re-run the single-pair path with the direction bitmap.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -60,8 +61,6 @@ def batch_scores(
     vma_axes: tuple[str, ...] = (),
 ) -> BatchScores:
     """Score a batch of pairs on one device (vmap over the fill)."""
-    import functools
-
     fn = functools.partial(_score_one, vma_axes=vma_axes)
     sc, si, sj = jax.vmap(fn, in_axes=(0, 0, 0, 0, None, None))(
         s1eb, s2eb, ms, ns, scores, is_local
@@ -70,9 +69,6 @@ def batch_scores(
         (ms.astype(jnp.float32) + 1) * (ns.astype(jnp.float32) + 1)
     )
     return BatchScores(sc, si, sj, jnp.max(sc), cells)
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=None)

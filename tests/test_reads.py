@@ -98,3 +98,45 @@ def test_align_reads_pallas_engine_matches_scan(is_local):
                 a.opening_gaps) == (c.matches, c.mismatches,
                                     c.gap_extensions, c.opening_gaps)
         assert cigar(a) == cigar(c)
+
+
+def test_align_reads_with_cigars_no_paths():
+    """with_cigars returns the batch-vectorized CIGARs; with_paths=False
+    keeps them exact while skipping the per-move alignment lists."""
+    rng = np.random.default_rng(7)
+    qs, rs = [], []
+    for k in range(5):
+        n = int(rng.integers(20, 80))
+        qs.append(Sequence(f"q{k}", "".join(rng.choice(list("ACGT"), n))))
+        rs.append(Sequence(f"r{k}", "".join(rng.choice(list("ACGT"), n + 5))))
+    full = align_reads(qs, rs, SCORES, is_local=False, engine="scan")
+    lean, cigs = align_reads(
+        qs, rs, SCORES, is_local=False, engine="scan",
+        with_paths=False, with_cigars=True,
+    )
+    for a, b, cg in zip(full, lean, cigs):
+        assert b.alignment == []
+        assert cg == cigar(a)
+        assert (a.score, a.matches, a.mismatches) == (
+            b.score, b.matches, b.mismatches,
+        )
+
+
+def test_align_reads_rejects_mid_table_stop_in_global(monkeypatch):
+    """A stop code mid-path in a global retrace is a corrupt fill; the
+    batched walker must surface it like the host walker's 'Unexpected
+    stop code during global retrace' instead of truncating silently."""
+    import genomics_rs_tpu.models.reads as reads_mod
+    from genomics_rs_tpu.ops.gotoh_scan import DIR_STOP
+
+    def corrupt_fill(s1b, s2b, ms, ns, scores, is_local):
+        B, L1 = s1b.shape
+        L2 = s2b.shape[1]
+        dirs = np.full((B, L1 + L2 + 1, L1 + 1), DIR_STOP, np.uint8)
+        return dirs, np.zeros(B, np.int32), ms, ns
+
+    monkeypatch.setattr(reads_mod, "_fill_batch", corrupt_fill)
+    qs = [Sequence("q", "ACGTACGT")]
+    rs = [Sequence("r", "ACGTACGT")]
+    with pytest.raises(RuntimeError, match="did not terminate"):
+        align_reads(qs, rs, SCORES, is_local=False, engine="scan")
