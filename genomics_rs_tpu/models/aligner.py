@@ -209,6 +209,7 @@ class PairwiseAligner:
                     res.start_j,
                     np.int32(0),
                     max_steps=max_steps,
+                    interpret=self.interpret,
                 )
                 if not bool(done):
                     raise RuntimeError(

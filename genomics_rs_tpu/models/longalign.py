@@ -284,7 +284,12 @@ def align_checkpointed(
     if not done:
         res, i0 = refill(blk, j)
     while not done:
-        if blk > 0:
+        if blk > 0 and not is_local:
+            # Prefetch hides the per-block dispatch latency. Global
+            # walks can only terminate in block 0, so the refill is
+            # never wasted; a local walk may stop in ANY block, where
+            # a prefetched whole-block fill (seconds at R=8191) would
+            # be discarded — locals refill after the walk instead.
             nxt = refill(blk - 1, j)
         blk_codes, i_f, j_f, done_f = device_walk(
             res.dirs,
@@ -292,6 +297,7 @@ def align_checkpointed(
             np.int32(j),
             np.int32(i0),
             max_steps=max_steps,
+            interpret=interpret,
         )
         codes.append(blk_codes)
         i, j, done = int(i_f), int(j_f), bool(done_f)
@@ -303,7 +309,7 @@ def align_checkpointed(
                 f"traceback left block 0 at ({i}, {j}) without terminating"
             )
         if not done:
-            res, i0 = nxt
+            res, i0 = nxt if not is_local else refill(blk - 1, j)
             blk -= 1
     t_bwd = time.perf_counter() - t0
     log.info(

@@ -140,45 +140,27 @@ def walk_block(
     return moves, pos, i_final, j, done
 
 
-def device_walk(
-    dirs: jax.Array,
-    start_li,
-    start_j,
-    i0,
-    max_steps: int,
-):
-    """Chase a packed-dirs block from (start_li, start_j); returns
-    ``(codes uint8[count], i_final, j_final, done)``.
+def resume_walk(step_fn, start_li, start_j, i0: int):
+    """Drive a single-buffer block walker to completion.
 
-    Same movement semantics as :func:`walk_block`; on TPU the chase
-    runs as a Mosaic scalar-core hardware loop with the bitmap left
-    in HBM (see ``ops/traceback_pallas``), everywhere else as the XLA
-    ``while_loop`` above. ``max_steps`` only sizes the move buffer —
-    both paths keep walking past it by resuming (the XLA path via the
-    same caller-visible resume loop the Pallas path uses internally).
+    ``step_fn(li, j) -> (codes uint8[count], i_final, j_final, done)``
+    performs one bounded walk from the block-local row ``li``; this
+    loop resumes it until the path terminates (``done``) or exits the
+    block upward (``i_final < i0``), concatenating the decoded codes.
+    A resume that did not move the position is a corrupt direction
+    table (in a valid table every recorded move steps toward the
+    origin) and raises — regardless of how many moves were written,
+    otherwise a saturated corrupt cell that keeps emitting moves would
+    refill the buffer forever.
     """
-    if jax.default_backend() == "tpu":
-        from genomics_rs_tpu.ops.traceback_pallas import walk_full
-
-        return walk_full(dirs, start_li, start_j, i0, max_steps=max_steps)
-
     import numpy as np
 
     li, j = int(start_li), int(start_j)
     i0 = int(i0)
     chunks = []
     while True:
-        out = walk_block(
-            dirs,
-            np.int32(li),
-            np.int32(j),
-            np.int32(i0),
-            max_steps=max_steps,
-        )
-        # Single D2H transfer for the whole tuple (see walk_full).
-        moves, count, i_f, j_f, done = jax.device_get(out)
-        count = int(count)
-        chunks.append(moves[:count])
+        codes, i_f, j_f, done = step_fn(li, j)
+        chunks.append(codes)
         prev = (i0 + li, j)
         i_g, j_g, done = int(i_f), int(j_f), bool(done)
         if done or i_g < i0:
@@ -190,8 +172,52 @@ def device_walk(
                 j_g,
                 done,
             )
-        if count == 0 and (i_g, j_g) == prev:
+        if (i_g, j_g) == prev:
             raise RuntimeError(
                 f"traceback made no progress at ({i_g}, {j_g})"
             )
         li, j = i_g - i0, j_g
+
+
+def device_walk(
+    dirs: jax.Array,
+    start_li,
+    start_j,
+    i0,
+    max_steps: int,
+    interpret: bool = False,
+):
+    """Chase a packed-dirs block from (start_li, start_j); returns
+    ``(codes uint8[count], i_final, j_final, done)``.
+
+    Same movement semantics as :func:`walk_block`; on TPU the chase
+    runs as a Mosaic scalar-core hardware loop with the bitmap left
+    in HBM (see ``ops/traceback_pallas``), everywhere else — including
+    ``interpret`` mode and word counts below the Mosaic kernel's DMA
+    window — as the XLA ``while_loop`` above. ``max_steps`` only sizes
+    the move buffer; both paths keep walking past it by resuming
+    through :func:`resume_walk`.
+    """
+    if jax.default_backend() == "tpu" and not interpret:
+        from genomics_rs_tpu.ops.traceback_pallas import PKW, walk_full
+
+        if dirs.shape[0] >= PKW:
+            return walk_full(
+                dirs, start_li, start_j, i0, max_steps=max_steps
+            )
+
+    import numpy as np
+
+    def step(li, j):
+        out = walk_block(
+            dirs,
+            np.int32(li),
+            np.int32(j),
+            np.int32(i0),
+            max_steps=max_steps,
+        )
+        # Single D2H transfer for the whole tuple (see walk_full).
+        moves, count, i_f, j_f, done = jax.device_get(out)
+        return moves[: int(count)], i_f, j_f, done
+
+    return resume_walk(step, start_li, start_j, i0)

@@ -193,6 +193,11 @@ def walk_pallas(
         # emits V >= 1024 (gotoh_pallas.py:76), so this only guards
         # hand-built inputs.
         raise ValueError(f"dirs lane count {V} not a multiple of 128 >= 256")
+    if KW < PKW:
+        # The DMA base is clamped to KW - PKW; fewer words than the
+        # window would read out of bounds. device_walk routes such
+        # tiny blocks to the XLA walker instead.
+        raise ValueError(f"dirs word count {KW} < DMA window {PKW}")
     VG = V // 128
     NW = -(-max_steps // MPW)
     i0 = jnp.asarray(i0, jnp.int32)
@@ -266,11 +271,11 @@ def walk_full(
     same meaning as one ``walk_block`` call that never fills its
     buffer.
     """
+    from genomics_rs_tpu.ops.traceback_device import resume_walk
+
     cap = min(max_steps, MAX_STEPS_CAP)
-    li, j = int(start_li), int(start_j)
-    i0 = int(i0)
-    chunks: list[np.ndarray] = []
-    while True:
+
+    def step(li, j):
         out = walk_pallas(
             dirs,
             np.int32(li),
@@ -283,19 +288,6 @@ def walk_full(
         # syncs each pay a full host round-trip (expensive over the
         # axon tunnel, non-free everywhere).
         words, count, i_f, j_f, done = jax.device_get(out)
-        count = int(count)
-        chunks.append(unpack_moves(words, count))
-        prev = (i0 + li, j)
-        i_g, j_g, done = int(i_f), int(j_f), bool(done)
-        if done or i_g < i0:
-            return (
-                np.concatenate(chunks) if chunks else np.zeros(0, np.uint8),
-                i_g,
-                j_g,
-                done,
-            )
-        if count == 0 and (i_g, j_g) == prev:
-            raise RuntimeError(
-                f"traceback made no progress at ({i_g}, {j_g})"
-            )
-        li, j = i_g - i0, j_g
+        return unpack_moves(words, int(count)), i_f, j_f, done
+
+    return resume_walk(step, start_li, start_j, int(i0))

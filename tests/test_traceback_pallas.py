@@ -124,3 +124,28 @@ def test_walk_pallas_rejects_oversized_buffer():
     dirs = jax.numpy.zeros((16, 256), np.int32)
     with pytest.raises(ValueError, match="walk_full"):
         walk_pallas(dirs, 0, 0, 0, max_steps=MAX_STEPS_CAP + 16)
+
+
+def test_walk_pallas_rejects_small_word_count():
+    """Fewer packed words than the DMA window would clamp the window
+    base negative and read out of bounds — must raise instead (the
+    device_walk dispatcher routes such blocks to the XLA walker)."""
+    from genomics_rs_tpu.ops.traceback_pallas import PKW, walk_pallas
+
+    dirs = jax.numpy.zeros((PKW - 1, 1024), np.int32)
+    with pytest.raises(ValueError, match="word count"):
+        walk_pallas(dirs, 0, 0, 0, max_steps=1024, interpret=True)
+
+
+def test_resume_walk_raises_on_no_progress_with_moves():
+    """A stuck cell that keeps EMITTING moves without moving the
+    position must raise, not refill the buffer forever (the old guard
+    only fired when zero moves were written)."""
+    from genomics_rs_tpu.ops.traceback_device import resume_walk
+
+    def stuck_step(li, j):
+        # Buffer "filled" with moves, position unchanged, not done.
+        return np.full(8, 2, np.uint8), 5, 7, False
+
+    with pytest.raises(RuntimeError, match="no progress"):
+        resume_walk(stuck_step, start_li=5, start_j=7, i0=0)
