@@ -232,8 +232,15 @@ def run_headline() -> dict:
     dt = _median_time(run_batch)
     value = cells / dt
     baseline = _cpu_baseline(enc1, enc2, lens)
+    # Plan the roofline for the batch actually scored (the non-TPU
+    # path truncates to 3 pairs — planning all 55 would inflate the
+    # ramp and peak fractions ~18x).
     roof = _roofline(
-        value, int(s1b.shape[1]), int(s2b.shape[1]), len(pairs), cells
+        value,
+        int(s1b.shape[1]),
+        int(s2b.shape[1]),
+        int(ms.shape[0]),
+        cells,
     )
     return {
         "pairs": len(ms),

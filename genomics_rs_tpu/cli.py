@@ -70,7 +70,15 @@ def _build_parser() -> argparse.ArgumentParser:
     rd.add_argument(
         "--engine",
         default="auto",
-        choices=["auto", "shortread", "segmented", "pallas", "scan"],
+        choices=[
+            "auto",
+            "shortread",
+            "segmented",
+            "stream",
+            "stream8",
+            "pallas",
+            "scan",
+        ],
     )
     rd.add_argument(
         "--align",

@@ -37,6 +37,8 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -57,6 +59,42 @@ from genomics_rs_tpu.ops.gotoh_scan import (
 ROWS = 8
 #: direction codes packed per int32 word along the diagonal axis.
 PACK = 16
+
+
+def drift_rate_or_none(scores) -> int | None:
+    """Worst-case per-diagonal drift of an unclamped garbage lane, or
+    None when the scoring params are traced (guards must then be
+    skipped and the caller fall back / trust the clamped path).
+
+    Shared by the flat, streamed and row-stacked wrappers so the int32
+    headroom bound lives in one place.
+    """
+    try:
+        return (
+            abs(int(scores.g))
+            + abs(int(scores.h))
+            + abs(int(scores.s_mismatch))
+            + abs(int(scores.s_match))
+            + 1
+        )
+    except jax.errors.ConcretizationTypeError:
+        return None
+
+
+def concrete_lengths_or_none(ms, ns):
+    """``(ms, ns)`` as int64 numpy, or None when traced — the streamed
+    wrappers place probes from concrete lengths and must fall back to
+    a traced-length kernel otherwise."""
+    try:
+        return (
+            np.asarray(ms, dtype=np.int64),
+            np.asarray(ns, dtype=np.int64),
+        )
+    except (
+        jax.errors.ConcretizationTypeError,
+        jax.errors.TracerArrayConversionError,
+    ):
+        return None
 
 
 def _round_up(x: int, m: int) -> int:
@@ -1167,16 +1205,7 @@ def gotoh_scores_pallas_batch(
     # guard only fires when the scoring params are concrete (they are
     # traced when this jit is nested under another trace; CLI/library
     # entry points always pass concrete ints).
-    try:
-        drift_rate = (
-            abs(int(scores.g))
-            + abs(int(scores.h))
-            + abs(int(scores.s_mismatch))
-            + abs(int(scores.s_match))
-            + 1
-        )
-    except jax.errors.ConcretizationTypeError:
-        drift_rate = None
+    drift_rate = drift_rate_or_none(scores)
     if drift_rate is not None and shapes.K * drift_rate >= 1 << 30:
         raise ValueError(
             f"scoring magnitudes too large for {shapes.K} diagonals "

@@ -80,6 +80,8 @@ from genomics_rs_tpu.ops.gotoh_pallas import (
     ROWS,
     _round_up,
     _shift_down_flat,
+    concrete_lengths_or_none,
+    drift_rate_or_none,
 )
 from genomics_rs_tpu.ops.gotoh_scan import INT_MIN, NEG_INF
 
@@ -511,18 +513,11 @@ def gotoh_scores_stream(
     _, Ln = s2eb.shape
     if B < 2:
         return fallback()
-    try:
-        ms_np = np.asarray(ms, dtype=np.int64)
-        ns_np = np.asarray(ns, dtype=np.int64)
-        drift_rate = (
-            abs(int(scores.g))
-            + abs(int(scores.h))
-            + abs(int(scores.s_mismatch))
-            + abs(int(scores.s_match))
-            + 1
-        )
-    except (jax.errors.ConcretizationTypeError, jax.errors.TracerArrayConversionError):
+    lengths = concrete_lengths_or_none(ms, ns)
+    drift_rate = drift_rate_or_none(scores)
+    if lengths is None or drift_rate is None:
         return fallback()
+    ms_np, ns_np = lengths
     _, _, L1, _, _ = _plan_stream(Lm, Ln, B)
     # Garbage lanes are re-clamped by a boundary write at least every
     # L1 steps (plus the <= V pre-start window); same int32 headroom

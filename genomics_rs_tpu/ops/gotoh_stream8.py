@@ -66,7 +66,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from genomics_rs_tpu.config import Scores
-from genomics_rs_tpu.ops.gotoh_pallas import ROWS, _round_up
+from genomics_rs_tpu.ops.gotoh_pallas import (
+    ROWS,
+    _round_up,
+    concrete_lengths_or_none,
+    drift_rate_or_none,
+)
 from genomics_rs_tpu.ops.gotoh_scan import INT_MIN, NEG_INF
 
 #: diagonals per grid step.
@@ -565,21 +570,11 @@ def gotoh_scores_stream8(
     _, Ln = s2eb.shape
     if B < 2:
         return fallback()
-    try:
-        ms_np = np.asarray(ms, dtype=np.int64)
-        ns_np = np.asarray(ns, dtype=np.int64)
-        drift_rate = (
-            abs(int(scores.g))
-            + abs(int(scores.h))
-            + abs(int(scores.s_mismatch))
-            + abs(int(scores.s_match))
-            + 1
-        )
-    except (
-        jax.errors.ConcretizationTypeError,
-        jax.errors.TracerArrayConversionError,
-    ):
+    lengths = concrete_lengths_or_none(ms, ns)
+    drift_rate = drift_rate_or_none(scores)
+    if lengths is None or drift_rate is None:
         return fallback()
+    ms_np, ns_np = lengths
     _, L1, _, _, _ = _plan_stream8(Lm, Ln, B)
     if 2 * L1 * drift_rate >= 1 << 30:
         return fallback()
