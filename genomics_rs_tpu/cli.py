@@ -61,8 +61,9 @@ def _build_parser() -> argparse.ArgumentParser:
 
     rd = sub.add_parser(
         "reads",
-        help="batch-score read pairs: query[i] vs ref[i] from two FASTA "
-        "files (TPU extension: row-scan inter-sequence kernel)",
+        help="batch-score read pairs: query[i] vs ref[i] from two "
+        "FASTA/FASTQ files, auto-detected (TPU extension: row-scan "
+        "inter-sequence kernel)",
     )
     rd.add_argument("-q", "--queries", required=True)
     rd.add_argument("-r", "--refs", required=True)
@@ -229,8 +230,8 @@ def main(argv: list[str] | None = None) -> int:
         from genomics_rs_tpu.parallel.batch import score_pairs
         from genomics_rs_tpu.sequence import PAD_S1, PAD_S2
 
-        queries = SequenceContainer().from_fasta(args.queries).sequences
-        refs = SequenceContainer().from_fasta(args.refs).sequences
+        queries = SequenceContainer().from_reads(args.queries).sequences
+        refs = SequenceContainer().from_reads(args.refs).sequences
         if len(queries) != len(refs):
             log.error(
                 "query/ref count mismatch: %d vs %d", len(queries), len(refs)

@@ -31,6 +31,10 @@ PAD_S2 = 0xFF
 class Sequence:
     name: str
     sequence: str
+    #: Phred quality string (FASTQ inputs only); same length as
+    #: ``sequence`` when present. Alignment ignores it — carried so
+    #: read pipelines can surface qualities alongside results.
+    quality: str | None = None
 
     def __str__(self) -> str:  # parity: `Display for Sequence` (sequence.rs:14-18)
         return f"{self.name}: {self.sequence}"
@@ -83,6 +87,92 @@ class SequenceContainer:
         log.debug("Loaded %d sequences", len(loaded))
         self.sequences.extend(loaded)
         return self
+
+    def from_fastq(self, filepath: str) -> "SequenceContainer":
+        """Append all reads from a FASTQ file (strict 4-line records).
+
+        TPU-framework extension (the reference is FASTA-only,
+        ``sequence.rs:45-95``): real read sets arrive as FASTQ. Records
+        are ``@name`` / bases / ``+[name]`` / qualities; blank lines
+        between records are tolerated, multi-line sequences are not
+        (per the de-facto 4-line convention). A malformed record raises
+        ``ValueError`` with the offending line number — unlike FASTA
+        parity parsing there is no reference behavior to mirror, so
+        errors are loud. A missing file only logs, matching
+        ``from_fasta``.
+        """
+        loaded: list[Sequence] = []
+        try:
+            with open(filepath, "r") as f:
+                lines = f.read().splitlines()
+        except OSError:
+            log.error("Could not open file: %s", filepath)
+            return self
+
+        k = 0
+        n_lines = len(lines)
+        while k < n_lines:
+            if not lines[k].strip():
+                k += 1
+                continue
+            header = lines[k].rstrip("\r")
+            if not header.startswith("@"):
+                raise ValueError(
+                    f"{filepath}:{k + 1}: expected '@' record header, "
+                    f"got {header[:32]!r}"
+                )
+            if k + 3 >= n_lines:
+                raise ValueError(
+                    f"{filepath}:{k + 1}: truncated FASTQ record "
+                    f"(need 4 lines, file ends after {n_lines - k})"
+                )
+            seq = lines[k + 1].rstrip("\r").strip()
+            plus = lines[k + 2].rstrip("\r")
+            qual = lines[k + 3].rstrip("\r").strip()
+            if not plus.startswith("+"):
+                raise ValueError(
+                    f"{filepath}:{k + 3}: expected '+' separator, "
+                    f"got {plus[:32]!r}"
+                )
+            if len(qual) != len(seq):
+                raise ValueError(
+                    f"{filepath}:{k + 4}: quality length {len(qual)} "
+                    f"!= sequence length {len(seq)}"
+                )
+            name = header[1:].strip()
+            log.info(
+                "Sequence Found (ID: %d): %s",
+                len(self.sequences) + len(loaded),
+                filepath,
+            )
+            loaded.append(Sequence(name=name, sequence=seq, quality=qual))
+            k += 4
+
+        log.debug("Loaded %d reads", len(loaded))
+        self.sequences.extend(loaded)
+        return self
+
+    def from_reads(self, filepath: str) -> "SequenceContainer":
+        """Append sequences, auto-detecting FASTA vs FASTQ.
+
+        Detection is by the first non-blank character (``>`` → FASTA,
+        ``@`` → FASTQ) rather than extension — read sets in the wild
+        use ``.fq``/``.fastq``/``.fasta``/``.fa`` interchangeably. An
+        unreadable or empty file falls through to the FASTA parser,
+        which preserves ``from_fasta``'s log-only error behavior.
+        """
+        first = ""
+        try:
+            with open(filepath, "r") as f:
+                for line in f:
+                    if line.strip():
+                        first = line.lstrip()[0]
+                        break
+        except OSError:
+            pass
+        if first == "@":
+            return self.from_fastq(filepath)
+        return self.from_fasta(filepath)
 
     def is_match(self, i: int, j: int, reverse_sequences: bool = False) -> bool:
         """Byte equality of ``s1[i]`` vs ``s2[j]``.

@@ -273,3 +273,31 @@ def test_cli_reads_align(tmp_path):
     ]
     assert lines[1].split("\t")[7] == "8M"
     assert "I" in lines[2].split("\t")[7]
+
+
+def test_cli_reads_fastq(tmp_path):
+    """reads mode auto-detects FASTQ inputs (framework extension)."""
+    q = tmp_path / "q.fastq"
+    r = tmp_path / "r.fasta"
+    q.write_text("@q1\nACGTACGT\n+\nIIIIIIII\n@q2\nTTTTGGGG\n+\n!!!!!!!!\n")
+    r.write_text(">r1\nACGTACGT\n>r2\nAAAACCCC\n")
+    out = tmp_path / "scores.tsv"
+    res = _run(
+        [
+            "reads",
+            "-q",
+            str(q),
+            "-r",
+            str(r),
+            "-a",
+            "global",
+            "--engine",
+            "scan",
+            "-o",
+            str(out),
+        ],
+        str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr
+    rows = out.read_text().strip().splitlines()
+    assert rows[1].split("\t")[2] == "8"  # identical 8-mers

@@ -46,3 +46,54 @@ def test_encoded_padding():
     e = s.encoded(pad_to=8, pad_value=0xFE)
     assert e.tolist() == [65, 67, 71, 84, 0xFE, 0xFE, 0xFE, 0xFE]
     assert e.dtype == np.uint8
+
+
+def test_fastq_parsing(tmp_path):
+    f = tmp_path / "reads.fastq"
+    f.write_text(
+        "@read1 some description\nACGTACGT\n+\nIIIIIIII\n"
+        "\n"  # blank line between records tolerated
+        "@read2\nTTTT\n+read2\n!!!!\n"
+    )
+    c = SequenceContainer().from_fastq(str(f))
+    assert [s.name for s in c.sequences] == [
+        "read1 some description",
+        "read2",
+    ]
+    assert c.sequences[0].sequence == "ACGTACGT"
+    assert c.sequences[0].quality == "IIIIIIII"
+    assert c.sequences[1].quality == "!!!!"
+
+
+def test_fastq_malformed_raises(tmp_path):
+    import pytest
+
+    bad_sep = tmp_path / "sep.fastq"
+    bad_sep.write_text("@r\nACGT\nIIII\nACGT\n")
+    with pytest.raises(ValueError, match="'\\+' separator"):
+        SequenceContainer().from_fastq(str(bad_sep))
+
+    bad_len = tmp_path / "len.fastq"
+    bad_len.write_text("@r\nACGT\n+\nII\n")
+    with pytest.raises(ValueError, match="quality length"):
+        SequenceContainer().from_fastq(str(bad_len))
+
+    trunc = tmp_path / "trunc.fastq"
+    trunc.write_text("@r\nACGT\n+\n")
+    with pytest.raises(ValueError, match="truncated"):
+        SequenceContainer().from_fastq(str(trunc))
+
+
+def test_from_reads_autodetect(tmp_path):
+    fa = tmp_path / "x.fa"
+    fa.write_text(">s\nACGT\n")
+    fq = tmp_path / "x.fq"
+    fq.write_text("@s\nACGT\n+\nIIII\n")
+    missing = tmp_path / "nope.fq"
+    c = SequenceContainer()
+    c.from_reads(str(fa))
+    c.from_reads(str(fq))
+    c.from_reads(str(missing))  # falls through to FASTA log-only path
+    assert len(c.sequences) == 2
+    assert c.sequences[0].quality is None
+    assert c.sequences[1].quality == "IIII"
