@@ -87,6 +87,12 @@ def _build_parser() -> argparse.ArgumentParser:
         help="full per-read alignments (stats + CIGAR columns) instead "
         "of score-only",
     )
+    rd.add_argument(
+        "--both-strands",
+        action="store_true",
+        help="also align each query's reverse complement and keep the "
+        "better orientation (adds a strand column; forward wins ties)",
+    )
     rd.add_argument("-o", "--output", default="read_scores.tsv")
 
     am = sub.add_parser(
@@ -254,33 +260,50 @@ def main(argv: list[str] | None = None) -> int:
                     args.engine,
                 )
             t0 = time.perf_counter()
-            aligned, cigars = align_reads(
-                queries, refs, config.scores, is_local=is_local,
-                engine=rd_engine, with_paths=False, with_cigars=True,
-            )
+            if args.both_strands:
+                aligned, cigars, strands = align_reads(
+                    queries, refs, config.scores, is_local=is_local,
+                    engine=rd_engine, with_paths=False, with_cigars=True,
+                    both_strands=True,
+                )
+            else:
+                aligned, cigars = align_reads(
+                    queries, refs, config.scores, is_local=is_local,
+                    engine=rd_engine, with_paths=False, with_cigars=True,
+                )
+                strands = None
             dt = time.perf_counter() - t0
             print(f"{B} reads aligned in {dt:.3f}s")
             with open(args.output, "w") as f:
+                strand_col = "\tstrand" if strands is not None else ""
                 f.write(
                     "query\tref\tscore\tmatches\tmismatches\t"
-                    "gap_extensions\topening_gaps\tcigar\n"
+                    f"gap_extensions\topening_gaps\tcigar{strand_col}\n"
                 )
-                for q, r, a, cg in zip(queries, refs, aligned, cigars):
+                for k, (q, r, a, cg) in enumerate(
+                    zip(queries, refs, aligned, cigars)
+                ):
+                    tail = f"\t{strands[k]}" if strands is not None else ""
                     f.write(
                         f"{q.name}\t{r.name}\t{a.score}\t{a.matches}\t"
                         f"{a.mismatches}\t{a.gap_extensions}\t"
-                        f"{a.opening_gaps}\t{cg}\n"
+                        f"{a.opening_gaps}\t{cg}{tail}\n"
                     )
             print(f"wrote {args.output}")
             return 0
-        L1 = max(max(len(s) for s in queries), 1)
-        L2 = max(max(len(s) for s in refs), 1)
+        sq = list(queries)
+        if args.both_strands:
+            # Forward rows then revcomp rows, ONE scoring dispatch.
+            sq = sq + [q.reverse_complement() for q in sq]
+        sr = refs * 2 if args.both_strands else refs
+        L1 = max(max(len(s) for s in sq), 1)
+        L2 = max(max(len(s) for s in sr), 1)
         L1 = -(-L1 // 128) * 128
         L2 = -(-L2 // 128) * 128
-        s1b = np.stack([s.encoded(pad_to=L1, pad_value=PAD_S1) for s in queries])
-        s2b = np.stack([s.encoded(pad_to=L2, pad_value=PAD_S2) for s in refs])
-        ms = np.array([len(s) for s in queries], dtype=np.int32)
-        ns = np.array([len(s) for s in refs], dtype=np.int32)
+        s1b = np.stack([s.encoded(pad_to=L1, pad_value=PAD_S1) for s in sq])
+        s2b = np.stack([s.encoded(pad_to=L2, pad_value=PAD_S2) for s in sr])
+        ms = np.array([len(s) for s in sq], dtype=np.int32)
+        ns = np.array([len(s) for s in sr], dtype=np.int32)
 
         import time
 
@@ -295,12 +318,22 @@ def main(argv: list[str] | None = None) -> int:
             f"{B} pairs, {cells:.3g} DP cells in {dt:.3f}s "
             f"({cells / dt:.3g} cells/s)"
         )
+        if args.both_strands:
+            use_rc = sc[B:] > sc[:B]  # forward wins ties
+            pick = np.where(use_rc, np.arange(B) + B, np.arange(B))
+            sc, si, sj = sc[pick], si[pick], sj[pick]
         with open(args.output, "w") as f:
-            f.write("query\tref\tscore\tend_i\tend_j\n")
+            strand_col = "\tstrand" if args.both_strands else ""
+            f.write(f"query\tref\tscore\tend_i\tend_j{strand_col}\n")
             for k in range(B):
+                tail = (
+                    "\t" + ("-" if use_rc[k] else "+")
+                    if args.both_strands
+                    else ""
+                )
                 f.write(
                     f"{queries[k].name}\t{refs[k].name}\t{int(sc[k])}\t"
-                    f"{int(si[k])}\t{int(sj[k])}\n"
+                    f"{int(si[k])}\t{int(sj[k])}{tail}\n"
                 )
         print(f"wrote {args.output}")
         return 0

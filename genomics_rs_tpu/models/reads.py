@@ -100,6 +100,7 @@ def align_reads(
     engine: str = "auto",
     with_paths: bool = True,
     with_cigars: bool = False,
+    both_strands: bool = False,
     interpret: bool = False,
 ):
     """Full alignments for query[i] vs ref[i], batched on device.
@@ -114,6 +115,15 @@ def align_reads(
     ``with_cigars=True``, which returns ``(aligned, cigars)`` using
     the batch-vectorized CIGARs (an empty ``alignment`` yields nothing
     through :func:`cigar`). Output order matches input.
+
+    ``both_strands=True`` additionally aligns each query's reverse
+    complement in the SAME fill/walk dispatches (the round's device
+    batch doubles; the round size is halved to keep memory flat) and
+    keeps the better-scoring orientation, forward winning ties. The
+    return value then grows a ``strands`` list of ``"+"``/``"-"``:
+    ``(aligned, strands)`` or ``(aligned, cigars, strands)``. A
+    ``"-"`` result's path/stats/CIGAR are those of the
+    reverse-complemented query vs the ref, read-mapper style.
     """
     if len(queries) != len(refs):
         raise ValueError(
@@ -133,12 +143,21 @@ def align_reads(
         # Bound the resident per-round direction-table memory.
         per_read = (L1 + L2 + 1) * (L1 + 1)
         batch = max(16, min(batch, _SCAN_DIRS_BUDGET // per_read))
+    if both_strands:
+        # The device batch doubles (forward + revcomp rows); halve the
+        # round size so per-round memory stays within the same budget.
+        batch = max(8, batch // 2)
 
     out: list[AlignedSequences] = []
     all_cigars: list[str] = []
+    all_strands: list[str] = []
     for k0 in range(0, len(queries), batch):
         qs = queries[k0 : k0 + batch]
         rs = refs[k0 : k0 + batch]
+        b = len(qs)
+        if both_strands:
+            qs = qs + [q.reverse_complement() for q in qs]
+            rs = rs + rs
         s1b = np.stack(
             [s.encoded(pad_to=L1, pad_value=PAD_S1) for s in qs]
         )
@@ -198,8 +217,24 @@ def align_reads(
             with_paths=with_paths,
             encoded=(s1b, s2b, ms, ns),
         )
+        if both_strands:
+            # Keep the better orientation per read; forward wins ties.
+            use_rc = np.asarray(sc_h[b:]) > np.asarray(sc_h[:b])
+            aligned = [
+                aligned[b + i] if rc else aligned[i]
+                for i, rc in enumerate(use_rc)
+            ]
+            cigars = [
+                cigars[b + i] if rc else cigars[i]
+                for i, rc in enumerate(use_rc)
+            ]
+            all_strands.extend("-" if rc else "+" for rc in use_rc)
         out.extend(aligned)
         all_cigars.extend(cigars)
+    if both_strands:
+        if with_cigars:
+            return out, all_cigars, all_strands
+        return out, all_strands
     if with_cigars:
         return out, all_cigars
     return out

@@ -26,6 +26,14 @@ log = logging.getLogger(__name__)
 PAD_S1 = 0xFE
 PAD_S2 = 0xFF
 
+#: IUPAC DNA complement (upper + lower); unlisted characters pass
+#: through unchanged — alignment treats bytes as opaque equality, so a
+#: non-IUPAC byte simply keeps (mis)matching the same way either way.
+_COMPLEMENT = str.maketrans(
+    "ACGTUacgtuRYKMrykmBVDHbvdhNn",
+    "TGCAAtgcaaYRMKyrmkVBHDvbhdNn",
+)
+
 
 @dataclasses.dataclass
 class Sequence:
@@ -41,6 +49,22 @@ class Sequence:
 
     def __len__(self) -> int:
         return len(self.sequence)
+
+    def reverse_complement(self) -> "Sequence":
+        """Reverse-complemented copy (IUPAC map, quality reversed).
+
+        TPU-framework extension for read mapping: reads align against
+        both strands and the better orientation wins. The reference's
+        only nod to direction is the dead ``reverse_sequences`` flag
+        (``sequence.rs:102-115``), which reverses indices, not bases.
+        """
+        return Sequence(
+            name=self.name,
+            sequence=self.sequence.translate(_COMPLEMENT)[::-1],
+            quality=(
+                self.quality[::-1] if self.quality is not None else None
+            ),
+        )
 
     def encoded(self, pad_to: int | None = None, pad_value: int = PAD_S1) -> np.ndarray:
         """ASCII bytes as uint8, optionally right-padded to ``pad_to``."""

@@ -301,3 +301,39 @@ def test_cli_reads_fastq(tmp_path):
     assert res.returncode == 0, res.stderr
     rows = out.read_text().strip().splitlines()
     assert rows[1].split("\t")[2] == "8"  # identical 8-mers
+
+
+def test_cli_reads_both_strands(tmp_path):
+    """--both-strands picks the better orientation per read."""
+    q = tmp_path / "q.fasta"
+    r = tmp_path / "r.fasta"
+    # q1 is the revcomp of r1; q2 matches r2 forward.
+    q.write_text(">q1\nTTTTCGCG\n>q2\nACGTACGT\n")
+    r.write_text(">r1\nCGCGAAAA\n>r2\nACGTACGT\n")
+    for extra in ([], ["--align"]):
+        out = tmp_path / "scores.tsv"
+        res = _run(
+            [
+                "reads",
+                "-q",
+                str(q),
+                "-r",
+                str(r),
+                "-a",
+                "global",
+                "--engine",
+                "scan",
+                "--both-strands",
+                "-o",
+                str(out),
+            ]
+            + extra,
+            str(tmp_path),
+        )
+        assert res.returncode == 0, res.stderr
+        rows = out.read_text().strip().splitlines()
+        assert rows[0].endswith("\tstrand")
+        r1 = rows[1].split("\t")
+        r2 = rows[2].split("\t")
+        assert (r1[2], r1[-1]) == ("8", "-")
+        assert (r2[2], r2[-1]) == ("8", "+")

@@ -140,3 +140,59 @@ def test_align_reads_rejects_mid_table_stop_in_global(monkeypatch):
     rs = [Sequence("r", "ACGTACGT")]
     with pytest.raises(RuntimeError, match="did not terminate"):
         align_reads(qs, rs, SCORES, is_local=False, engine="scan")
+
+
+def test_reverse_complement():
+    s = Sequence("s", "ACGTN", quality="!!IIA")
+    rc = s.reverse_complement()
+    assert rc.sequence == "NACGT"
+    assert rc.quality == "AII!!"
+    # Involution on IUPAC bases.
+    assert rc.reverse_complement().sequence == s.sequence
+
+
+@pytest.mark.parametrize("is_local", [True, False])
+def test_align_reads_both_strands(is_local):
+    rng = np.random.default_rng(99)
+    queries, refs = [], []
+    flipped = []
+    for k in range(6):
+        n = int(rng.integers(30, 100))
+        r = "".join(rng.choice(list("ACGT"), n))
+        q = Sequence(f"q{k}", r[5 : n - 3])
+        # Half the reads come from the minus strand.
+        flip = k % 2 == 1
+        if flip:
+            q = q.reverse_complement()
+        flipped.append(flip)
+        queries.append(q)
+        refs.append(Sequence(f"r{k}", r))
+
+    aligned, cigars, strands = align_reads(
+        queries,
+        refs,
+        SCORES,
+        is_local=is_local,
+        with_cigars=True,
+        both_strands=True,
+        batch=4,
+    )
+    single = PairwiseAligner(SCORES, is_local=is_local, engine="scan")
+    for k in range(6):
+        # The chosen orientation must match how the read was planted
+        # (a 25+ bp exact substring always out-scores its revcomp).
+        assert strands[k] == ("-" if flipped[k] else "+"), k
+        q_eff = (
+            queries[k].reverse_complement() if flipped[k] else queries[k]
+        )
+        want = single.align(q_eff, refs[k])
+        assert aligned[k].score == want.score, k
+        assert aligned[k].matches == want.matches, k
+    # Tie case: palindromic query scores equal both ways; forward wins.
+    pal = Sequence("pal", "ACGT" * 5)
+    assert pal.reverse_complement().sequence == pal.sequence
+    _, st = align_reads(
+        [pal], [Sequence("r", "ACGT" * 5)], SCORES,
+        is_local=is_local, both_strands=True,
+    )
+    assert st == ["+"]
