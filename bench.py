@@ -922,10 +922,45 @@ def run_smoke() -> int:
     return 0
 
 
+def _probe_device(timeout_s: int = 420) -> None:
+    """Fail fast if the accelerator is unreachable.
+
+    The axon tunnel in this environment goes down for stretches during
+    which ``jax.devices()`` hangs indefinitely (no timeout of its own).
+    Probe in a subprocess with a bound so a scheduled bench run during
+    an outage exits nonzero with a clear message instead of hanging —
+    a missing BENCH record is better than a silent multi-hour stall
+    (and throughput measured through a degraded tunnel is noise).
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"bench: device probe hung >{timeout_s}s — accelerator "
+            "tunnel down; rerun when it recovers",
+            file=sys.stderr,
+        )
+        sys.exit(3)
+    if r.returncode != 0:
+        print(
+            "bench: device probe failed:\n"
+            + r.stderr.decode(errors="replace")[-2000:],
+            file=sys.stderr,
+        )
+        sys.exit(3)
+
+
 def main() -> None:
     from genomics_rs_tpu.utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
+    _probe_device()
 
     if "--smoke" in sys.argv:
         sys.exit(run_smoke())

@@ -238,6 +238,12 @@ def main(argv: list[str] | None = None) -> int:
 
         queries = SequenceContainer().from_reads(args.queries).sequences
         refs = SequenceContainer().from_reads(args.refs).sequences
+        if len(refs) == 1 and len(queries) > 1:
+            # Mapper convention: every read against the one reference.
+            log.info(
+                "one reference for %d reads: broadcasting", len(queries)
+            )
+            refs = refs * len(queries)
         if len(queries) != len(refs):
             log.error(
                 "query/ref count mismatch: %d vs %d", len(queries), len(refs)

@@ -125,6 +125,9 @@ def align_reads(
     ``"-"`` result's path/stats/CIGAR are those of the
     reverse-complemented query vs the ref, read-mapper style.
     """
+    if len(refs) == 1 and len(queries) > 1:
+        # Mapper convention: many reads against one reference.
+        refs = refs * len(queries)
     if len(queries) != len(refs):
         raise ValueError(
             f"query/ref count mismatch: {len(queries)} vs {len(refs)}"

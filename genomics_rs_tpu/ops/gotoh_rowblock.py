@@ -25,6 +25,7 @@ emit_bottom=True, j0=0)`` — pinned by tests in both modes.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -51,7 +52,8 @@ from genomics_rs_tpu.ops.gotoh_scan import (
 #: diagonals per grid step.
 CHUNK = 512
 #: SSA unroll factor (one scratch load/store set per UNROLL diagonals).
-UNROLL = 2
+#: Env-overridable (GENOMICS_TPU_UNROLL) for hardware sweeps.
+UNROLL = int(os.environ.get("GENOMICS_TPU_UNROLL", "2"))
 
 
 def _kernel_rows(

@@ -67,6 +67,7 @@ through 8k and switches to the stream kernel beyond.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -85,11 +86,15 @@ from genomics_rs_tpu.ops.gotoh_pallas import (
 )
 from genomics_rs_tpu.ops.gotoh_scan import INT_MIN, NEG_INF
 
-#: diagonals per grid step (SMEM stream block width).
-CHUNK = 512
+#: diagonals per grid step (SMEM stream block width). Env-overridable
+#: (GENOMICS_TPU_CHUNK) for hardware sweeps; must stay a multiple of
+#: UNROLL and divide the local-flush window constraints in _plan_stream.
+CHUNK = int(os.environ.get("GENOMICS_TPU_CHUNK", "512"))
 #: SSA unroll factor: one scratch load/store set per UNROLL diagonals
 #: (the flat batch kernel is measured issue-slot bound; same trade).
-UNROLL = 2
+#: Env-overridable (GENOMICS_TPU_UNROLL) for hardware sweeps — read at
+#: import, so it is constant per process and safe under jit caching.
+UNROLL = int(os.environ.get("GENOMICS_TPU_UNROLL", "2"))
 
 
 def _plan_stream(Lm: int, Ln: int, P: int):

@@ -57,6 +57,7 @@ routing (``parallel.batch.STREAM8_MIN_LEN``) sends global-mode
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -77,7 +78,8 @@ from genomics_rs_tpu.ops.gotoh_scan import INT_MIN, NEG_INF
 #: diagonals per grid step.
 CHUNK = 512
 #: SSA unroll factor (one scratch load/store set per UNROLL diagonals).
-UNROLL = 2
+#: Env-overridable (GENOMICS_TPU_UNROLL) for hardware sweeps.
+UNROLL = int(os.environ.get("GENOMICS_TPU_UNROLL", "2"))
 
 
 def _plan_stream8(Lm: int, Ln: int, P: int):

@@ -196,3 +196,17 @@ def test_align_reads_both_strands(is_local):
         is_local=is_local, both_strands=True,
     )
     assert st == ["+"]
+
+
+def test_align_reads_single_ref_broadcast():
+    ref = Sequence("chr", "ACGTACGTTTGGCCAA")
+    queries = [
+        Sequence("a", "ACGTACGT"),
+        Sequence("b", "TTGGCCAA"),
+        Sequence("c", "ACGTTTGG"),
+    ]
+    out = align_reads(queries, [ref], SCORES, is_local=True)
+    assert len(out) == 3
+    single = PairwiseAligner(SCORES, is_local=True, engine="scan")
+    for k, q in enumerate(queries):
+        assert out[k].score == single.align(q, ref).score
