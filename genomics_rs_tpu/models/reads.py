@@ -205,8 +205,13 @@ def align_reads(
         )
         if not bool(np.all(complete)):
             bad = int(np.flatnonzero(~np.asarray(complete))[0])
+            # In a both-strands round, rows [b, 2b) are the revcomp
+            # copies of reads [0, b) — report the source read index.
+            which = f"read {k0 + bad % b}" + (
+                " (revcomp row)" if both_strands and bad >= b else ""
+            )
             raise RuntimeError(
-                f"read {k0 + bad} retrace did not terminate at "
+                f"{which} retrace did not terminate at "
                 f"({int(i_f[bad])}, {int(j_f[bad])})"
             )
         aligned, cigars = classify_batch(

@@ -19,9 +19,11 @@ sub-stream r's current segment:
   plus a column-0 select with a per-row (8, 1) injection vector;
 * per-row step streams (s2 char, row-0 I and S/D boundary, probe
   lane; local: segment m/n) arrive as (8, CHUNK) VMEM blocks that are
-  copied to scratch panes once per chunk and ROLLED one column per
-  step, so each step consumes column 0 with a static slice (no
-  dynamic lane indexing, which Mosaic rejects);
+  copied to scratch panes once per chunk and ROLLED once per UNROLL
+  block (by UNROLL columns), so unrolled step ``sub`` consumes column
+  ``sub`` with a static slice (no dynamic lane indexing, which Mosaic
+  rejects; rolling per block instead of per step cuts the pane-roll
+  cost by the unroll factor);
 * the column counter needs no carried pane: all rows share the
   segment-local phase ``kmod = k % L1``, a per-step scalar, and a
   lane is at DP column 0 exactly when ``col_idx == kmod``;
@@ -210,30 +212,31 @@ def _kernel_stream8(
     col0_static = col_idx == 0
     Dcol = hh + col_idx * gg  # col-0 boundary D = h + i*g (i = col_idx)
 
-    def step_ssa(state, t):
+    def step_ssa(state, t, streams, sub):
         if is_local:
             (
                 s2j0, I0, P0, D0, Q0, M0, s1c0,
                 bv0, bj0, mc0, nc0, cv0, cj0,
-                p_s2i, p_topI, p_topSD, p_aux, p_nseg,
             ) = state
+            p_s2i, p_topI, p_topSD, p_aux, p_nseg = streams
         else:
-            (
-                s2j0, I0, P0, D0, Q0, M0, s1c0, bfin,
-                p_s2i, p_topI, p_topSD, p_aux,
-            ) = state
+            (s2j0, I0, P0, D0, Q0, M0, s1c0, bfin) = state
+            p_s2i, p_topI, p_topSD, p_aux = streams
         kmod = kmod0 + t
         col0 = col_idx == kmod  # DP column 0 of the entered segment
         s1c1 = jnp.where(col0, s1pane_ref[0], s1c0)
 
-        # Stream consumption: column 0 of each rolled pane.
-        injv = p_s2i[:, 0:1]
-        topIv = p_topI[:, 0:1]
-        topSDv = p_topSD[:, 0:1]
-        auxv = p_aux[:, 0:1]
+        # Stream consumption: the panes are rolled once per UNROLL
+        # block (not per step), so the unrolled step ``sub`` reads the
+        # STATIC column ``sub`` — Mosaic allows static lane slices, and
+        # this cuts the per-step pane rolls by the unroll factor.
+        injv = p_s2i[:, sub : sub + 1]
+        topIv = p_topI[:, sub : sub + 1]
+        topSDv = p_topSD[:, sub : sub + 1]
+        auxv = p_aux[:, sub : sub + 1]
 
         if is_local:
-            nsegv = p_nseg[:, 0:1]
+            nsegv = p_nseg[:, sub : sub + 1]
             cv0 = jnp.where(col0, bv0, cv0)
             cj0 = jnp.where(col0, bj0, cj0)
             bv0 = jnp.where(col0, int_min, bv0)
@@ -290,10 +293,6 @@ def _kernel_stream8(
             )
             tail = (bfin,)
 
-        rolled = tuple(
-            pltpu.roll(p, chunk - 1, 1)  # left by 1 (roll is forward-only)
-            for p in ((p_s2i, p_topI, p_topSD, p_aux) + ((p_nseg,) if is_local else ()))
-        )
         return (
             s2j,
             Inew,
@@ -302,37 +301,28 @@ def _kernel_stream8(
             Qnew,
             jnp.maximum(shQ, shD),
             s1c1,
-        ) + tail + rolled
+        ) + tail
 
     core_refs = (s2j_ref, Ip, Pp, Dp, Qp, shM, s1cur)
     if is_local:
         tail_refs = (bv_s, bj_s, mc_s, nc_s, cv_s, cj_s)
         roll_refs = (s2i_s, topI_s, topSD_s, aux_s, nseg_s)
     else:
-        tail_refs = ()
+        tail_refs = (fin_s,)
         roll_refs = (s2i_s, topI_s, topSD_s, aux_s)
-    all_refs = core_refs + tail_refs + roll_refs
+    state_refs = core_refs + tail_refs
 
     def body(tt, _):
-        if is_local:
-            state = tuple(r[:] for r in all_refs)
-        else:
-            state = (
-                tuple(r[:] for r in core_refs)
-                + (fin_s[:],)
-                + tuple(r[:] for r in roll_refs)
-            )
+        state = tuple(r[:] for r in state_refs)
+        streams = tuple(r[:] for r in roll_refs)
         for sub in range(UNROLL):
-            state = step_ssa(state, UNROLL * tt + sub)
-        if is_local:
-            for r, v in zip(all_refs, state):
-                r[:] = v
-        else:
-            for r, v in zip(core_refs, state[:7]):
-                r[:] = v
-            fin_s[:] = state[7]
-            for r, v in zip(roll_refs, state[8:]):
-                r[:] = v
+            state = step_ssa(state, UNROLL * tt + sub, streams, sub)
+        for r, v in zip(state_refs, state):
+            r[:] = v
+        # One roll per UNROLL block: advance every stream pane so the
+        # next block's values again sit at columns [0, UNROLL).
+        for r, p in zip(roll_refs, streams):
+            r[:] = pltpu.roll(p, chunk - UNROLL, 1)
         return 0
 
     jax.lax.fori_loop(0, chunk // UNROLL, body, 0)
