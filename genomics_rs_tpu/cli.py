@@ -93,6 +93,13 @@ def _build_parser() -> argparse.ArgumentParser:
         help="also align each query's reverse complement and keep the "
         "better orientation (adds a strand column; forward wins ties)",
     )
+    rd.add_argument(
+        "--format",
+        choices=["tsv", "sam"],
+        default="tsv",
+        help="output format for --align: per-read TSV (default) or "
+        "SAM 1.6 with soft-clipped CIGARs",
+    )
     rd.add_argument("-o", "--output", default="read_scores.tsv")
 
     am = sub.add_parser(
@@ -251,6 +258,9 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         is_local = args.alignment_type in ("local", "1")
         B = len(queries)
+        if args.format == "sam" and not args.align:
+            log.error("--format sam requires --align (per-read CIGARs)")
+            return 1
         if args.align:
             import time
 
@@ -265,21 +275,26 @@ def main(argv: list[str] | None = None) -> int:
                     "engine %s is score-only; --align uses auto routing",
                     args.engine,
                 )
+            want_sam = args.format == "sam"
             t0 = time.perf_counter()
-            if args.both_strands:
-                aligned, cigars, strands = align_reads(
-                    queries, refs, config.scores, is_local=is_local,
-                    engine=rd_engine, with_paths=False, with_cigars=True,
-                    both_strands=True,
-                )
-            else:
-                aligned, cigars = align_reads(
-                    queries, refs, config.scores, is_local=is_local,
-                    engine=rd_engine, with_paths=False, with_cigars=True,
-                )
-                strands = None
+            res = align_reads(
+                queries, refs, config.scores, is_local=is_local,
+                engine=rd_engine, with_paths=False, with_cigars=True,
+                both_strands=args.both_strands, with_mapinfo=want_sam,
+            )
+            aligned, cigars = res[0], res[1]
+            strands = res[2] if args.both_strands else None
+            mapinfo = res[-1] if want_sam else None
             dt = time.perf_counter() - t0
             print(f"{B} reads aligned in {dt:.3f}s")
+            if want_sam:
+                from genomics_rs_tpu.models.reads import write_sam
+
+                write_sam(
+                    args.output, refs, aligned, cigars, mapinfo, strands
+                )
+                print(f"wrote {args.output}")
+                return 0
             with open(args.output, "w") as f:
                 strand_col = "\tstrand" if strands is not None else ""
                 f.write(

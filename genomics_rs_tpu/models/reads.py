@@ -76,6 +76,84 @@ def cigar(aligned: AlignedSequences) -> str:
     return "".join(f"{count}{op}" for op, count in ops)
 
 
+def write_sam(
+    path: str,
+    refs: list[Sequence],
+    aligned: list[AlignedSequences],
+    cigars: list[str],
+    mapinfo: list[tuple[int, int, int, int]],
+    strands: list[str] | None = None,
+) -> None:
+    """Write read alignments as SAM 1.6 (framework extension).
+
+    One record per read: FLAG 16 marks a reverse-strand mapping (the
+    record's SEQ/QUAL are then the reverse-complemented read, exactly
+    what ``align_reads(both_strands=True)`` selected); a local
+    alignment's unaligned query ends become soft clips around the
+    M/I/D CIGAR; POS is the 1-based ref column after the walk end. A
+    read whose local alignment is empty (score 0, empty CIGAR) is
+    emitted unmapped (FLAG 4). AS:i carries the DP score. ``refs`` is
+    the per-read reference list — @SQ lines are deduped by name in
+    first-appearance order.
+
+    Edge normalization: the reference's local termination quirk
+    (``algo.rs:351-405`` — a zero cell still takes a move when an arm
+    matches) can walk through zero-score plateaus, yielding paths that
+    begin/end with D or I runs. SAM forbids clip-adjacent D and
+    records gain nothing from them, so edge D runs are folded into POS
+    and edge I runs into the soft clips; the TSV/path outputs keep the
+    raw reference-faithful walk.
+    """
+    import re
+    sq: dict[str, int] = {}
+    for r in refs:
+        name = r.name.split()[0] or "*"
+        sq.setdefault(name, len(r))
+    with open(path, "w") as f:
+        f.write("@HD\tVN:1.6\tSO:unknown\n")
+        for name, ln in sq.items():
+            f.write(f"@SQ\tSN:{name}\tLN:{ln}\n")
+        f.write("@PG\tID:genomics_rs_tpu\tPN:genomics_rs_tpu\n")
+        for k, a in enumerate(aligned):
+            qname = a.s1.name.split()[0] or "*"
+            rname = refs[k].name.split()[0] or "*"
+            seq = a.s1.sequence or "*"
+            qual = a.s1.quality or "*"
+            i0, j0, end_i, _ = mapinfo[k]
+            runs = [
+                [int(n), op]
+                for n, op in re.findall(r"(\d+)([MID])", cigars[k])
+            ]
+            pos = j0 + 1
+            head_clip = i0
+            tail_clip = len(a.s1) - end_i
+            while runs and runs[0][1] != "M":
+                n, op = runs.pop(0)
+                if op == "D":
+                    pos += n
+                else:
+                    head_clip += n
+            while runs and runs[-1][1] != "M":
+                n, op = runs.pop()
+                if op == "I":
+                    tail_clip += n
+            if not runs:
+                f.write(
+                    f"{qname}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq}\t{qual}"
+                    f"\tAS:i:{a.score}\n"
+                )
+                continue
+            flag = 16 if strands is not None and strands[k] == "-" else 0
+            head = f"{head_clip}S" if head_clip else ""
+            tail = f"{tail_clip}S" if tail_clip > 0 else ""
+            cig = "".join(f"{n}{op}" for n, op in runs)
+            f.write(
+                f"{qname}\t{flag}\t{rname}\t{pos}\t255\t"
+                f"{head}{cig}{tail}\t*\t0\t0\t{seq}\t{qual}"
+                f"\tAS:i:{a.score}\n"
+            )
+
+
 #: Past this padded length the short-read kernel's VMEM scratch
 #: (~6 row-pane buffers of L2*4 KiB plus the streamed codes blocks)
 #: exceeds the per-core budget — mirror of
@@ -101,6 +179,7 @@ def align_reads(
     with_paths: bool = True,
     with_cigars: bool = False,
     both_strands: bool = False,
+    with_mapinfo: bool = False,
     interpret: bool = False,
 ):
     """Full alignments for query[i] vs ref[i], batched on device.
@@ -124,6 +203,13 @@ def align_reads(
     ``(aligned, strands)`` or ``(aligned, cigars, strands)``. A
     ``"-"`` result's path/stats/CIGAR are those of the
     reverse-complemented query vs the ref, read-mapper style.
+
+    ``with_mapinfo=True`` appends a list of per-read walk endpoints
+    ``(i0, j0, end_i, end_j)`` in oriented-query coordinates — the
+    aligned block spans query rows ``(i0, end_i]`` and ref columns
+    ``(j0, end_j]`` (global mode: ``(0, 0, m, n)``). :func:`write_sam`
+    consumes these for POS and soft clips. Optional returns always
+    stack in the order ``aligned[, cigars][, strands][, mapinfo]``.
     """
     if len(refs) == 1 and len(queries) > 1:
         # Mapper convention: many reads against one reference.
@@ -154,6 +240,7 @@ def align_reads(
     out: list[AlignedSequences] = []
     all_cigars: list[str] = []
     all_strands: list[str] = []
+    all_mapinfo: list[tuple[int, int, int, int]] = []
     for k0 in range(0, len(queries), batch):
         qs = queries[k0 : k0 + batch]
         rs = refs[k0 : k0 + batch]
@@ -225,6 +312,13 @@ def align_reads(
             with_paths=with_paths,
             encoded=(s1b, s2b, ms, ns),
         )
+        # Walk endpoints in oriented-query coords: the aligned block
+        # spans query rows (i_f, si] and ref columns (j_f, sj] — all
+        # zeros / (m, n) for a completed global retrace.
+        info = np.stack(
+            [np.asarray(x, dtype=np.int64) for x in (i_f, j_f, si_h, sj_h)],
+            axis=1,
+        )
         if both_strands:
             # Keep the better orientation per read; forward wins ties.
             use_rc = np.asarray(sc_h[b:]) > np.asarray(sc_h[:b])
@@ -236,13 +330,21 @@ def align_reads(
                 cigars[b + i] if rc else cigars[i]
                 for i, rc in enumerate(use_rc)
             ]
+            info = np.where(use_rc[:, None], info[b:], info[:b])
             all_strands.extend("-" if rc else "+" for rc in use_rc)
         out.extend(aligned)
         all_cigars.extend(cigars)
-    if both_strands:
-        if with_cigars:
-            return out, all_cigars, all_strands
-        return out, all_strands
+        if with_mapinfo:
+            all_mapinfo.extend(
+                (int(r[0]), int(r[1]), int(r[2]), int(r[3])) for r in info
+            )
+    ret = [out]
     if with_cigars:
-        return out, all_cigars
-    return out
+        ret.append(all_cigars)
+    if both_strands:
+        ret.append(all_strands)
+    if with_mapinfo:
+        ret.append(all_mapinfo)
+    if len(ret) == 1:
+        return out
+    return tuple(ret)

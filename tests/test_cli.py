@@ -337,3 +337,46 @@ def test_cli_reads_both_strands(tmp_path):
         r2 = rows[2].split("\t")
         assert (r1[2], r1[-1]) == ("8", "-")
         assert (r2[2], r2[-1]) == ("8", "+")
+
+
+def test_cli_reads_sam(tmp_path):
+    """reads --align --format sam writes SAM 1.6 (framework extension)."""
+    q = tmp_path / "q.fastq"
+    r = tmp_path / "r.fasta"
+    q.write_text("@q1\nACCTGAGT\n+\nIIIIIIII\n")
+    r.write_text(">chr1\nGGGGACCTGAGTTTTT\n")
+    out = tmp_path / "out.sam"
+    res = _run(
+        [
+            "reads",
+            "-q",
+            str(q),
+            "-r",
+            str(r),
+            "-a",
+            "local",
+            "--engine",
+            "scan",
+            "--align",
+            "--format",
+            "sam",
+            "-o",
+            str(out),
+        ],
+        str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr
+    lines = out.read_text().splitlines()
+    assert lines[0].startswith("@HD\tVN:1.6")
+    assert "@SQ\tSN:chr1\tLN:16" in lines
+    rec = [l for l in lines if not l.startswith("@")][0].split("\t")
+    assert rec[0] == "q1" and rec[2] == "chr1" and rec[5].endswith("8M")
+    assert rec[9] == "ACCTGAGT" and rec[10] == "IIIIIIII"
+
+    # --format sam without --align is a hard error.
+    res = _run(
+        ["reads", "-q", str(q), "-r", str(r), "--format", "sam",
+         "-o", str(out)],
+        str(tmp_path),
+    )
+    assert res.returncode == 1

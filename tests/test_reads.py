@@ -210,3 +210,75 @@ def test_align_reads_single_ref_broadcast():
     single = PairwiseAligner(SCORES, is_local=True, engine="scan")
     for k, q in enumerate(queries):
         assert out[k].score == single.align(q, ref).score
+
+
+def test_align_reads_mapinfo_and_sam(tmp_path):
+    from genomics_rs_tpu.models.reads import write_sam
+
+    # ref[4:12] = ACCTGAGT is non-palindromic, so only one strand hits.
+    ref = Sequence("chr1 extra", "GGGGACCTGAGTTTTT")
+    queries = [
+        Sequence("hit", "ACCTGAGT", quality="IIIIIIII"),
+        # revcomp of ref[4:12] -> maps on the minus strand
+        Sequence("rc_hit", Sequence("", "ACCTGAGT").reverse_complement().sequence),
+        Sequence("miss", "NNNNNNNN"),  # local empty alignment -> unmapped
+    ]
+    aligned, cigars, strands, mapinfo = align_reads(
+        queries,
+        [ref],
+        SCORES,
+        is_local=True,
+        with_cigars=True,
+        both_strands=True,
+        with_mapinfo=True,
+    )
+    # Forward hit: aligned block = query rows (0, 8], ref cols (4, 12].
+    assert strands[0] == "+"
+    assert mapinfo[0] == (0, 4, 8, 12)
+    assert cigars[0] == "8M"
+    assert strands[1] == "-"
+    assert mapinfo[1] == (0, 4, 8, 12)
+    # All-N read never matches: the reference-faithful local walk
+    # still crosses the zero plateau as a pure-D run (algo.rs:351-405
+    # takes a move at max==0 when an arm matches); write_sam folds the
+    # edge D run away, leaving no M -> unmapped.
+    assert set(cigars[2]) <= set("0123456789D")
+
+    sam = tmp_path / "out.sam"
+    write_sam(str(sam), [ref] * 3, aligned, cigars, mapinfo, strands)
+    lines = sam.read_text().splitlines()
+    assert lines[0].startswith("@HD")
+    assert "@SQ\tSN:chr1\tLN:16" in lines[1]
+    recs = [l.split("\t") for l in lines if not l.startswith("@")]
+    # fwd: FLAG 0, POS 5 (1-based), plain 8M, SEQ + QUAL carried.
+    assert recs[0][:6] == ["hit", "0", "chr1", "5", "255", "8M"]
+    assert recs[0][9] == "ACCTGAGT" and recs[0][10] == "IIIIIIII"
+    assert recs[0][11] == "AS:i:8"
+    # rc: FLAG 16, SEQ is the revcomped (ref-forward) read.
+    assert recs[1][:6] == ["rc_hit", "16", "chr1", "5", "255", "8M"]
+    assert recs[1][9] == "ACCTGAGT"
+    # miss: unmapped.
+    assert recs[2][1] == "4" and recs[2][2] == "*" and recs[2][5] == "*"
+
+
+def test_sam_soft_clips(tmp_path):
+    from genomics_rs_tpu.models.reads import write_sam
+
+    ref = Sequence("r", "TTTTACGTACGTTTTT")
+    # 3 junk bases, an 8-base hit, 2 junk bases -> 3S8M2S.
+    q = Sequence("q", "CCC" + "ACGTACGT" + "GG")
+    aligned, cigars, mapinfo = align_reads(
+        [q], [ref], SCORES, is_local=True,
+        with_cigars=True, with_mapinfo=True,
+    )
+    i0, j0, ei, ej = mapinfo[0]
+    # The reference-faithful walk continues over the zero plateau
+    # before the match block as a leading D run (algo.rs:351-405), so
+    # the raw CIGAR is 4D8M from (3, 0); write_sam folds the edge D
+    # into POS: ref col 0 + 4 folded D -> POS 5 (1-based).
+    assert (i0, j0, ei) == (3, 0, 11) and cigars[0] == "4D8M"
+    sam = tmp_path / "o.sam"
+    write_sam(str(sam), [ref], aligned, cigars, mapinfo)
+    rec = [l for l in sam.read_text().splitlines() if not l.startswith("@")][0].split("\t")
+    assert rec[5] == "3S8M2S"
+    assert rec[3] == "5"
