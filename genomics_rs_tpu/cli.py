@@ -91,7 +91,9 @@ def _build_parser() -> argparse.ArgumentParser:
         "--both-strands",
         action="store_true",
         help="also align each query's reverse complement and keep the "
-        "better orientation (adds a strand column; forward wins ties)",
+        "better orientation (adds a strand column; forward wins ties; "
+        "a '-' row's query coordinates — end_i, paths, CIGARs — are "
+        "those of the reverse-complemented read, read-mapper style)",
     )
     rd.add_argument(
         "--format",
@@ -321,8 +323,10 @@ def main(argv: list[str] | None = None) -> int:
         L2 = max(max(len(s) for s in sr), 1)
         L1 = -(-L1 // 128) * 128
         L2 = -(-L2 // 128) * 128
-        s1b = np.stack([s.encoded(pad_to=L1, pad_value=PAD_S1) for s in sq])
-        s2b = np.stack([s.encoded(pad_to=L2, pad_value=PAD_S2) for s in sr])
+        from genomics_rs_tpu.models.reads import encode_batch
+
+        s1b = encode_batch(sq, L1, PAD_S1)
+        s2b = encode_batch(sr, L2, PAD_S2)
         ms = np.array([len(s) for s in sq], dtype=np.int32)
         ns = np.array([len(s) for s in sr], dtype=np.int32)
 
@@ -335,8 +339,10 @@ def main(argv: list[str] | None = None) -> int:
         sc, si, sj = (np.asarray(x) for x in (sc, si, sj))
         dt = time.perf_counter() - t0
         cells = float(np.sum((ms + 1.0) * (ns + 1.0)))
+        # len(ms), not B: with --both-strands the dispatch holds 2B
+        # oriented pairs and the cell count/rate covers all of them.
         print(
-            f"{B} pairs, {cells:.3g} DP cells in {dt:.3f}s "
+            f"{len(ms)} pairs, {cells:.3g} DP cells in {dt:.3f}s "
             f"({cells / dt:.3g} cells/s)"
         )
         if args.both_strands:

@@ -105,18 +105,30 @@ def write_sam(
     raw reference-faithful walk.
     """
     import re
+
+    def _token(name: str) -> str:
+        # SAM QNAME/RNAME cannot contain whitespace; a bare ">"/"@"
+        # header yields name="" and split() then has no tokens.
+        parts = name.split()
+        return parts[0] if parts else "*"
+
     sq: dict[str, int] = {}
     for r in refs:
-        name = r.name.split()[0] or "*"
-        sq.setdefault(name, len(r))
+        name = _token(r.name)
+        if sq.setdefault(name, len(r)) != len(r):
+            raise ValueError(
+                f"distinct references share SAM RNAME {name!r} with "
+                "different lengths — rename them (RNAME is the "
+                "header's first whitespace token)"
+            )
     with open(path, "w") as f:
         f.write("@HD\tVN:1.6\tSO:unknown\n")
         for name, ln in sq.items():
             f.write(f"@SQ\tSN:{name}\tLN:{ln}\n")
         f.write("@PG\tID:genomics_rs_tpu\tPN:genomics_rs_tpu\n")
         for k, a in enumerate(aligned):
-            qname = a.s1.name.split()[0] or "*"
-            rname = refs[k].name.split()[0] or "*"
+            qname = _token(a.s1.name)
+            rname = _token(refs[k].name)
             seq = a.s1.sequence or "*"
             qual = a.s1.quality or "*"
             i0, j0, end_i, _ = mapinfo[k]
@@ -152,6 +164,30 @@ def write_sam(
                 f"{head}{cig}{tail}\t*\t0\t0\t{seq}\t{qual}"
                 f"\tAS:i:{a.score}\n"
             )
+
+
+def encode_batch(
+    seqs: list[Sequence], pad_to: int, pad_value: int
+) -> np.ndarray:
+    """Stack per-sequence encodings, encoding each distinct object once.
+
+    The single-ref mapper broadcast repeats the SAME ``Sequence``
+    object B times; encoding per row would redo the byte translation
+    B times. When every row is one object the result is a read-only
+    ``np.broadcast_to`` view — no host-side duplication (the device
+    transfer materializes the batch either way).
+    """
+    cache: dict[int, np.ndarray] = {}
+    rows = []
+    for s in seqs:
+        a = cache.get(id(s))
+        if a is None:
+            a = s.encoded(pad_to=pad_to, pad_value=pad_value)
+            cache[id(s)] = a
+        rows.append(a)
+    if len(cache) == 1 and len(rows) > 1:
+        return np.broadcast_to(rows[0], (len(rows), rows[0].shape[0]))
+    return np.stack(rows)
 
 
 #: Past this padded length the short-read kernel's VMEM scratch
@@ -248,12 +284,8 @@ def align_reads(
         if both_strands:
             qs = qs + [q.reverse_complement() for q in qs]
             rs = rs + rs
-        s1b = np.stack(
-            [s.encoded(pad_to=L1, pad_value=PAD_S1) for s in qs]
-        )
-        s2b = np.stack(
-            [s.encoded(pad_to=L2, pad_value=PAD_S2) for s in rs]
-        )
+        s1b = encode_batch(qs, L1, PAD_S1)
+        s2b = encode_batch(rs, L2, PAD_S2)
         ms = np.array([len(s) for s in qs], dtype=np.int32)
         ns = np.array([len(s) for s in rs], dtype=np.int32)
         if use_pallas:

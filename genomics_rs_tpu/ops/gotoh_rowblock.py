@@ -55,6 +55,14 @@ CHUNK = 512
 #: Env-overridable (GENOMICS_TPU_UNROLL) for hardware sweeps.
 UNROLL = int(os.environ.get("GENOMICS_TPU_UNROLL", "2"))
 
+# The chunk loop runs chunk // UNROLL blocks — a non-divisor sweep
+# value would silently skip CHUNK % UNROLL diagonals per chunk.
+if UNROLL < 1 or CHUNK % UNROLL:
+    raise ValueError(
+        f"GENOMICS_TPU_UNROLL={UNROLL} must be >= 1 and divide "
+        f"CHUNK={CHUNK}"
+    )
+
 
 def _kernel_rows(
     scalars,  # SMEM int32[8]: m, n, sm, sx, g, h, i0, pad

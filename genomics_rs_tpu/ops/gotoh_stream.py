@@ -96,6 +96,22 @@ CHUNK = int(os.environ.get("GENOMICS_TPU_CHUNK", "512"))
 #: import, so it is constant per process and safe under jit caching.
 UNROLL = int(os.environ.get("GENOMICS_TPU_UNROLL", "2"))
 
+# The chunk loop runs chunk // UNROLL blocks and the local-flush window
+# math needs CHUNK | V (V is always a multiple of 1024) — a sweep value
+# violating either would silently skip diagonals / corrupt argmax
+# flushes, so fail at import instead.
+if UNROLL < 1 or CHUNK % UNROLL:
+    raise ValueError(
+        f"GENOMICS_TPU_UNROLL={UNROLL} must be >= 1 and divide "
+        f"CHUNK={CHUNK} (else the last CHUNK % UNROLL diagonals of "
+        "every chunk are silently skipped)"
+    )
+if CHUNK < 1 or 1024 % CHUNK:
+    raise ValueError(
+        f"GENOMICS_TPU_CHUNK={CHUNK} must divide 1024 (V is a "
+        "multiple of 1024; the local flush window is V // CHUNK)"
+    )
+
 
 def _plan_stream(Lm: int, Ln: int, P: int):
     """(V, C, L1, K, Kp) for a P-segment stream of (Lm, Ln) pairs.

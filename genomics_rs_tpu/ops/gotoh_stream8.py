@@ -83,6 +83,14 @@ CHUNK = 512
 #: Env-overridable (GENOMICS_TPU_UNROLL) for hardware sweeps.
 UNROLL = int(os.environ.get("GENOMICS_TPU_UNROLL", "2"))
 
+# The chunk loop runs chunk // UNROLL blocks — a non-divisor sweep
+# value would silently skip CHUNK % UNROLL diagonals per chunk.
+if UNROLL < 1 or CHUNK % UNROLL:
+    raise ValueError(
+        f"GENOMICS_TPU_UNROLL={UNROLL} must be >= 1 and divide "
+        f"CHUNK={CHUNK}"
+    )
+
 
 def _plan_stream8(Lm: int, Ln: int, P: int):
     """(C, L1, Q, K, Kp): per-row lane count, segment stride, cycle
@@ -248,15 +256,18 @@ def _kernel_stream8(
         shQ = jnp.where(col0_static, neg, pltpu.roll(Q0, 1, 1))
         shD = jnp.where(col0_static, neg, pltpu.roll(D0, 1, 1))
 
-        sub = jnp.where(s1c1 == s2j, sm, sx)
+        # `subst`, not `sub`: the unroll index `sub` is still live for
+        # static pane-column slices — shadowing it would turn a later
+        # slice into a traced-lane index Mosaic rejects.
+        subst = jnp.where(s1c1 == s2j, sm, sx)
         if is_local:
             Inew = jnp.maximum(jnp.maximum(I0 + gg, P0 + hg), zero)
             Dnew = jnp.maximum(jnp.maximum(shQ + hg, shD + gg), zero)
-            Snew = sub + jnp.maximum(M0, zero)
+            Snew = subst + jnp.maximum(M0, zero)
         else:
             Inew = jnp.maximum(I0 + gg, P0 + hg)
             Dnew = jnp.maximum(shQ + hg, shD + gg)
-            Snew = sub + M0
+            Snew = subst + M0
 
         # Segment col-0 boundary, then DP row 0 from the top streams.
         Inew = jnp.where(col0, neg, Inew)

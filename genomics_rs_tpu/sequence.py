@@ -164,15 +164,19 @@ class SequenceContainer:
                     f"!= sequence length {len(seq)}"
                 )
             name = header[1:].strip()
-            log.info(
-                "Sequence Found (ID: %d): %s",
-                len(self.sequences) + len(loaded),
-                filepath,
-            )
             loaded.append(Sequence(name=name, sequence=seq, quality=qual))
             k += 4
 
-        log.debug("Loaded %d reads", len(loaded))
+        # ONE summary line per file — unlike from_fasta's per-record
+        # parity log, real read sets have millions of records and a
+        # per-read info line would dominate both stderr and runtime.
+        log.info(
+            "Reads Found: %d (IDs %d..%d): %s",
+            len(loaded),
+            len(self.sequences),
+            len(self.sequences) + max(len(loaded) - 1, 0),
+            filepath,
+        )
         self.sequences.extend(loaded)
         return self
 

@@ -282,3 +282,148 @@ def test_sam_soft_clips(tmp_path):
     rec = [l for l in sam.read_text().splitlines() if not l.startswith("@")][0].split("\t")
     assert rec[5] == "3S8M2S"
     assert rec[3] == "5"
+
+
+def test_write_sam_nameless_and_rname_conflict(tmp_path):
+    from genomics_rs_tpu.models.reads import write_sam
+
+    ref = Sequence("", "ACGTACGT")  # bare ">" header -> empty name
+    q = Sequence("", "ACGTACGT")
+    aligned, cigars, mapinfo = align_reads(
+        [q], [ref], SCORES, is_local=False,
+        with_cigars=True, with_mapinfo=True,
+    )
+    sam = tmp_path / "o.sam"
+    write_sam(str(sam), [ref], aligned, cigars, mapinfo)
+    rec = [l for l in sam.read_text().splitlines()
+           if not l.startswith("@")][0].split("\t")
+    assert rec[0] == "*" and rec[2] == "*"  # placeholder names, no crash
+
+    # Same RNAME first-token, different lengths -> hard error.
+    refs2 = [Sequence("chr1 v1", "ACGT"), Sequence("chr1 v2", "ACGTACGT")]
+    with pytest.raises(ValueError, match="RNAME"):
+        write_sam(str(sam), refs2, aligned * 2, cigars * 2, mapinfo * 2)
+
+
+def test_encode_batch_memoizes_broadcast():
+    import numpy as np
+    from genomics_rs_tpu.models.reads import encode_batch
+
+    calls = []
+    ref = Sequence("r", "ACGTACGT")
+    orig = Sequence.encoded
+
+    class Probe(Sequence):
+        def encoded(self, **kw):
+            calls.append(1)
+            return orig(self, **kw)
+
+    p = Probe("r", "ACGTACGT")
+    b = encode_batch([p] * 1000, 128, 4)
+    assert sum(calls) == 1  # one encode for 1000 broadcast rows
+    assert b.shape == (1000, 128)
+    assert np.array_equal(b[0], ref.encoded(pad_to=128, pad_value=4))
+    assert np.array_equal(b[0], b[999])
+    # Distinct objects still get distinct rows.
+    b2 = encode_batch(
+        [Sequence("a", "AAAA"), Sequence("c", "CCCC")], 128, 4
+    )
+    assert not np.array_equal(b2[0], b2[1])
+
+
+def test_unroll_env_validation():
+    import subprocess, sys, os
+
+    env = dict(os.environ, GENOMICS_TPU_UNROLL="3", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import genomics_rs_tpu.ops.gotoh_stream"],
+        env=env, capture_output=True, text=True,
+    )
+    assert r.returncode != 0 and "GENOMICS_TPU_UNROLL" in r.stderr
+    env = dict(os.environ, GENOMICS_TPU_CHUNK="768", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import genomics_rs_tpu.ops.gotoh_stream"],
+        env=env, capture_output=True, text=True,
+    )
+    assert r.returncode != 0 and "GENOMICS_TPU_CHUNK" in r.stderr
+
+
+def _validate_sam(text: str) -> int:
+    """Minimal structural SAM 1.6 check: mandatory header, CIGAR
+    query-consumption == SEQ length, POS + ref-consumption <= @SQ LN.
+    Returns the number of mapped records."""
+    import re
+
+    lines = text.splitlines()
+    assert lines and lines[0].startswith("@HD\tVN:")
+    ln_by_rname = {}
+    for l in lines:
+        if l.startswith("@SQ"):
+            fields = dict(f.split(":", 1) for f in l.split("\t")[1:])
+            ln_by_rname[fields["SN"]] = int(fields["LN"])
+    mapped = 0
+    for l in lines:
+        if l.startswith("@"):
+            continue
+        f = l.split("\t")
+        assert len(f) >= 11, l
+        flag, rname, pos, cig, seq = (
+            int(f[1]), f[2], int(f[3]), f[5], f[9],
+        )
+        if flag & 4:
+            assert (rname, pos, cig) == ("*", 0, "*"), l
+            continue
+        mapped += 1
+        runs = re.findall(r"(\d+)([MIDNSHP=X])", cig)
+        assert "".join(n + op for n, op in runs) == cig, l
+        ops = [op for _, op in runs]
+        # No clip-adjacent deletions, M present.
+        core = [op for op in ops if op not in "SH"]
+        assert core and core[0] != "D" and core[-1] != "D", l
+        q_consumed = sum(int(n) for n, op in runs if op in "MIS=X")
+        r_consumed = sum(int(n) for n, op in runs if op in "MDN=X")
+        assert q_consumed == len(seq), l
+        assert rname in ln_by_rname, l
+        assert 1 <= pos and pos - 1 + r_consumed <= ln_by_rname[rname], l
+    return mapped
+
+
+@pytest.mark.parametrize("is_local", [True, False])
+def test_write_sam_structurally_valid_random(tmp_path, is_local):
+    """Property check: whatever the reference-faithful walks produce
+    (zero-plateau edge runs included), the SAM writer must emit
+    structurally valid records."""
+    from genomics_rs_tpu.models.reads import write_sam
+
+    rng = np.random.default_rng(1234)
+    ref_seq = "".join(rng.choice(list("ACGT"), 400))
+    ref = Sequence("ref1", ref_seq)
+    queries = []
+    for k in range(24):
+        n = int(rng.integers(20, 90))
+        kind = k % 4
+        if kind == 0:  # planted forward fragment + junk tails
+            p = int(rng.integers(0, 300))
+            frag = ref_seq[p : p + n]
+            q = "CC" + frag + "GG"
+        elif kind == 1:  # planted minus-strand fragment
+            p = int(rng.integers(0, 300))
+            q = Sequence("", ref_seq[p : p + n]).reverse_complement().sequence
+        elif kind == 2:  # random read
+            q = "".join(rng.choice(list("ACGT"), n))
+        else:  # unalignable in local mode
+            q = "N" * n
+        queries.append(Sequence(f"q{k}", q, quality="I" * len(q)))
+    aligned, cigars, strands, mapinfo = align_reads(
+        queries, [ref], SCORES, is_local=is_local, engine="scan",
+        with_cigars=True, both_strands=True, with_mapinfo=True,
+    )
+    sam = tmp_path / "r.sam"
+    write_sam(
+        str(sam), [ref] * len(queries), aligned, cigars, mapinfo, strands
+    )
+    mapped = _validate_sam(sam.read_text())
+    # Every planted read (half the corpus) must map.
+    assert mapped >= 12
