@@ -221,7 +221,13 @@ def align_reads(
     """Full alignments for query[i] vs ref[i], batched on device.
 
     Reads are chunked into ``batch``-sized device rounds (each round =
-    one fill dispatch + one walk dispatch); ``engine`` picks the fill
+    one fill dispatch + one walk dispatch). Multi-round batches run
+    software-pipelined one round deep: the next round's device work is
+    dispatched before the previous round's results are transferred and
+    classified, overlapping host classification with device compute
+    (JAX dispatch is async; the scan-engine round size is halved so
+    two resident direction tables stay within the memory budget).
+    ``engine`` picks the fill
     ("pallas" = short-read kernel with packed dirs, "scan" = vmapped
     wavefront oracle, "auto" = pallas on TPU for reads within the
     kernel's VMEM budget, scan otherwise). ``with_paths=False`` skips
@@ -272,12 +278,21 @@ def align_reads(
         # The device batch doubles (forward + revcomp rows); halve the
         # round size so per-round memory stays within the same budget.
         batch = max(8, batch // 2)
+    # Multi-round batches run software-pipelined: round k+1's fill and
+    # walk are dispatched (async) before round k's results are pulled
+    # home, so host-side classification overlaps device compute. Two
+    # rounds' direction tables are then resident at once — halve the
+    # scan-engine round so the budget still holds.
+    pipelined = len(queries) > batch
+    if pipelined and not use_pallas:
+        batch = max(16, batch // 2)
 
     out: list[AlignedSequences] = []
     all_cigars: list[str] = []
     all_strands: list[str] = []
     all_mapinfo: list[tuple[int, int, int, int]] = []
-    for k0 in range(0, len(queries), batch):
+
+    def _dispatch(k0: int):
         qs = queries[k0 : k0 + batch]
         rs = refs[k0 : k0 + batch]
         b = len(qs)
@@ -312,6 +327,10 @@ def align_reads(
         walked = walk_batch(
             codes, si, sj, scores, is_local, layout, max_steps
         )
+        return (k0, b, qs, rs, s1b, s2b, ms, ns, walked, sc, si, sj)
+
+    def _harvest(state) -> None:
+        k0, b, qs, rs, s1b, s2b, ms, ns, walked, sc, si, sj = state
         # One D2H transfer for everything the host needs.
         moves, counts, i_f, j_f, done, sc_h, si_h, sj_h = jax.device_get(
             walked + (sc, si, sj)
@@ -370,6 +389,18 @@ def align_reads(
             all_mapinfo.extend(
                 (int(r[0]), int(r[1]), int(r[2]), int(r[3])) for r in info
             )
+
+    # One-deep software pipeline: harvest round k only after round
+    # k+1's device work is queued. Harvests run in round order, so
+    # outputs keep the input order.
+    pending = None
+    for k0 in range(0, len(queries), batch):
+        current = _dispatch(k0)
+        if pending is not None:
+            _harvest(pending)
+        pending = current
+    if pending is not None:
+        _harvest(pending)
     ret = [out]
     if with_cigars:
         ret.append(all_cigars)
