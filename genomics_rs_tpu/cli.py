@@ -104,6 +104,41 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     rd.add_argument("-o", "--output", default="read_scores.tsv")
 
+    mp = sub.add_parser(
+        "map",
+        help="seed-and-extend read mapping against one reference "
+        "(TPU extension: host k-mer index + diagonal voting, batched "
+        "device extension)",
+    )
+    mp.add_argument("-q", "--queries", required=True)
+    mp.add_argument("-r", "--ref", required=True)
+    mp.add_argument("-k", type=int, default=21, help="seed k-mer size")
+    mp.add_argument(
+        "--band", type=int, default=32,
+        help="diagonal vote band / extension window slack (bases)",
+    )
+    mp.add_argument(
+        "--stride", type=int, default=None,
+        help="sample every stride-th read k-mer as a seed (default k//2)",
+    )
+    mp.add_argument(
+        "--max-hits", type=int, default=64,
+        help="skip seeds with more reference hits than this (repeats)",
+    )
+    mp.add_argument(
+        "--min-seeds", type=int, default=2,
+        help="vote threshold below which a read is unmapped",
+    )
+    mp.add_argument(
+        "--single-strand", action="store_true",
+        help="map the forward orientation only",
+    )
+    mp.add_argument(
+        "--engine", default="auto", choices=["auto", "pallas", "scan"]
+    )
+    mp.add_argument("--format", choices=["sam", "tsv"], default="sam")
+    mp.add_argument("-o", "--output", default="mapped.sam")
+
     am = sub.add_parser(
         "align-matrix",
         help="all-pairs DP alignment-score matrix over a FASTA dir "
@@ -362,6 +397,69 @@ def main(argv: list[str] | None = None) -> int:
                     f"{queries[k].name}\t{refs[k].name}\t{int(sc[k])}\t"
                     f"{int(si[k])}\t{int(sj[k])}{tail}\n"
                 )
+        print(f"wrote {args.output}")
+        return 0
+
+    if args.mode == "map":
+        import time
+
+        log.info("MODE: Map (seed-and-extend read mapping)")
+        from genomics_rs_tpu.models.mapper import KmerIndex, map_reads
+        from genomics_rs_tpu.models.reads import write_sam
+
+        queries = SequenceContainer().from_reads(args.queries).sequences
+        refs = SequenceContainer().from_reads(args.ref).sequences
+        if not queries or not refs:
+            log.error("no reads or no reference loaded")
+            return 1
+        if len(refs) > 1:
+            # Mirror align mode's more-than-two warning (algo.rs:161-163).
+            log.warning(
+                "reference file has %d sequences; mapping against the "
+                "first (%s)", len(refs), refs[0].name,
+            )
+        ref = refs[0]
+        t0 = time.perf_counter()
+        index = KmerIndex(ref, args.k)
+        t_index = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        results = map_reads(
+            queries,
+            ref,
+            config.scores,
+            index=index,
+            stride=args.stride,
+            band=args.band,
+            max_hits=args.max_hits,
+            min_seeds=args.min_seeds,
+            both_strands=not args.single_strand,
+            engine=args.engine,
+        )
+        t_map = time.perf_counter() - t0
+        n_mapped = sum(r.mapped for r in results)
+        print(
+            f"{n_mapped}/{len(results)} reads mapped in {t_map:.3f}s "
+            f"(index {len(index)} {args.k}-mers in {t_index:.3f}s)"
+        )
+        if args.format == "sam":
+            write_sam(
+                args.output,
+                [ref] * len(results),
+                [r.aligned for r in results],
+                [r.cigar for r in results],
+                [r.mapinfo for r in results],
+                [r.strand for r in results],
+            )
+        else:
+            with open(args.output, "w") as f:
+                f.write("query\tstrand\tmapped\tpos\tscore\tseeds\tcigar\n")
+                for r in results:
+                    pos = r.mapinfo[1] + 1 if r.mapped else 0
+                    f.write(
+                        f"{r.read.name}\t{r.strand}\t"
+                        f"{int(r.mapped)}\t{pos}\t{r.score}\t{r.seeds}\t"
+                        f"{r.cigar}\n"
+                    )
         print(f"wrote {args.output}")
         return 0
 

@@ -1,5 +1,15 @@
 """High-level model-like APIs (aligners over the DP kernels)."""
 
 from genomics_rs_tpu.models.aligner import PairwiseAligner, align_pair
+from genomics_rs_tpu.models.mapper import KmerIndex, MappedRead, map_reads
+from genomics_rs_tpu.models.reads import align_reads, write_sam
 
-__all__ = ["PairwiseAligner", "align_pair"]
+__all__ = [
+    "PairwiseAligner",
+    "align_pair",
+    "align_reads",
+    "write_sam",
+    "KmerIndex",
+    "MappedRead",
+    "map_reads",
+]

@@ -380,3 +380,49 @@ def test_cli_reads_sam(tmp_path):
         str(tmp_path),
     )
     assert res.returncode == 1
+
+
+def test_cli_map(tmp_path):
+    """map mode: seed-and-extend against one reference, SAM + TSV."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    ref_seq = "".join(rng.choice(list("ACGT"), 2000))
+    r = tmp_path / "ref.fasta"
+    r.write_text(f">chr1\n{ref_seq}\n")
+    q = tmp_path / "q.fastq"
+    frag = ref_seq[500:590]
+    rc = frag.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+    q.write_text(
+        f"@fwd\n{frag}\n+\n{'I' * 90}\n"
+        f"@rev\n{rc}\n+\n{'I' * 90}\n"
+        f"@junk\n{'N' * 90}\n+\n{'!' * 90}\n"
+    )
+    out = tmp_path / "m.sam"
+    res = _run(
+        ["map", "-q", str(q), "-r", str(r), "-k", "15",
+         "--engine", "scan", "-o", str(out)],
+        str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr
+    assert "2/3 reads mapped" in res.stdout
+    recs = {
+        l.split("\t")[0]: l.split("\t")
+        for l in out.read_text().splitlines()
+        if not l.startswith("@")
+    }
+    assert recs["fwd"][1] == "0" and recs["fwd"][3] == "501"
+    assert recs["rev"][1] == "16" and recs["rev"][3] == "501"
+    assert recs["junk"][1] == "4"
+
+    out2 = tmp_path / "m.tsv"
+    res = _run(
+        ["map", "-q", str(q), "-r", str(r), "-k", "15",
+         "--engine", "scan", "--format", "tsv", "-o", str(out2)],
+        str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr
+    rows = [l.split("\t") for l in out2.read_text().splitlines()[1:]]
+    assert [r[1] for r in rows] == ["+", "-", "+"]
+    assert [r[2] for r in rows] == ["1", "1", "0"]
+    assert rows[0][3] == "501" and rows[0][4] == "90"

@@ -1,0 +1,157 @@
+"""Seed-and-extend mapper: index correctness, planted-read recovery,
+strand calls, extension-score parity with full DP, SAM round-trip."""
+
+import numpy as np
+import pytest
+
+from genomics_rs_tpu.config import Scores
+from genomics_rs_tpu.models.mapper import KmerIndex, map_reads
+from genomics_rs_tpu.models.reads import align_reads, write_sam
+from genomics_rs_tpu.sequence import Sequence
+
+SCORES = Scores(s_match=1, s_mismatch=-2, g=-1, h=-5)
+
+
+def _random_ref(rng, n, name="ref"):
+    return Sequence(name, "".join(rng.choice(list("ACGT"), n)))
+
+
+def test_kmer_index_positions():
+    ref = Sequence("r", "ACGTACGTNACGT")
+    ix = KmerIndex(ref, k=4)
+
+    def key(s):
+        v = 0
+        for c in s:
+            v = v * 4 + "ACGT".index(c)
+        return v
+
+    # ACGT occurs at 0, 4 and 9.
+    assert list(ix.lookup(key("ACGT"))) == [0, 4, 9]
+    # CGTA at 1 only: the window at 5 is CGTN (crosses the N).
+    assert list(ix.lookup(key("CGTA"))) == [1]
+    # GTAC at 2 only: the window at 6 is GTNA.
+    assert list(ix.lookup(key("GTAC"))) == [2]
+
+
+def test_kmer_index_rejects_bad_k():
+    with pytest.raises(ValueError):
+        KmerIndex(Sequence("r", "ACGT"), k=3)
+    with pytest.raises(ValueError):
+        KmerIndex(Sequence("r", "ACGT"), k=32)
+
+
+def test_map_reads_planted():
+    rng = np.random.default_rng(42)
+    ref = _random_ref(rng, 5000)
+    reads, truth = [], []
+    for t in range(20):
+        p = int(rng.integers(0, 4800))
+        n = int(rng.integers(60, 120))
+        frag = ref.sequence[p : p + n]
+        if t % 2:
+            q = Sequence(f"q{t}", Sequence("", frag).reverse_complement().sequence)
+            truth.append((p, n, "-"))
+        else:
+            q = Sequence(f"q{t}", frag)
+            truth.append((p, n, "+"))
+        reads.append(q)
+    res = map_reads(reads, ref, SCORES, k=15, engine="scan")
+    for r, (p, n, strand) in zip(res, truth):
+        assert r.mapped, r.read.name
+        assert r.strand == strand, r.read.name
+        assert r.score == n, r.read.name  # exact fragment: all matches
+        i0, j0, ei, ej = r.mapinfo
+        # Absolute ref span of the aligned block == planted location
+        # (the walk may extend over a zero plateau; the M block itself
+        # must cover [p, p+n) — check via the fold used by write_sam).
+        assert j0 <= p and ej >= p + n - 1, (r.mapinfo, p, n)
+        assert r.cigar.count("M") >= 1
+
+
+def test_map_reads_junk_unmapped():
+    rng = np.random.default_rng(7)
+    ref = _random_ref(rng, 3000)
+    junk = [
+        Sequence("junk1", "".join(rng.choice(list("ACGT"), 80))),
+        Sequence("junkN", "N" * 80),
+        Sequence("short", "ACG"),  # shorter than k
+    ]
+    res = map_reads(junk, ref, SCORES, k=21, engine="scan")
+    for r in res:
+        assert not r.mapped
+        assert r.cigar == "" and r.seeds < 2
+        assert r.mapinfo == (0, 0, 0, 0)
+
+
+def test_map_reads_extension_matches_full_dp():
+    """The windowed extension must reproduce the full-reference local
+    DP score when the alignment fits in the window (mutated reads)."""
+    rng = np.random.default_rng(3)
+    ref = _random_ref(rng, 2000)
+    reads = []
+    for t in range(8):
+        p = int(rng.integers(0, 1850))
+        frag = list(ref.sequence[p : p + 100])
+        for _ in range(6):  # ~6% mismatches
+            frag[int(rng.integers(0, 100))] = rng.choice(list("ACGT"))
+        reads.append(Sequence(f"q{t}", "".join(frag)))
+    res = map_reads(reads, ref, SCORES, k=15, engine="scan")
+    full = align_reads(
+        reads, [ref], SCORES, is_local=True, engine="scan",
+        with_paths=False, with_cigars=True,
+    )[0]
+    for r, f in zip(res, full):
+        assert r.mapped
+        assert r.score == f.score, r.read.name
+
+
+def test_map_reads_sam_roundtrip(tmp_path):
+    from tests.test_reads import _validate_sam
+
+    rng = np.random.default_rng(11)
+    ref = _random_ref(rng, 4000, name="chrM test")
+    reads = []
+    for t in range(12):
+        p = int(rng.integers(0, 3800))
+        frag = ref.sequence[p : p + 90]
+        q = frag if t % 2 else Sequence("", frag).reverse_complement().sequence
+        reads.append(
+            Sequence(f"q{t}", "AC" + q + "TT", quality="I" * (len(q) + 4))
+        )
+    reads.append(Sequence("junk", "N" * 90))
+    res = map_reads(reads, ref, SCORES, k=15, engine="scan")
+    sam = tmp_path / "m.sam"
+    write_sam(
+        str(sam),
+        [ref] * len(res),
+        [r.aligned for r in res],
+        [r.cigar for r in res],
+        [r.mapinfo for r in res],
+        [r.strand for r in res],
+    )
+    text = sam.read_text()
+    assert "@SQ\tSN:chrM\tLN:4000" in text
+    assert _validate_sam(text) == 12  # all planted reads mapped
+    # Soft clips from the junk tails survive into the records.
+    recs = [l.split("\t") for l in text.splitlines() if not l.startswith("@")]
+    assert any("S" in r[5] for r in recs if r[5] != "*")
+
+
+def test_map_reads_prebuilt_index_and_mismatched_ref():
+    rng = np.random.default_rng(5)
+    ref = _random_ref(rng, 1000)
+    ix = KmerIndex(ref, k=13)
+    q = Sequence("q", ref.sequence[100:180])
+    res = map_reads([q], ref, SCORES, index=ix, engine="scan")
+    assert res[0].mapped and res[0].score == 80
+    with pytest.raises(ValueError, match="different reference"):
+        map_reads([q], _random_ref(rng, 1000), SCORES, index=ix)
+
+
+def test_map_reads_repetitive_seeds_capped():
+    # A read whose every k-mer exceeds max_hits has no usable seed.
+    ref = Sequence("r", "A" * 2000)
+    q = Sequence("q", "A" * 100)
+    res = map_reads([q], ref, SCORES, k=11, max_hits=16, engine="scan")
+    assert not res[0].mapped and res[0].seeds == 0
