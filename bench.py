@@ -422,6 +422,47 @@ def run_full() -> dict:
         "reads_per_s": n_full / dt_full,
     }
 
+    # --- seed-and-extend mapping: 100k reads vs chr12 --------------
+    chr12_path = os.path.join(REF, "test_data", "chr12.fasta")
+    if os.path.exists(chr12_path):
+        from genomics_rs_tpu.models.mapper import KmerIndex, map_reads
+
+        cm = SequenceContainer()
+        cm.from_fasta(chr12_path)
+        chrom = cm.sequences[0]
+        rng_m = np.random.default_rng(12)
+        n_map = 100_000
+        comp = str.maketrans("ACGT", "TGCA")
+        mreads = []
+        for i in range(n_map):
+            p = int(rng_m.integers(0, len(chrom) - 152))
+            frag = chrom.sequence[p : p + 152]
+            if i % 2:
+                frag = frag.translate(comp)[::-1]
+            mreads.append(_Seq(f"m{i}", frag))
+        t0 = time.perf_counter()
+        m_index = KmerIndex(chrom, 21)
+        dt_index = time.perf_counter() - t0
+
+        def run_map():
+            res = map_reads(
+                mreads, chrom, scores, index=m_index, with_paths=False
+            )
+            return sum(r.mapped for r in res)
+
+        n_mapped = _retry(run_map, label="mapper warmup")
+        t0 = time.perf_counter()
+        run_map()
+        dt_map = time.perf_counter() - t0
+        rows["map_100k_chr12"] = {
+            "reads": n_map,
+            "read_len": 152,
+            "mapped": int(n_mapped),
+            "index_s": dt_index,
+            "s": dt_map,
+            "reads_per_s": n_map / dt_map,
+        }
+
     # --- checkpointed 155 kb full traceback ------------------------
     slyco = os.path.join(REF, "test_data", "Slyco.fasta")
     if os.path.exists(slyco):
