@@ -412,20 +412,13 @@ def main(argv: list[str] | None = None) -> int:
         if not queries or not refs:
             log.error("no reads or no reference loaded")
             return 1
-        if len(refs) > 1:
-            # Mirror align mode's more-than-two warning (algo.rs:161-163).
-            log.warning(
-                "reference file has %d sequences; mapping against the "
-                "first (%s)", len(refs), refs[0].name,
-            )
-        ref = refs[0]
         t0 = time.perf_counter()
-        index = KmerIndex(ref, args.k)
+        index = KmerIndex(refs, args.k)
         t_index = time.perf_counter() - t0
         t0 = time.perf_counter()
         results = map_reads(
             queries,
-            ref,
+            refs,
             config.scores,
             index=index,
             stride=args.stride,
@@ -444,19 +437,23 @@ def main(argv: list[str] | None = None) -> int:
         if args.format == "sam":
             write_sam(
                 args.output,
-                [ref] * len(results),
+                [r.contig for r in results],
                 [r.aligned for r in results],
                 [r.cigar for r in results],
                 [r.mapinfo for r in results],
                 [r.strand for r in results],
+                header_refs=refs,
             )
         else:
             with open(args.output, "w") as f:
-                f.write("query\tstrand\tmapped\tpos\tscore\tseeds\tcigar\n")
+                f.write(
+                    "query\tref\tstrand\tmapped\tpos\tscore\tseeds\tcigar\n"
+                )
                 for r in results:
                     pos = r.mapinfo[1] + 1 if r.mapped else 0
+                    rname = r.contig.name if r.mapped else "*"
                     f.write(
-                        f"{r.read.name}\t{r.strand}\t"
+                        f"{r.read.name}\t{rname}\t{r.strand}\t"
                         f"{int(r.mapped)}\t{pos}\t{r.score}\t{r.seeds}\t"
                         f"{r.cigar}\n"
                     )

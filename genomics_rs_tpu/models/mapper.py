@@ -1,4 +1,4 @@
-"""Seed-and-extend read mapping against one long reference.
+"""Seed-and-extend read mapping against long (multi-contig) references.
 
 Framework extension — the reference aligns exactly two whole sequences
 (``/root/reference/src/alignment/algo.rs:151-282``) and has no mapping
@@ -83,18 +83,42 @@ class KmerIndex:
     non-ACGT byte are never indexed.
     """
 
-    def __init__(self, ref: Sequence, k: int = 21):
+    def __init__(self, ref: Sequence | list[Sequence], k: int = 21):
         if not 4 <= k <= 31:
             raise ValueError(f"k={k} outside [4, 31] (2-bit uint64 pack)")
-        self.ref = ref
+        self.refs: list[Sequence] = (
+            [ref] if isinstance(ref, Sequence) else list(ref)
+        )
+        if not self.refs:
+            raise ValueError("empty reference list")
         self.k = k
-        enc4 = _BASE[ref.encoded()][None, :]
-        keys, valid = _pack_rows(enc4, k)
-        pos = np.flatnonzero(valid[0])
-        keys = keys[0][pos]
+        # Multi-contig: windows are packed per contig (no window ever
+        # crosses a boundary) and positions are stored in the GLOBAL
+        # concatenated coordinate space; `starts[c]` maps them back.
+        self.starts = np.concatenate(
+            [[0], np.cumsum([len(r) for r in self.refs])]
+        ).astype(np.int64)
+        all_keys, all_pos = [], []
+        for c, r in enumerate(self.refs):
+            enc4 = _BASE[r.encoded()][None, :]
+            keys, valid = _pack_rows(enc4, k)
+            pos = np.flatnonzero(valid[0])
+            all_keys.append(keys[0][pos])
+            all_pos.append(pos.astype(np.int64) + self.starts[c])
+        keys = np.concatenate(all_keys)
+        pos = np.concatenate(all_pos)
         order = np.argsort(keys, kind="stable")
         self._keys = keys[order]
-        self._pos = pos[order].astype(np.int64)
+        self._pos = pos[order]
+
+    @property
+    def ref(self) -> Sequence:
+        """The first (or only) reference contig."""
+        return self.refs[0]
+
+    def contig_of(self, gpos: int) -> int:
+        """Contig id owning global position ``gpos``."""
+        return int(np.searchsorted(self.starts, gpos, "right") - 1)
 
     def __len__(self) -> int:
         return int(self._keys.size)
@@ -110,12 +134,15 @@ class MappedRead:
     """One read's mapping result (input order is preserved).
 
     ``read`` is the ORIENTED read (reverse-complemented when
-    ``strand == "-"``); ``mapinfo = (i0, j0, end_i, end_j)`` spans
-    query rows ``(i0, end_i]`` and ABSOLUTE reference columns
+    ``strand == "-"``); ``contig`` is the reference sequence the read
+    mapped to (the first contig for unmapped reads);
+    ``mapinfo = (i0, j0, end_i, end_j)`` spans query rows
+    ``(i0, end_i]`` and CONTIG-RELATIVE reference columns
     ``(j0, end_j]`` of the local extension; ``seeds`` is the winning
     window's vote count (0 for reads with no usable seed)."""
 
     read: Sequence
+    contig: Sequence
     strand: str
     mapped: bool
     score: int
@@ -206,7 +233,7 @@ def _vote_windows(
 
 def map_reads(
     queries: list[Sequence],
-    ref: Sequence,
+    ref: Sequence | list[Sequence],
     scores: Scores,
     *,
     index: KmerIndex | None = None,
@@ -222,16 +249,24 @@ def map_reads(
 ) -> list[MappedRead]:
     """Map ``queries`` against ``ref``; results keep input order.
 
-    ``stride`` samples every stride-th read k-mer as a seed (default
-    ``max(1, k // 2)`` — two seeds cover any exact match of length
-    ``>= k + stride``); ``min_seeds`` is the vote threshold below
-    which a read is reported unmapped without an extension dispatch.
-    Pass a prebuilt ``index`` to amortize it across calls (its ``k``
-    then wins).
+    ``ref`` may be one contig or a list (a multi-FASTA assembly);
+    votes ride one global concatenated coordinate space, the winning
+    window is clipped to its owning contig, and each result's
+    ``contig``/``mapinfo`` are contig-relative — ready for the SAM
+    writer. ``stride`` samples every stride-th read k-mer as a seed
+    (default ``max(1, k // 2)`` — two seeds cover any exact match of
+    length ``>= k + stride``); ``min_seeds`` is the vote threshold
+    below which a read is reported unmapped without an extension
+    dispatch. Pass a prebuilt ``index`` to amortize it across calls
+    (its ``k`` then wins).
     """
+    refs = [ref] if isinstance(ref, Sequence) else list(ref)
     if index is None:
-        index = KmerIndex(ref, k)
-    if index.ref.sequence is not ref.sequence and index.ref.sequence != ref.sequence:
+        index = KmerIndex(refs, k)
+    if len(index.refs) != len(refs) or any(
+        a.sequence is not b.sequence and a.sequence != b.sequence
+        for a, b in zip(index.refs, refs)
+    ):
         raise ValueError("index was built for a different reference")
     k = index.k
     stride = max(1, k // 2) if stride is None else max(1, stride)
@@ -257,14 +292,25 @@ def map_reads(
         chosen = oriented
         strands = ["+"] * B
 
-    N = len(ref)
-    mapped_ix = [i for i in range(B) if votes[i] >= min_seeds]
-    win_seqs, win_starts = [], []
-    for i in mapped_ix:
+    total = int(index.starts[-1])
+    mapped_ix, win_seqs, win_starts, win_contig = [], [], [], []
+    for i in range(B):
+        if votes[i] < min_seeds:
+            continue
         ws = max(int(wlo[i]) - band, 0)
-        we = min(int(whi[i]) + int(lens[i]) + band, N)
-        win_seqs.append(Sequence(ref.name, ref.sequence[ws:we]))
-        win_starts.append(ws)
+        we = min(int(whi[i]) + int(lens[i]) + band, total)
+        # The diagonal span lives in global coordinates; clip the
+        # window to the contig owning its midpoint.
+        cid = index.contig_of(min(max((ws + we) // 2, 0), total - 1))
+        c0, c1 = int(index.starts[cid]), int(index.starts[cid + 1])
+        ws, we = max(ws, c0), min(we, c1)
+        if we <= ws:
+            continue
+        contig = index.refs[cid]
+        win_seqs.append(Sequence(contig.name, contig.sequence[ws - c0 : we - c0]))
+        win_starts.append(ws - c0)
+        win_contig.append(contig)
+        mapped_ix.append(i)
 
     ext: dict[int, tuple] = {}
     if mapped_ix:
@@ -286,16 +332,18 @@ def map_reads(
                 aligned[j],
                 cigars[j],
                 (i0, j0 + ws, ei, ej + ws),
+                win_contig[j],
             )
 
     out: list[MappedRead] = []
     for i in range(B):
         q = chosen[i]
         if i in ext:
-            a, cg, info = ext[i]
+            a, cg, info, contig = ext[i]
             out.append(
                 MappedRead(
                     read=q,
+                    contig=contig,
                     strand=strands[i],
                     # A zero-plateau pure-D/I walk (reference local
                     # quirk) has no aligned block — write_sam emits it
@@ -311,7 +359,7 @@ def map_reads(
         else:
             empty = AlignedSequences(
                 s1=queries[i],
-                s2=Sequence(ref.name, ""),
+                s2=Sequence(refs[0].name, ""),
                 alignment=[],
                 score=0,
                 matches=0,
@@ -322,6 +370,7 @@ def map_reads(
             out.append(
                 MappedRead(
                     read=queries[i],
+                    contig=refs[0],
                     strand="+",
                     mapped=False,
                     score=0,

@@ -83,6 +83,7 @@ def write_sam(
     cigars: list[str],
     mapinfo: list[tuple[int, int, int, int]],
     strands: list[str] | None = None,
+    header_refs: list[Sequence] | None = None,
 ) -> None:
     """Write read alignments as SAM 1.6 (framework extension).
 
@@ -113,7 +114,10 @@ def write_sam(
         return parts[0] if parts else "*"
 
     sq: dict[str, int] = {}
-    for r in refs:
+    # header_refs (when given) lists the FULL reference set so @SQ
+    # covers contigs no read mapped to; per-read refs follow so any
+    # record's RNAME is guaranteed declared.
+    for r in (header_refs or []) + list(refs):
         name = _token(r.name)
         if sq.setdefault(name, len(r)) != len(r):
             raise ValueError(

@@ -423,6 +423,7 @@ def test_cli_map(tmp_path):
     )
     assert res.returncode == 0, res.stderr
     rows = [l.split("\t") for l in out2.read_text().splitlines()[1:]]
-    assert [r[1] for r in rows] == ["+", "-", "+"]
-    assert [r[2] for r in rows] == ["1", "1", "0"]
-    assert rows[0][3] == "501" and rows[0][4] == "90"
+    assert [r[1] for r in rows] == ["chr1", "chr1", "*"]
+    assert [r[2] for r in rows] == ["+", "-", "+"]
+    assert [r[3] for r in rows] == ["1", "1", "0"]
+    assert rows[0][4] == "501" and rows[0][5] == "90"

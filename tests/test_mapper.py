@@ -155,3 +155,53 @@ def test_map_reads_repetitive_seeds_capped():
     q = Sequence("q", "A" * 100)
     res = map_reads([q], ref, SCORES, k=11, max_hits=16, engine="scan")
     assert not res[0].mapped and res[0].seeds == 0
+
+
+def test_map_reads_multi_contig(tmp_path):
+    from tests.test_reads import _validate_sam
+    from genomics_rs_tpu.models.reads import write_sam
+
+    rng = np.random.default_rng(21)
+    contigs = [
+        _random_ref(rng, 1500, name="ctgA"),
+        _random_ref(rng, 2500, name="ctgB"),
+        _random_ref(rng, 800, name="ctgC"),  # no reads map here
+    ]
+    reads = [
+        Sequence("a1", contigs[0].sequence[200:290]),
+        Sequence(
+            "b1",
+            Sequence("", contigs[1].sequence[1000:1090])
+            .reverse_complement()
+            .sequence,
+        ),
+        Sequence("b2", contigs[1].sequence[2300:2390]),
+    ]
+    res = map_reads(reads, contigs, SCORES, k=15, engine="scan")
+    assert [r.contig.name for r in res] == ["ctgA", "ctgB", "ctgB"]
+    assert [r.strand for r in res] == ["+", "-", "+"]
+    assert res[0].mapinfo[1] <= 200 and res[0].mapinfo[3] >= 289
+    # Contig-relative coordinates: b1's block sits around 1000..1090
+    # of ctgB, not of the concatenated space.
+    assert res[1].mapinfo[1] <= 1000 and res[1].mapinfo[3] >= 1089
+    assert all(r.score == 90 for r in res)
+
+    sam = tmp_path / "mc.sam"
+    write_sam(
+        str(sam),
+        [r.contig for r in res],
+        [r.aligned for r in res],
+        [r.cigar for r in res],
+        [r.mapinfo for r in res],
+        [r.strand for r in res],
+        header_refs=contigs,
+    )
+    text = sam.read_text()
+    # Every contig declared, even the unreferenced one.
+    for c in contigs:
+        assert f"@SQ\tSN:{c.name}\tLN:{len(c)}" in text
+    assert _validate_sam(text) == 3
+    recs = [l.split("\t") for l in text.splitlines() if not l.startswith("@")]
+    assert recs[0][2] == "ctgA" and recs[1][2] == "ctgB"
+    # POS is contig-relative (1-based, after edge folding).
+    assert int(recs[1][3]) <= 1001 + 0  # leading plateau may fold in
