@@ -432,11 +432,14 @@ def run_full() -> dict:
         chrom = cm.sequences[0]
         rng_m = np.random.default_rng(12)
         n_map = 100_000
+        # 128 bp: window = len + 4*band = 256 — exactly the short-read
+        # kernel's VMEM cap, so extension runs on the Pallas path.
+        rlen = 128
         comp = str.maketrans("ACGT", "TGCA")
         mreads = []
         for i in range(n_map):
-            p = int(rng_m.integers(0, len(chrom) - 152))
-            frag = chrom.sequence[p : p + 152]
+            p = int(rng_m.integers(0, len(chrom) - rlen))
+            frag = chrom.sequence[p : p + rlen]
             if i % 2:
                 frag = frag.translate(comp)[::-1]
             mreads.append(_Seq(f"m{i}", frag))
@@ -456,7 +459,7 @@ def run_full() -> dict:
         dt_map = time.perf_counter() - t0
         rows["map_100k_chr12"] = {
             "reads": n_map,
-            "read_len": 152,
+            "read_len": rlen,
             "mapped": int(n_mapped),
             "index_s": dt_index,
             "s": dt_map,

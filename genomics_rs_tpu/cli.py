@@ -115,7 +115,9 @@ def _build_parser() -> argparse.ArgumentParser:
     mp.add_argument("-k", type=int, default=21, help="seed k-mer size")
     mp.add_argument(
         "--band", type=int, default=32,
-        help="diagonal vote band / extension window slack (bases)",
+        help="diagonal vote band / extension window slack (bases); "
+        "windows are read_len + 4*band wide — at or under 256 they "
+        "extend on the fast short-read kernel",
     )
     mp.add_argument(
         "--stride", type=int, default=None,

@@ -259,6 +259,13 @@ def map_reads(
     below which a read is reported unmapped without an extension
     dispatch. Pass a prebuilt ``index`` to amortize it across calls
     (its ``k`` then wins).
+
+    Extension windows are ``read_len + 4*band`` wide; keeping that at
+    or under the short-read kernel's 256-byte VMEM cap
+    (``reads._PALLAS_MAX_LEN``) keeps the extension on the Pallas
+    path — e.g. 128 bp reads with the default ``band=32``, or 150 bp
+    reads with ``band<=26``. Wider windows still work but fall back to
+    the scan fill.
     """
     refs = [ref] if isinstance(ref, Sequence) else list(ref)
     if index is None:
