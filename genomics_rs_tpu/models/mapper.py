@@ -28,7 +28,8 @@ reverse-complemented read rows ride the same vectorized seeding pass,
 the orientation with more votes wins (forward wins ties), and a
 ``"-"`` result's coordinates/CIGAR are those of the oriented read.
 :func:`~genomics_rs_tpu.models.reads.write_sam` consumes the results
-directly (absolute ``mapinfo`` makes POS land on the full reference).
+directly (contig-relative ``mapinfo`` + per-result ``contig`` make POS
+land on the right reference sequence).
 """
 
 from __future__ import annotations
@@ -41,6 +42,9 @@ from genomics_rs_tpu.config import Scores
 from genomics_rs_tpu.models.reads import align_reads
 from genomics_rs_tpu.ops.traceback import AlignedSequences
 from genomics_rs_tpu.sequence import Sequence
+
+#: Row-chunk size for thread-parallel seeding (reads per chunk).
+_PAR_CHUNK = 16384
 
 #: ASCII byte -> 2-bit base code; 0xFF marks non-ACGT (either case).
 _BASE = np.full(256, 0xFF, np.uint8)
@@ -173,6 +177,27 @@ def _vote_windows(
     wlo = np.zeros(R, np.int64)
     if n <= 0:
         return votes, wlo, wlo
+    # Big batches: chunk rows across threads — the hot numpy ops
+    # (gathers, searchsorted, unique/sort) release the GIL, and chunks
+    # are independent, so results are bit-identical to one pass.
+    if R >= 2 * _PAR_CHUNK:
+        import concurrent.futures as cf
+        import os as _os
+
+        chunks = [
+            (s, min(s + _PAR_CHUNK, R)) for s in range(0, R, _PAR_CHUNK)
+        ]
+        workers = min(_os.cpu_count() or 1, len(chunks))
+        with cf.ThreadPoolExecutor(workers) as pool:
+            parts = list(
+                pool.map(
+                    lambda se: _vote_windows(
+                        index, enc4[se[0] : se[1]], stride, max_hits, band
+                    ),
+                    chunks,
+                )
+            )
+        return tuple(np.concatenate(xs) for xs in zip(*parts))
     offs = np.arange(0, n, stride)
     # Pack ONLY the sampled offsets (k gathers of (R, S) columns) —
     # packing every window first and sampling after costs stride-times

@@ -205,3 +205,26 @@ def test_map_reads_multi_contig(tmp_path):
     assert recs[0][2] == "ctgA" and recs[1][2] == "ctgB"
     # POS is contig-relative (1-based, after edge folding).
     assert int(recs[1][3]) <= 1001 + 0  # leading plateau may fold in
+
+
+def test_vote_windows_parallel_matches_single(monkeypatch):
+    """The thread-parallel chunked seeding path must be bit-identical
+    to the single-pass path (chunks are per-read independent)."""
+    import genomics_rs_tpu.models.mapper as M
+    from genomics_rs_tpu.models.mapper import _BASE, _vote_windows
+
+    rng = np.random.default_rng(31)
+    ref = _random_ref(rng, 4000)
+    ix = KmerIndex(ref, k=13)
+    reads = []
+    for _ in range(64):
+        p = int(rng.integers(0, 3900))
+        reads.append(ref.sequence[p : p + 80])
+    enc4 = _BASE[
+        np.stack([np.frombuffer(r.encode(), np.uint8) for r in reads])
+    ]
+    single = _vote_windows(ix, enc4, 6, 64, 32)
+    monkeypatch.setattr(M, "_PAR_CHUNK", 16)  # 64 rows -> 4 chunks
+    par = _vote_windows(ix, enc4, 6, 64, 32)
+    for a, b in zip(par, single):
+        assert np.array_equal(a, b)
