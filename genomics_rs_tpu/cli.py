@@ -111,6 +111,15 @@ def _build_parser() -> argparse.ArgumentParser:
         "device extension)",
     )
     mp.add_argument("-q", "--queries", required=True)
+    mp.add_argument(
+        "-2", "--queries2", default=None,
+        help="mate file for paired-end mapping (record i pairs with "
+        "record i of -q); SAM gains pair flags, RNEXT/PNEXT/TLEN",
+    )
+    mp.add_argument(
+        "--max-insert", type=int, default=1000,
+        help="max outer distance for a proper pair (paired-end only)",
+    )
     mp.add_argument("-r", "--ref", required=True)
     mp.add_argument("-k", type=int, default=21, help="seed k-mer size")
     mp.add_argument(
@@ -417,11 +426,7 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.perf_counter()
         index = KmerIndex(refs, args.k)
         t_index = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        results = map_reads(
-            queries,
-            refs,
-            config.scores,
+        kw = dict(
             index=index,
             stride=args.stride,
             band=args.band,
@@ -430,6 +435,41 @@ def main(argv: list[str] | None = None) -> int:
             both_strands=not args.single_strand,
             engine=args.engine,
         )
+        if args.queries2 is not None:
+            from genomics_rs_tpu.models.mapper import (
+                map_pairs,
+                write_sam_paired,
+            )
+
+            mates = SequenceContainer().from_reads(args.queries2).sequences
+            if len(mates) != len(queries):
+                log.error(
+                    "mate count mismatch: %d vs %d",
+                    len(queries), len(mates),
+                )
+                return 1
+            if args.format != "sam":
+                log.error("paired-end mapping writes SAM (--format sam)")
+                return 1
+            t0 = time.perf_counter()
+            res1, res2 = map_pairs(
+                queries, mates, refs, config.scores, **kw
+            )
+            t_map = time.perf_counter() - t0
+            n_mapped = sum(r.mapped for r in res1 + res2)
+            proper = write_sam_paired(
+                args.output, res1, res2, header_refs=refs,
+                max_insert=args.max_insert,
+            )
+            print(
+                f"{n_mapped}/{2 * len(res1)} ends mapped, "
+                f"{proper}/{len(res1)} proper pairs in {t_map:.3f}s "
+                f"(index {len(index)} {args.k}-mers in {t_index:.3f}s)"
+            )
+            print(f"wrote {args.output}")
+            return 0
+        t0 = time.perf_counter()
+        results = map_reads(queries, refs, config.scores, **kw)
         t_map = time.perf_counter() - t0
         n_mapped = sum(r.mapped for r in results)
         print(

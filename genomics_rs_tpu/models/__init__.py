@@ -1,7 +1,13 @@
 """High-level model-like APIs (aligners over the DP kernels)."""
 
 from genomics_rs_tpu.models.aligner import PairwiseAligner, align_pair
-from genomics_rs_tpu.models.mapper import KmerIndex, MappedRead, map_reads
+from genomics_rs_tpu.models.mapper import (
+    KmerIndex,
+    MappedRead,
+    map_pairs,
+    map_reads,
+    write_sam_paired,
+)
 from genomics_rs_tpu.models.reads import align_reads, write_sam
 
 __all__ = [
@@ -12,4 +18,6 @@ __all__ = [
     "KmerIndex",
     "MappedRead",
     "map_reads",
+    "map_pairs",
+    "write_sam_paired",
 ]

@@ -413,3 +413,117 @@ def map_reads(
                 )
             )
     return out
+
+
+def map_pairs(
+    reads1: list[Sequence],
+    reads2: list[Sequence],
+    ref: Sequence | list[Sequence],
+    scores: Scores,
+    **kwargs,
+) -> tuple[list[MappedRead], list[MappedRead]]:
+    """Map both ends of a paired-end library (framework extension).
+
+    ``reads1[i]`` and ``reads2[i]`` are mates. Both ends ride the same
+    prebuilt index and the same batched machinery; pairing itself is
+    pure SAM bookkeeping, done in :func:`write_sam_paired`.
+    """
+    if len(reads1) != len(reads2):
+        raise ValueError(
+            f"mate count mismatch: {len(reads1)} vs {len(reads2)}"
+        )
+    refs = [ref] if isinstance(ref, Sequence) else list(ref)
+    if kwargs.get("index") is None:
+        kwargs["index"] = KmerIndex(refs, kwargs.pop("k", 21))
+    else:
+        kwargs.pop("k", None)
+    res1 = map_reads(reads1, refs, scores, **kwargs)
+    res2 = map_reads(reads2, refs, scores, **kwargs)
+    return res1, res2
+
+
+def write_sam_paired(
+    path: str,
+    res1: list[MappedRead],
+    res2: list[MappedRead],
+    header_refs: list[Sequence] | None = None,
+    max_insert: int = 1000,
+) -> int:
+    """Write mate-annotated SAM records for paired mapping results.
+
+    Pair flags follow SAM 1.6: 0x1 on every record, 0x40/0x80 for
+    first/second of pair, 0x8/0x20 mirror the mate's unmapped/strand
+    state, and 0x2 (proper pair) is set when both ends map to the same
+    contig on opposite strands in FR orientation (the forward end
+    starts at or left of the reverse end's start) with an outer
+    distance <= ``max_insert``. RNEXT is ``=`` for same-contig mates,
+    PNEXT the mate's folded POS, and TLEN the signed outer distance
+    (+ on the leftmost record, - on the rightmost, 0 when undefined).
+    Records interleave (R1, R2) per template. Returns the number of
+    proper pairs.
+    """
+    from genomics_rs_tpu.models.reads import (
+        _sam_header,
+        _sam_line,
+        sam_records,
+    )
+
+    def records(res):
+        return sam_records(
+            [r.contig for r in res],
+            [r.aligned for r in res],
+            [r.cigar for r in res],
+            [r.mapinfo for r in res],
+            [r.strand for r in res],
+        )
+
+    rec1, rec2 = records(res1), records(res2)
+    proper = 0
+    with open(path, "w") as f:
+        f.write(
+            _sam_header(
+                [r.contig for r in res1 + res2], header_refs
+            )
+        )
+        for a, b in zip(rec1, rec2):
+            a["flag"] |= 0x1 | 0x40
+            b["flag"] |= 0x1 | 0x80
+            for me, mate in ((a, b), (b, a)):
+                if not mate["mapped"]:
+                    me["flag"] |= 0x8
+                if mate["flag"] & 0x10:
+                    me["flag"] |= 0x20
+            is_proper = False
+            tlen_a = tlen_b = 0
+            if a["mapped"] and b["mapped"] and a["rname"] == b["rname"]:
+                fwd, rev = (a, b) if not a["flag"] & 0x10 else (b, a)
+                lo = min(a["pos"], b["pos"])
+                hi = max(a["ref_end"], b["ref_end"])
+                outer = hi - lo + 1
+                is_proper = (
+                    (a["flag"] & 0x10) != (b["flag"] & 0x10)
+                    and fwd["pos"] <= rev["pos"]
+                    and outer <= max_insert
+                )
+                # Signed TLEN on any same-contig pair, proper or not.
+                if a["pos"] < b["pos"] or (
+                    a["pos"] == b["pos"] and a["ref_end"] <= b["ref_end"]
+                ):
+                    tlen_a, tlen_b = outer, -outer
+                else:
+                    tlen_a, tlen_b = -outer, outer
+            if is_proper:
+                a["flag"] |= 0x2
+                b["flag"] |= 0x2
+                proper += 1
+            for me, mate, tl in ((a, b, tlen_a), (b, a, tlen_b)):
+                if mate["mapped"]:
+                    rnext = (
+                        "=" if mate["rname"] == me["rname"] and me["mapped"]
+                        else mate["rname"]
+                    )
+                    pnext = mate["pos"]
+                else:
+                    rnext, pnext = "*", 0
+                f.write(_sam_line(me, rnext, pnext, tl))
+    return proper

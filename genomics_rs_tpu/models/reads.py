@@ -76,6 +76,114 @@ def cigar(aligned: AlignedSequences) -> str:
     return "".join(f"{count}{op}" for op, count in ops)
 
 
+def _sam_token(name: str) -> str:
+    """SAM QNAME/RNAME cannot contain whitespace; a bare ``>``/``@``
+    header yields ``name == ""`` and split() then has no tokens."""
+    parts = name.split()
+    return parts[0] if parts else "*"
+
+
+def sam_records(
+    refs: list[Sequence],
+    aligned: list[AlignedSequences],
+    cigars: list[str],
+    mapinfo: list[tuple[int, int, int, int]],
+    strands: list[str] | None = None,
+) -> list[dict]:
+    """Per-read SAM record fields (before mate annotation / writing).
+
+    Each dict carries ``qname, flag, rname, pos, cigar, seq, qual,
+    score, mapped, ref_end`` — ``pos`` is 1-based after edge folding,
+    ``ref_end`` the 1-based inclusive last reference column the CIGAR
+    consumes (0 when unmapped). ``flag`` holds only 0x4/0x10 here;
+    pairing layers OR in their bits before writing.
+
+    Edge normalization: the reference's local termination quirk
+    (``algo.rs:351-405`` — a zero cell still takes a move when an arm
+    matches) can walk through zero-score plateaus, yielding paths that
+    begin/end with D or I runs. SAM forbids clip-adjacent D and
+    records gain nothing from them, so edge D runs are folded into POS
+    and edge I runs into the soft clips; the TSV/path outputs keep the
+    raw reference-faithful walk.
+    """
+    import re
+
+    out = []
+    for k, a in enumerate(aligned):
+        qname = _sam_token(a.s1.name)
+        seq = a.s1.sequence or "*"
+        qual = a.s1.quality or "*"
+        i0, j0, end_i, _ = mapinfo[k]
+        runs = [
+            [int(n), op]
+            for n, op in re.findall(r"(\d+)([MID])", cigars[k])
+        ]
+        pos = j0 + 1
+        head_clip = i0
+        tail_clip = len(a.s1) - end_i
+        while runs and runs[0][1] != "M":
+            n, op = runs.pop(0)
+            if op == "D":
+                pos += n
+            else:
+                head_clip += n
+        while runs and runs[-1][1] != "M":
+            n, op = runs.pop()
+            if op == "I":
+                tail_clip += n
+        if not runs:
+            out.append(
+                dict(
+                    qname=qname, flag=4, rname="*", pos=0, cigar="*",
+                    seq=seq, qual=qual, score=a.score, mapped=False,
+                    ref_end=0,
+                )
+            )
+            continue
+        flag = 16 if strands is not None and strands[k] == "-" else 0
+        head = f"{head_clip}S" if head_clip else ""
+        tail = f"{tail_clip}S" if tail_clip > 0 else ""
+        cig = head + "".join(f"{n}{op}" for n, op in runs) + tail
+        ref_len = sum(n for n, op in runs if op in ("M", "D"))
+        out.append(
+            dict(
+                qname=qname, flag=flag, rname=_sam_token(refs[k].name),
+                pos=pos, cigar=cig, seq=seq, qual=qual, score=a.score,
+                mapped=True, ref_end=pos + ref_len - 1,
+            )
+        )
+    return out
+
+
+def _sam_header(
+    refs: list[Sequence], header_refs: list[Sequence] | None
+) -> str:
+    sq: dict[str, int] = {}
+    # header_refs (when given) lists the FULL reference set so @SQ
+    # covers contigs no read mapped to; per-read refs follow so any
+    # record's RNAME is guaranteed declared.
+    for r in (header_refs or []) + list(refs):
+        name = _sam_token(r.name)
+        if sq.setdefault(name, len(r)) != len(r):
+            raise ValueError(
+                f"distinct references share SAM RNAME {name!r} with "
+                "different lengths — rename them (RNAME is the "
+                "header's first whitespace token)"
+            )
+    lines = ["@HD\tVN:1.6\tSO:unknown"]
+    lines += [f"@SQ\tSN:{n}\tLN:{ln}" for n, ln in sq.items()]
+    lines.append("@PG\tID:genomics_rs_tpu\tPN:genomics_rs_tpu")
+    return "\n".join(lines) + "\n"
+
+
+def _sam_line(r: dict, rnext="*", pnext=0, tlen=0) -> str:
+    return (
+        f"{r['qname']}\t{r['flag']}\t{r['rname']}\t{r['pos']}\t"
+        f"{255 if r['mapped'] else 0}\t{r['cigar']}\t{rnext}\t{pnext}\t"
+        f"{tlen}\t{r['seq']}\t{r['qual']}\tAS:i:{r['score']}\n"
+    )
+
+
 def write_sam(
     path: str,
     refs: list[Sequence],
@@ -95,79 +203,13 @@ def write_sam(
     read whose local alignment is empty (score 0, empty CIGAR) is
     emitted unmapped (FLAG 4). AS:i carries the DP score. ``refs`` is
     the per-read reference list — @SQ lines are deduped by name in
-    first-appearance order.
-
-    Edge normalization: the reference's local termination quirk
-    (``algo.rs:351-405`` — a zero cell still takes a move when an arm
-    matches) can walk through zero-score plateaus, yielding paths that
-    begin/end with D or I runs. SAM forbids clip-adjacent D and
-    records gain nothing from them, so edge D runs are folded into POS
-    and edge I runs into the soft clips; the TSV/path outputs keep the
-    raw reference-faithful walk.
+    first-appearance order. See :func:`sam_records` for the
+    zero-plateau edge normalization.
     """
-    import re
-
-    def _token(name: str) -> str:
-        # SAM QNAME/RNAME cannot contain whitespace; a bare ">"/"@"
-        # header yields name="" and split() then has no tokens.
-        parts = name.split()
-        return parts[0] if parts else "*"
-
-    sq: dict[str, int] = {}
-    # header_refs (when given) lists the FULL reference set so @SQ
-    # covers contigs no read mapped to; per-read refs follow so any
-    # record's RNAME is guaranteed declared.
-    for r in (header_refs or []) + list(refs):
-        name = _token(r.name)
-        if sq.setdefault(name, len(r)) != len(r):
-            raise ValueError(
-                f"distinct references share SAM RNAME {name!r} with "
-                "different lengths — rename them (RNAME is the "
-                "header's first whitespace token)"
-            )
     with open(path, "w") as f:
-        f.write("@HD\tVN:1.6\tSO:unknown\n")
-        for name, ln in sq.items():
-            f.write(f"@SQ\tSN:{name}\tLN:{ln}\n")
-        f.write("@PG\tID:genomics_rs_tpu\tPN:genomics_rs_tpu\n")
-        for k, a in enumerate(aligned):
-            qname = _token(a.s1.name)
-            rname = _token(refs[k].name)
-            seq = a.s1.sequence or "*"
-            qual = a.s1.quality or "*"
-            i0, j0, end_i, _ = mapinfo[k]
-            runs = [
-                [int(n), op]
-                for n, op in re.findall(r"(\d+)([MID])", cigars[k])
-            ]
-            pos = j0 + 1
-            head_clip = i0
-            tail_clip = len(a.s1) - end_i
-            while runs and runs[0][1] != "M":
-                n, op = runs.pop(0)
-                if op == "D":
-                    pos += n
-                else:
-                    head_clip += n
-            while runs and runs[-1][1] != "M":
-                n, op = runs.pop()
-                if op == "I":
-                    tail_clip += n
-            if not runs:
-                f.write(
-                    f"{qname}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq}\t{qual}"
-                    f"\tAS:i:{a.score}\n"
-                )
-                continue
-            flag = 16 if strands is not None and strands[k] == "-" else 0
-            head = f"{head_clip}S" if head_clip else ""
-            tail = f"{tail_clip}S" if tail_clip > 0 else ""
-            cig = "".join(f"{n}{op}" for n, op in runs)
-            f.write(
-                f"{qname}\t{flag}\t{rname}\t{pos}\t255\t"
-                f"{head}{cig}{tail}\t*\t0\t0\t{seq}\t{qual}"
-                f"\tAS:i:{a.score}\n"
-            )
+        f.write(_sam_header(refs, header_refs))
+        for r in sam_records(refs, aligned, cigars, mapinfo, strands):
+            f.write(_sam_line(r))
 
 
 def encode_batch(

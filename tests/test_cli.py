@@ -427,3 +427,42 @@ def test_cli_map(tmp_path):
     assert [r[2] for r in rows] == ["+", "-", "+"]
     assert [r[3] for r in rows] == ["1", "1", "0"]
     assert rows[0][4] == "501" and rows[0][5] == "90"
+
+
+def test_cli_map_paired(tmp_path):
+    """map -2 mate file: paired-end SAM with pair flags and TLEN."""
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    ref_seq = "".join(rng.choice(list("ACGT"), 3000))
+    r = tmp_path / "ref.fasta"
+    r.write_text(f">chr1\n{ref_seq}\n")
+    comp = str.maketrans("ACGT", "TGCA")
+    q1 = tmp_path / "r1.fastq"
+    q2 = tmp_path / "r2.fastq"
+    q1.write_text(f"@t0\n{ref_seq[800:900]}\n+\n{'I' * 100}\n")
+    q2.write_text(
+        f"@t0\n{ref_seq[1100:1200].translate(comp)[::-1]}\n+\n{'I' * 100}\n"
+    )
+    out = tmp_path / "p.sam"
+    res = _run(
+        ["map", "-q", str(q1), "-2", str(q2), "-r", str(r),
+         "-k", "15", "--engine", "scan", "-o", str(out)],
+        str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr
+    assert "2/2 ends mapped, 1/1 proper pairs" in res.stdout
+    recs = [
+        l.split("\t") for l in out.read_text().splitlines()
+        if not l.startswith("@")
+    ]
+    assert [int(x[1]) for x in recs] == [99, 147]
+    assert recs[0][6] == "=" and int(recs[0][8]) == 400
+
+    # Paired mapping requires SAM output.
+    res = _run(
+        ["map", "-q", str(q1), "-2", str(q2), "-r", str(r),
+         "--format", "tsv", "-o", str(out)],
+        str(tmp_path),
+    )
+    assert res.returncode == 1

@@ -228,3 +228,63 @@ def test_vote_windows_parallel_matches_single(monkeypatch):
     par = _vote_windows(ix, enc4, 6, 64, 32)
     for a, b in zip(par, single):
         assert np.array_equal(a, b)
+
+
+def test_map_pairs_sam(tmp_path):
+    from genomics_rs_tpu.models.mapper import map_pairs, write_sam_paired
+
+    rng = np.random.default_rng(77)
+    ref = _random_ref(rng, 3000, name="chrP")
+    # Template 0: classic FR pair, outer distance 300.
+    p = 700
+    r1a = Sequence("t0", ref.sequence[p : p + 100], quality="I" * 100)
+    r2a = Sequence(
+        "t0",
+        Sequence("", ref.sequence[p + 200 : p + 300])
+        .reverse_complement()
+        .sequence,
+        quality="I" * 100,
+    )
+    # Template 1: mate unmapped.
+    r1b = Sequence("t1", ref.sequence[1500:1600])
+    r2b = Sequence("t1", "N" * 100)
+    # Template 2: discordant (both forward, far apart).
+    r1c = Sequence("t2", ref.sequence[100:200])
+    r2c = Sequence("t2", ref.sequence[2500:2600])
+    res1, res2 = map_pairs(
+        [r1a, r1b, r1c], [r2a, r2b, r2c], ref, SCORES,
+        k=15, engine="scan",
+    )
+    sam = tmp_path / "p.sam"
+    proper = write_sam_paired(
+        str(sam), res1, res2, header_refs=[ref], max_insert=1000
+    )
+    assert proper == 1
+    recs = [
+        l.split("\t") for l in sam.read_text().splitlines()
+        if not l.startswith("@")
+    ]
+    assert len(recs) == 6  # interleaved R1, R2 per template
+    f0a, f0b = int(recs[0][1]), int(recs[1][1])
+    # Classic proper-pair flags: 99 (paired+proper+mate-rev+first),
+    # 147 (paired+proper+rev+second).
+    assert (f0a, f0b) == (99, 147)
+    # RNEXT '=', PNEXT = mate POS, TLEN +300/-300.
+    assert recs[0][6] == "=" and recs[1][6] == "="
+    assert recs[0][7] == recs[1][3] and recs[1][7] == recs[0][3]
+    assert int(recs[0][3]) == p + 1
+    assert (int(recs[0][8]), int(recs[1][8])) == (300, -300)
+    # Template 1: R1 mapped + mate-unmapped bit; R2 unmapped, RNEXT
+    # points at the mapped mate.
+    f1a, f1b = int(recs[2][1]), int(recs[3][1])
+    assert f1a == 0x1 | 0x40 | 0x8
+    assert f1b & 0x4 and f1b & 0x80 and not f1b & 0x2
+    assert recs[3][6] == "chrP" and recs[3][7] == recs[2][3]
+    # Template 2: both mapped, same strand -> paired but not proper,
+    # TLEN still signed outer distance.
+    f2a, f2b = int(recs[4][1]), int(recs[5][1])
+    assert not f2a & 0x2 and not f2b & 0x2
+    assert int(recs[4][8]) > 0 and int(recs[5][8]) < 0
+
+    from tests.test_reads import _validate_sam
+    assert _validate_sam(sam.read_text()) == 5
