@@ -147,6 +147,11 @@ def _build_parser() -> argparse.ArgumentParser:
     mp.add_argument(
         "--engine", default="auto", choices=["auto", "pallas", "scan"]
     )
+    mp.add_argument(
+        "--seed-engine", default="host", choices=["host", "device"],
+        help="where diagonal voting runs; device needs -k <= 15 "
+        "(int32 packed keys) and is bit-identical to host",
+    )
     mp.add_argument("--format", choices=["sam", "tsv"], default="sam")
     mp.add_argument("-o", "--output", default="mapped.sam")
 
@@ -434,6 +439,7 @@ def main(argv: list[str] | None = None) -> int:
             min_seeds=args.min_seeds,
             both_strands=not args.single_strand,
             engine=args.engine,
+            seed_engine=args.seed_engine,
         )
         if args.queries2 is not None:
             from genomics_rs_tpu.models.mapper import (

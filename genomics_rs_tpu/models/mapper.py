@@ -35,6 +35,7 @@ land on the right reference sequence).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 
@@ -114,6 +115,7 @@ class KmerIndex:
         order = np.argsort(keys, kind="stable")
         self._keys = keys[order]
         self._pos = pos[order]
+        self._dev = None
 
     @property
     def ref(self) -> Sequence:
@@ -127,10 +129,128 @@ class KmerIndex:
     def __len__(self) -> int:
         return int(self._keys.size)
 
+    def device_arrays(self):
+        """Index as device-resident int32 arrays (keys, positions).
+
+        Device seeding needs ``k <= 15`` so packed keys fit 30 bits —
+        JAX defaults to 32-bit ints and 64-bit sorts/searches are slow
+        on TPU."""
+        if self.k > 15:
+            raise ValueError(
+                f"device seeding requires k <= 15 (int32 keys); "
+                f"index has k={self.k}"
+            )
+        if self._dev is None:
+            import jax.numpy as jnp
+
+            self._dev = (
+                jnp.asarray(self._keys.astype(np.int64).astype(np.int32)),
+                jnp.asarray(self._pos.astype(np.int32)),
+            )
+        return self._dev
+
     def lookup(self, key: int) -> np.ndarray:
         lo = np.searchsorted(self._keys, np.uint64(key), "left")
         hi = np.searchsorted(self._keys, np.uint64(key), "right")
         return self._pos[lo:hi]
+
+
+@functools.lru_cache(maxsize=16)
+def _device_vote_fn(k: int, S: int, H: int, band: int):
+    """Build the jitted fixed-shape voting kernel for one plan.
+
+    The ragged host pipeline (variable hit counts -> np.unique) cannot
+    jit; this twin re-states it with static shapes: every sampled seed
+    owns exactly ``H`` hit slots (masked beyond its true count — seeds
+    over the cap contribute nothing, like the host filter), per-read
+    candidate bins are sorted, and the bin-pair vote of EVERY hit
+    position is its bin's count plus bin+1's count via two batched
+    binary searches of the row into itself. The first argmax over the
+    sorted row is the smallest bin holding the max — the host
+    tie-break. Only needs int32: device seeding requires ``k <= 15``
+    (30-bit packed keys).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def fn(enc4c, keys, pos, offs):
+        C = enc4c.shape[0]
+        skeys = jnp.zeros((C, S), jnp.int32)
+        bad = jnp.zeros((C, S), bool)
+        for i in range(k):
+            col = enc4c[:, offs + i].astype(jnp.int32)
+            skeys = (skeys << 2) | (col & 3)
+            bad = bad | (col >= 4)
+        lo = jnp.searchsorted(keys, skeys.ravel(), side="left")
+        hi = jnp.searchsorted(keys, skeys.ravel(), side="right")
+        lo = lo.reshape(C, S).astype(jnp.int32)
+        cnt = (hi.reshape(C, S) - lo).astype(jnp.int32)
+        seed_ok = (~bad) & (cnt > 0) & (cnt <= H)
+        slot = jnp.arange(H, dtype=jnp.int32)
+        idx = jnp.clip(lo[:, :, None] + slot, 0, pos.size - 1)
+        hitmask = seed_ok[:, :, None] & (slot < cnt[:, :, None])
+        diag = pos[idx] - offs[None, :, None]
+        bins = jnp.floor_divide(diag, band)
+        BIG = jnp.int32(1) << 28  # > any real bin, +1 never wraps
+        rows = jnp.where(hitmask, bins, BIG).reshape(C, S * H)
+        rows = jnp.sort(rows, axis=1)
+
+        def count_row(row):
+            c1 = jnp.searchsorted(
+                row, row, side="right"
+            ) - jnp.searchsorted(row, row, side="left")
+            c2 = jnp.searchsorted(
+                row, row + 1, side="right"
+            ) - jnp.searchsorted(row, row + 1, side="left")
+            return c1 + c2
+
+        pair = jax.vmap(count_row)(rows)
+        pair = jnp.where(rows < BIG, pair, -1)
+        best = jnp.argmax(pair, axis=1)
+        bw = jnp.take_along_axis(rows, best[:, None], 1)[:, 0]
+        v = jnp.take_along_axis(pair, best[:, None], 1)[:, 0]
+        v = jnp.maximum(v, 0)
+        return v, jnp.where(v > 0, bw * band, 0)
+
+    return jax.jit(fn)
+
+
+def _vote_windows_device(
+    index: KmerIndex,
+    enc4: np.ndarray,
+    stride: int,
+    max_hits: int,
+    band: int,
+    chunk: int = 16384,
+):
+    """Device twin of :func:`_vote_windows` — same results, computed
+    on the accelerator with fixed shapes (chunked over reads; the
+    last chunk is padded with invalid rows so one jit serves all)."""
+    R, L = enc4.shape
+    k = index.k
+    n = L - k + 1
+    votes = np.zeros(R, np.int64)
+    wlo = np.zeros(R, np.int64)
+    if n <= 0:
+        return votes, wlo, wlo
+    keys_d, pos_d = index.device_arrays()
+    offs = np.arange(0, n, stride, dtype=np.int32)
+    fn = _device_vote_fn(k, offs.size, max_hits, band)
+    import jax.numpy as jnp
+
+    offs_d = jnp.asarray(offs)
+    for s in range(0, R, chunk):
+        part = enc4[s : s + chunk]
+        if part.shape[0] < chunk and R > chunk:
+            pad = np.full(
+                (chunk - part.shape[0], L), 0xFE, dtype=enc4.dtype
+            )
+            part = np.concatenate([part, pad])
+        v, w = fn(jnp.asarray(part), keys_d, pos_d, offs_d)
+        m = min(chunk, R - s)
+        votes[s : s + m] = np.asarray(v)[:m]
+        wlo[s : s + m] = np.asarray(w)[:m]
+    return votes, wlo, wlo + 2 * band
 
 
 @dataclasses.dataclass
@@ -269,6 +389,7 @@ def map_reads(
     min_seeds: int = 2,
     both_strands: bool = True,
     engine: str = "auto",
+    seed_engine: str = "host",
     with_paths: bool = False,
     batch: int = 4096,
 ) -> list[MappedRead]:
@@ -283,7 +404,9 @@ def map_reads(
     length ``>= k + stride``); ``min_seeds`` is the vote threshold
     below which a read is reported unmapped without an extension
     dispatch. Pass a prebuilt ``index`` to amortize it across calls
-    (its ``k`` then wins).
+    (its ``k`` then wins). ``seed_engine="device"`` votes on the
+    accelerator via the fixed-shape jitted twin (requires ``k <= 15``;
+    bit-identical to the host engine).
 
     Extension windows are ``read_len + 4*band`` wide; keeping that at
     or under the short-read kernel's 256-byte VMEM cap
@@ -313,7 +436,16 @@ def map_reads(
         np.stack([q.encoded(pad_to=L, pad_value=0xFE) for q in oriented])
     ]
     lens = np.array([len(q) for q in oriented], np.int64)
-    votes, wlo, whi = _vote_windows(index, enc4, stride, max_hits, band)
+    if seed_engine == "device":
+        votes, wlo, whi = _vote_windows_device(
+            index, enc4, stride, max_hits, band
+        )
+    elif seed_engine == "host":
+        votes, wlo, whi = _vote_windows(
+            index, enc4, stride, max_hits, band
+        )
+    else:
+        raise ValueError(f"unknown seed_engine {seed_engine!r}")
     if both_strands:
         use_rc = votes[B:] > votes[:B]  # forward wins ties
         pick = np.where(use_rc, np.arange(B) + B, np.arange(B))

@@ -288,3 +288,74 @@ def test_map_pairs_sam(tmp_path):
 
     from tests.test_reads import _validate_sam
     assert _validate_sam(sam.read_text()) == 5
+
+
+def test_device_seeding_matches_host():
+    """The jitted fixed-shape device voting must be bit-identical to
+    the host engine across planted/junk/N/repetitive reads."""
+    from genomics_rs_tpu.models.mapper import _BASE, _vote_windows
+    from genomics_rs_tpu.models.mapper import _vote_windows_device
+
+    rng = np.random.default_rng(17)
+    contigs = [_random_ref(rng, 2000, "c1"), _random_ref(rng, 1000, "c2")]
+    ix = KmerIndex(contigs, k=13)
+    reads = []
+    for t in range(40):
+        n = int(rng.integers(40, 120))
+        kind = t % 4
+        if kind == 0:
+            c = contigs[t % 2]
+            p = int(rng.integers(0, len(c) - n))
+            reads.append(c.sequence[p : p + n])
+        elif kind == 1:
+            reads.append("".join(rng.choice(list("ACGT"), n)))
+        elif kind == 2:
+            s = list(contigs[0].sequence[100 : 100 + n])
+            s[n // 2] = "N"
+            reads.append("".join(s))
+        else:
+            reads.append("A" * n)  # repetitive-ish
+    L = max(len(r) for r in reads)
+    enc4 = _BASE[
+        np.stack(
+            [
+                np.frombuffer((r + "\xfe" * (L - len(r))).encode("latin1"), np.uint8)
+                for r in reads
+            ]
+        )
+    ]
+    for stride, H, band in [(6, 64, 32), (1, 8, 16)]:
+        host = _vote_windows(ix, enc4, stride, H, band)
+        dev = _vote_windows_device(ix, enc4, stride, H, band, chunk=16)
+        for a, b in zip(dev, host):
+            assert np.array_equal(a, b), (stride, H, band)
+
+
+def test_device_seeding_end_to_end():
+    rng = np.random.default_rng(23)
+    ref = _random_ref(rng, 3000)
+    reads = [
+        Sequence("f", ref.sequence[500:590]),
+        Sequence(
+            "r",
+            Sequence("", ref.sequence[1200:1290])
+            .reverse_complement()
+            .sequence,
+        ),
+        Sequence("junk", "N" * 90),
+    ]
+    host = map_reads(reads, ref, SCORES, k=15, engine="scan")
+    dev = map_reads(
+        reads, ref, SCORES, k=15, engine="scan", seed_engine="device"
+    )
+    for a, b in zip(dev, host):
+        assert (a.mapped, a.strand, a.score, a.mapinfo, a.cigar) == (
+            b.mapped, b.strand, b.score, b.mapinfo, b.cigar,
+        )
+
+
+def test_device_seeding_rejects_large_k():
+    ref = Sequence("r", "ACGT" * 100)
+    ix = KmerIndex(ref, k=21)
+    with pytest.raises(ValueError, match="k <= 15"):
+        ix.device_arrays()
