@@ -780,6 +780,38 @@ def run_smoke() -> int:
             if not ok:
                 failures.append(("reads_pipeline", loc, i, None, None))
 
+    # Seed-and-extend mapper: device seeding + pallas extension vs
+    # host seeding + scan extension on a small planted corpus.
+    from genomics_rs_tpu.models.mapper import map_reads
+    from genomics_rs_tpu.sequence import Sequence as _SeqM
+
+    mref = _SeqM(
+        "smokeref", "".join("ACGT"[c] for c in rng.integers(0, 4, 3000))
+    )
+    comp_m = str.maketrans("ACGT", "TGCA")
+    mreads = [
+        _SeqM("sf", mref.sequence[500:590]),
+        _SeqM("sr", mref.sequence[1200:1290].translate(comp_m)[::-1]),
+        _SeqM("sn", "N" * 90),
+    ]
+    got_m = _retry(
+        lambda: map_reads(
+            mreads, mref, scores, k=15, engine="pallas",
+            seed_engine="device",
+        ),
+        label="smoke mapper",
+    )
+    want_m = map_reads(
+        mreads, mref, scores, k=15, engine="scan", seed_engine="host"
+    )
+    for i, (g, w) in enumerate(zip(got_m, want_m)):
+        ok = (g.mapped, g.strand, g.score, g.mapinfo, g.cigar) == (
+            w.mapped, w.strand, w.score, w.mapinfo, w.cigar,
+        )
+        print(f"[smoke] mapper read{i}: {'ok' if ok else 'MISMATCH'}")
+        if not ok:
+            failures.append(("mapper", None, i, None, None))
+
     # Single-pair fill with dirs (the lean row-block dirs engine).
     # Scores/starts vs the C++ oracle; the packed direction words
     # themselves vs interpret mode cell-exactly over the true region
