@@ -429,7 +429,13 @@ def main(argv: list[str] | None = None) -> int:
             log.error("no reads or no reference loaded")
             return 1
         t0 = time.perf_counter()
-        index = KmerIndex(refs, args.k)
+        try:
+            index = KmerIndex(refs, args.k)
+            if args.seed_engine == "device":
+                index.device_arrays()  # validate k/size up front
+        except ValueError as e:
+            log.error("%s", e)
+            return 1
         t_index = time.perf_counter() - t0
         kw = dict(
             index=index,
@@ -458,9 +464,13 @@ def main(argv: list[str] | None = None) -> int:
                 log.error("paired-end mapping writes SAM (--format sam)")
                 return 1
             t0 = time.perf_counter()
-            res1, res2 = map_pairs(
-                queries, mates, refs, config.scores, **kw
-            )
+            try:
+                res1, res2 = map_pairs(
+                    queries, mates, refs, config.scores, **kw
+                )
+            except ValueError as e:
+                log.error("%s", e)
+                return 1
             t_map = time.perf_counter() - t0
             n_mapped = sum(r.mapped for r in res1 + res2)
             proper = write_sam_paired(
@@ -475,7 +485,11 @@ def main(argv: list[str] | None = None) -> int:
             print(f"wrote {args.output}")
             return 0
         t0 = time.perf_counter()
-        results = map_reads(queries, refs, config.scores, **kw)
+        try:
+            results = map_reads(queries, refs, config.scores, **kw)
+        except ValueError as e:
+            log.error("%s", e)
+            return 1
         t_map = time.perf_counter() - t0
         n_mapped = sum(r.mapped for r in results)
         print(
@@ -493,17 +507,27 @@ def main(argv: list[str] | None = None) -> int:
                 header_refs=refs,
             )
         else:
+            from genomics_rs_tpu.models.reads import sam_records
+
+            # Fold edge zero-plateau runs exactly like the SAM writer
+            # so both output formats report the same position.
+            recs = sam_records(
+                [r.contig for r in results],
+                [r.aligned for r in results],
+                [r.cigar for r in results],
+                [r.mapinfo for r in results],
+                [r.strand for r in results],
+            )
             with open(args.output, "w") as f:
                 f.write(
                     "query\tref\tstrand\tmapped\tpos\tscore\tseeds\tcigar\n"
                 )
-                for r in results:
-                    pos = r.mapinfo[1] + 1 if r.mapped else 0
+                for r, rec in zip(results, recs):
                     rname = r.contig.name if r.mapped else "*"
                     f.write(
                         f"{r.read.name}\t{rname}\t{r.strand}\t"
-                        f"{int(r.mapped)}\t{pos}\t{r.score}\t{r.seeds}\t"
-                        f"{r.cigar}\n"
+                        f"{int(r.mapped)}\t{rec['pos']}\t{r.score}\t"
+                        f"{r.seeds}\t{r.cigar}\n"
                     )
         print(f"wrote {args.output}")
         return 0

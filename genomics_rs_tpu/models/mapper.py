@@ -140,6 +140,12 @@ class KmerIndex:
                 f"device seeding requires k <= 15 (int32 keys); "
                 f"index has k={self.k}"
             )
+        if int(self.starts[-1]) > np.iinfo(np.int32).max:
+            raise ValueError(
+                "device seeding requires total reference length "
+                f"< 2^31 (got {int(self.starts[-1])}); use the host "
+                "seed engine"
+            )
         if self._dev is None:
             import jax.numpy as jnp
 
@@ -189,7 +195,8 @@ def _device_vote_fn(k: int, S: int, H: int, band: int):
         slot = jnp.arange(H, dtype=jnp.int32)
         idx = jnp.clip(lo[:, :, None] + slot, 0, pos.size - 1)
         hitmask = seed_ok[:, :, None] & (slot < cnt[:, :, None])
-        diag = pos[idx] - offs[None, :, None]
+        hitpos = pos[idx]
+        diag = hitpos - offs[None, :, None]
         bins = jnp.floor_divide(diag, band)
         BIG = jnp.int32(1) << 28  # > any real bin, +1 never wraps
         rows = jnp.where(hitmask, bins, BIG).reshape(C, S * H)
@@ -210,7 +217,17 @@ def _device_vote_fn(k: int, S: int, H: int, band: int):
         bw = jnp.take_along_axis(rows, best[:, None], 1)[:, 0]
         v = jnp.take_along_axis(pair, best[:, None], 1)[:, 0]
         v = jnp.maximum(v, 0)
-        return v, jnp.where(v > 0, bw * band, 0)
+        # Contig anchor: smallest hit position inside the winning bin
+        # pair (a real global reference coordinate).
+        IMAX = jnp.int32(np.iinfo(np.int32).max)
+        inwin = hitmask & (
+            (bins == bw[:, None, None]) | (bins == bw[:, None, None] + 1)
+        )
+        amin = jnp.min(
+            jnp.where(inwin, hitpos, IMAX).reshape(C, S * H), axis=1
+        )
+        anchor = jnp.where(v > 0, amin, -1)
+        return v, jnp.where(v > 0, bw * band, 0), anchor
 
     return jax.jit(fn)
 
@@ -231,8 +248,9 @@ def _vote_windows_device(
     n = L - k + 1
     votes = np.zeros(R, np.int64)
     wlo = np.zeros(R, np.int64)
+    anchor = np.full(R, -1, np.int64)
     if n <= 0:
-        return votes, wlo, wlo
+        return votes, wlo, wlo, anchor
     keys_d, pos_d = index.device_arrays()
     offs = np.arange(0, n, stride, dtype=np.int32)
     fn = _device_vote_fn(k, offs.size, max_hits, band)
@@ -246,11 +264,12 @@ def _vote_windows_device(
                 (chunk - part.shape[0], L), 0xFE, dtype=enc4.dtype
             )
             part = np.concatenate([part, pad])
-        v, w = fn(jnp.asarray(part), keys_d, pos_d, offs_d)
+        v, w, a = fn(jnp.asarray(part), keys_d, pos_d, offs_d)
         m = min(chunk, R - s)
         votes[s : s + m] = np.asarray(v)[:m]
         wlo[s : s + m] = np.asarray(w)[:m]
-    return votes, wlo, wlo + 2 * band
+        anchor[s : s + m] = np.asarray(a)[:m]
+    return votes, wlo, wlo + 2 * band, anchor
 
 
 @dataclasses.dataclass
@@ -285,18 +304,24 @@ def _vote_windows(
 ):
     """Best candidate window per row of a (R, L) read matrix.
 
-    Returns ``(votes, wlo, whi)`` per row: the winning diagonal
-    bin-pair's vote count and its diagonal span ``[wlo, whi)`` (window
-    columns are ``diag .. diag + m``, so the caller widens by read
-    length + band). Rows with no in-cap seed hits get votes == 0.
+    Returns ``(votes, wlo, whi, anchor)`` per row: the winning
+    diagonal bin-pair's vote count, its diagonal span ``[wlo, whi)``
+    (window columns are ``diag .. diag + m``, so the caller widens by
+    read length + band), and ``anchor`` — the smallest REFERENCE HIT
+    POSITION among the winning bins' hits. The anchor is a real
+    global coordinate inside the supporting contig, which is what the
+    caller must use to assign the window's contig (the widened window
+    itself may straddle a boundary). Rows with no in-cap seed hits
+    get votes == 0 and anchor == -1.
     """
     R, L = enc4.shape
     k = index.k
     n = L - k + 1
     votes = np.zeros(R, np.int64)
     wlo = np.zeros(R, np.int64)
+    anchor = np.full(R, -1, np.int64)
     if n <= 0:
-        return votes, wlo, wlo
+        return votes, wlo, wlo, anchor
     # Big batches: chunk rows across threads — the hot numpy ops
     # (gathers, searchsorted, unique/sort) release the GIL, and chunks
     # are independent, so results are bit-identical to one pass.
@@ -337,7 +362,7 @@ def _vote_windows(
     use = svalid.ravel() & (cnt > 0) & (cnt <= max_hits)
     lo, cnt = lo[use], cnt[use]
     if lo.size == 0:
-        return votes, wlo, wlo
+        return votes, wlo, wlo, anchor
     rid = np.repeat(np.arange(R), offs.size)[use]
     off = np.tile(offs, R)[use]
     # Ragged expansion of [lo, lo+cnt) hit runs into flat arrays:
@@ -355,14 +380,24 @@ def _vote_windows(
     bins = diag // band
     binmin = bins.min()
     combo = rid_f * np.int64(1 << 40) + (bins - binmin)
-    ub, uc = np.unique(combo, return_counts=True)
+    # Sorted-group pass (replaces np.unique) so each bin also yields
+    # its minimum hit position — the winning window's contig anchor.
+    order0 = np.argsort(combo, kind="stable")
+    combo_s = combo[order0]
+    pos_s = pos[order0]
+    ub, first0 = np.unique(combo_s, return_index=True)
+    uc = np.diff(np.concatenate([first0, [combo_s.size]]))
+    uminpos = np.minimum.reduceat(pos_s, first0)
     nxt = np.searchsorted(ub, ub + 1)
-    nxt_c = np.where(
-        (nxt < ub.size) & (ub[np.minimum(nxt, ub.size - 1)] == ub + 1),
-        uc[np.minimum(nxt, ub.size - 1)],
-        0,
+    has_nxt = (nxt < ub.size) & (
+        ub[np.minimum(nxt, ub.size - 1)] == ub + 1
     )
-    pair = uc + nxt_c
+    nxt_cl = np.minimum(nxt, ub.size - 1)
+    pair = uc + np.where(has_nxt, uc[nxt_cl], 0)
+    pairpos = np.minimum(
+        uminpos,
+        np.where(has_nxt, uminpos[nxt_cl], np.iinfo(np.int64).max),
+    )
     urid = (ub >> np.int64(40)).astype(np.int64)
     ubin = (ub & np.int64((1 << 40) - 1)) + binmin
     # Per-read argmax over bin pairs: sort by (read, -votes, bin) and
@@ -373,7 +408,8 @@ def _vote_windows(
     rows = order[first]
     votes[urid_s[first]] = pair[rows]
     wlo[urid_s[first]] = ubin[rows] * band
-    return votes, wlo, wlo + 2 * band
+    anchor[urid_s[first]] = pairpos[rows]
+    return votes, wlo, wlo + 2 * band, anchor
 
 
 def map_reads(
@@ -415,6 +451,10 @@ def map_reads(
     reads with ``band<=26``. Wider windows still work but fall back to
     the scan fill.
     """
+    if band < 1:
+        raise ValueError(f"band={band} must be >= 1 (diagonal bin width)")
+    if max_hits < 1:
+        raise ValueError(f"max_hits={max_hits} must be >= 1")
     refs = [ref] if isinstance(ref, Sequence) else list(ref)
     if index is None:
         index = KmerIndex(refs, k)
@@ -428,20 +468,29 @@ def map_reads(
     B = len(queries)
     if B == 0:
         return []
-    oriented = list(queries)
+    # Case-normalize for seeding AND extension: the index case-folds
+    # (soft-masked lowercase reference regions still seed) and the DP
+    # layer compares raw bytes, so both sides must see one case or a
+    # read over a lowercase region would seed, then score 0.
+    def _upper(q: Sequence) -> Sequence:
+        if q.sequence.isupper():
+            return q
+        return Sequence(q.name, q.sequence.upper(), q.quality)
+
+    oriented = [_upper(q) for q in queries]
     if both_strands:
-        oriented = oriented + [q.reverse_complement() for q in queries]
+        oriented = oriented + [q.reverse_complement() for q in oriented[:B]]
     L = max(max(len(q) for q in oriented), 1)
     enc4 = _BASE[
         np.stack([q.encoded(pad_to=L, pad_value=0xFE) for q in oriented])
     ]
     lens = np.array([len(q) for q in oriented], np.int64)
     if seed_engine == "device":
-        votes, wlo, whi = _vote_windows_device(
+        votes, wlo, whi, anchor = _vote_windows_device(
             index, enc4, stride, max_hits, band
         )
     elif seed_engine == "host":
-        votes, wlo, whi = _vote_windows(
+        votes, wlo, whi, anchor = _vote_windows(
             index, enc4, stride, max_hits, band
         )
     else:
@@ -449,7 +498,9 @@ def map_reads(
     if both_strands:
         use_rc = votes[B:] > votes[:B]  # forward wins ties
         pick = np.where(use_rc, np.arange(B) + B, np.arange(B))
-        votes, wlo, whi = votes[pick], wlo[pick], whi[pick]
+        votes, wlo, whi, anchor = (
+            votes[pick], wlo[pick], whi[pick], anchor[pick],
+        )
         chosen = [oriented[int(p)] for p in pick]
         strands = ["-" if rc else "+" for rc in use_rc]
     else:
@@ -463,15 +514,18 @@ def map_reads(
             continue
         ws = max(int(wlo[i]) - band, 0)
         we = min(int(whi[i]) + int(lens[i]) + band, total)
-        # The diagonal span lives in global coordinates; clip the
-        # window to the contig owning its midpoint.
-        cid = index.contig_of(min(max((ws + we) // 2, 0), total - 1))
+        # The widened window can straddle a contig boundary; the
+        # anchor — a real hit position from the winning bins — names
+        # the supporting contig, and the window is clipped to it.
+        cid = index.contig_of(int(anchor[i]))
         c0, c1 = int(index.starts[cid]), int(index.starts[cid + 1])
         ws, we = max(ws, c0), min(we, c1)
         if we <= ws:
             continue
         contig = index.refs[cid]
-        win_seqs.append(Sequence(contig.name, contig.sequence[ws - c0 : we - c0]))
+        win_seqs.append(
+            Sequence(contig.name, contig.sequence[ws - c0 : we - c0].upper())
+        )
         win_starts.append(ws - c0)
         win_contig.append(contig)
         mapped_ix.append(i)
@@ -502,17 +556,14 @@ def map_reads(
     out: list[MappedRead] = []
     for i in range(B):
         q = chosen[i]
-        if i in ext:
+        if i in ext and "M" in ext[i][1]:
             a, cg, info, contig = ext[i]
             out.append(
                 MappedRead(
                     read=q,
                     contig=contig,
                     strand=strands[i],
-                    # A zero-plateau pure-D/I walk (reference local
-                    # quirk) has no aligned block — write_sam emits it
-                    # unmapped, and this flag agrees.
-                    mapped="M" in cg,
+                    mapped=True,
                     score=a.score,
                     mapinfo=info,
                     cigar=cg,
@@ -521,6 +572,12 @@ def map_reads(
                 )
             )
         else:
+            # Unmapped: no candidate window, OR an extension whose
+            # walk is a zero-plateau pure-D/I run (reference local
+            # quirk — no aligned block). Emitted with the ORIGINAL
+            # read and forward strand: orientation is meaningless for
+            # an unmapped record, and an RC SEQ with no 0x10 flag
+            # would reconstruct the wrong-strand read downstream.
             empty = AlignedSequences(
                 s1=queries[i],
                 s2=Sequence(refs[0].name, ""),
@@ -609,6 +666,10 @@ def write_sam_paired(
             [r.strand for r in res],
         )
 
+    if len(res1) != len(res2):
+        raise ValueError(
+            f"mate count mismatch: {len(res1)} vs {len(res2)}"
+        )
     rec1, rec2 = records(res1), records(res2)
     proper = 0
     with open(path, "w") as f:

@@ -359,3 +359,61 @@ def test_device_seeding_rejects_large_k():
     ix = KmerIndex(ref, k=21)
     with pytest.raises(ValueError, match="k <= 15"):
         ix.device_arrays()
+
+
+def test_map_reads_contig_boundary_anchor():
+    """A read at the very tail/head of a contig must be assigned to
+    THAT contig even though its widened window straddles the boundary
+    (the anchor is a real hit position, not a window midpoint)."""
+    rng = np.random.default_rng(41)
+    a = _random_ref(rng, 1500, "A")
+    b = _random_ref(rng, 1500, "B")
+    reads = [
+        Sequence("tailA", a.sequence[1440:1500]),  # last 60 bp of A
+        Sequence("headB", b.sequence[0:60]),       # first 60 bp of B
+    ]
+    res = map_reads(reads, [a, b], SCORES, k=15, engine="scan")
+    assert res[0].mapped and res[0].contig.name == "A"
+    assert res[0].mapinfo[1] <= 1440 and res[0].mapinfo[3] >= 1499
+    assert res[1].mapped and res[1].contig.name == "B"
+    assert res[1].mapinfo[3] >= 59
+    assert all(r.score == 60 for r in res)
+
+
+def test_map_reads_soft_masked_lowercase():
+    """Soft-masked (lowercase) reference regions and lowercase reads
+    must seed AND extend: case is normalized before the byte-equality
+    DP, so a perfect lowercase match scores full length."""
+    rng = np.random.default_rng(43)
+    up = "".join(rng.choice(list("ACGT"), 2000))
+    ref = Sequence("r", up[:800] + up[800:1000].lower() + up[1000:])
+    reads = [
+        Sequence("masked", ref.sequence[850:940]),      # lowercase read
+        Sequence("upper", ref.sequence[850:940].upper()),
+        Sequence("plain", ref.sequence[200:290]),
+    ]
+    res = map_reads(reads, ref, SCORES, k=15, engine="scan")
+    for r in res:
+        assert r.mapped, r.read.name
+        assert r.score == 90, (r.read.name, r.score)
+    assert res[0].mapinfo[1] <= 850 and res[0].mapinfo[3] >= 939
+
+
+def test_map_reads_rejects_bad_knobs():
+    ref = Sequence("r", "ACGT" * 100)
+    q = Sequence("q", "ACGT" * 10)
+    with pytest.raises(ValueError, match="band"):
+        map_reads([q], ref, SCORES, k=5, band=0)
+    with pytest.raises(ValueError, match="max_hits"):
+        map_reads([q], ref, SCORES, k=5, max_hits=0)
+
+
+def test_write_sam_paired_rejects_mismatch(tmp_path):
+    from genomics_rs_tpu.models.mapper import write_sam_paired
+
+    rng = np.random.default_rng(47)
+    ref = _random_ref(rng, 1000)
+    r = map_reads([Sequence("q", ref.sequence[100:180])], ref, SCORES,
+                  k=15, engine="scan")
+    with pytest.raises(ValueError, match="mate count"):
+        write_sam_paired(str(tmp_path / "x.sam"), r, [])
