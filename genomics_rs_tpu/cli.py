@@ -505,6 +505,7 @@ def main(argv: list[str] | None = None) -> int:
                 [r.mapinfo for r in results],
                 [r.strand for r in results],
                 header_refs=refs,
+                mapqs=[r.mapq for r in results],
             )
         else:
             from genomics_rs_tpu.models.reads import sam_records
@@ -520,14 +521,15 @@ def main(argv: list[str] | None = None) -> int:
             )
             with open(args.output, "w") as f:
                 f.write(
-                    "query\tref\tstrand\tmapped\tpos\tscore\tseeds\tcigar\n"
+                    "query\tref\tstrand\tmapped\tpos\tscore\tmapq\t"
+                    "seeds\tcigar\n"
                 )
                 for r, rec in zip(results, recs):
                     rname = r.contig.name if r.mapped else "*"
                     f.write(
                         f"{r.read.name}\t{rname}\t{r.strand}\t"
                         f"{int(r.mapped)}\t{rec['pos']}\t{r.score}\t"
-                        f"{r.seeds}\t{r.cigar}\n"
+                        f"{r.mapq}\t{r.seeds}\t{r.cigar}\n"
                     )
         print(f"wrote {args.output}")
         return 0

@@ -227,7 +227,14 @@ def _device_vote_fn(k: int, S: int, H: int, band: int):
             jnp.where(inwin, hitpos, IMAX).reshape(C, S * H), axis=1
         )
         anchor = jnp.where(v > 0, amin, -1)
-        return v, jnp.where(v > 0, bw * band, 0), anchor
+        # Second-best non-overlapping bin pair (|bin - winner| > 1):
+        # the MAPQ margin, mirroring the host engine.
+        pair2 = jnp.where(jnp.abs(rows - bw[:, None]) <= 1, -1, pair)
+        best2 = jnp.argmax(pair2, axis=1)
+        v2 = jnp.maximum(
+            jnp.take_along_axis(pair2, best2[:, None], 1)[:, 0], 0
+        )
+        return v, jnp.where(v > 0, bw * band, 0), anchor, v2
 
     return jax.jit(fn)
 
@@ -247,10 +254,11 @@ def _vote_windows_device(
     k = index.k
     n = L - k + 1
     votes = np.zeros(R, np.int64)
+    votes2 = np.zeros(R, np.int64)
     wlo = np.zeros(R, np.int64)
     anchor = np.full(R, -1, np.int64)
     if n <= 0:
-        return votes, wlo, wlo, anchor
+        return votes, wlo, wlo, anchor, votes2
     keys_d, pos_d = index.device_arrays()
     offs = np.arange(0, n, stride, dtype=np.int32)
     fn = _device_vote_fn(k, offs.size, max_hits, band)
@@ -264,12 +272,13 @@ def _vote_windows_device(
                 (chunk - part.shape[0], L), 0xFE, dtype=enc4.dtype
             )
             part = np.concatenate([part, pad])
-        v, w, a = fn(jnp.asarray(part), keys_d, pos_d, offs_d)
+        v, w, a, v2 = fn(jnp.asarray(part), keys_d, pos_d, offs_d)
         m = min(chunk, R - s)
         votes[s : s + m] = np.asarray(v)[:m]
         wlo[s : s + m] = np.asarray(w)[:m]
         anchor[s : s + m] = np.asarray(a)[:m]
-    return votes, wlo, wlo + 2 * band, anchor
+        votes2[s : s + m] = np.asarray(v2)[:m]
+    return votes, wlo, wlo + 2 * band, anchor, votes2
 
 
 @dataclasses.dataclass
@@ -282,7 +291,11 @@ class MappedRead:
     ``mapinfo = (i0, j0, end_i, end_j)`` spans query rows
     ``(i0, end_i]`` and CONTIG-RELATIVE reference columns
     ``(j0, end_j]`` of the local extension; ``seeds`` is the winning
-    window's vote count (0 for reads with no usable seed)."""
+    window's vote count (0 for reads with no usable seed); ``mapq``
+    is a seed-margin uniqueness heuristic,
+    ``min(60, 6 * (seeds - runner_up_seeds))`` — 0 when the best
+    window is tied with another (including the other strand's best),
+    60 when unambiguous; 0 for unmapped reads."""
 
     read: Sequence
     contig: Sequence
@@ -293,6 +306,7 @@ class MappedRead:
     cigar: str
     aligned: AlignedSequences
     seeds: int
+    mapq: int = 255
 
 
 def _vote_windows(
@@ -304,24 +318,26 @@ def _vote_windows(
 ):
     """Best candidate window per row of a (R, L) read matrix.
 
-    Returns ``(votes, wlo, whi, anchor)`` per row: the winning
+    Returns ``(votes, wlo, whi, anchor, votes2)`` per row: the winning
     diagonal bin-pair's vote count, its diagonal span ``[wlo, whi)``
     (window columns are ``diag .. diag + m``, so the caller widens by
     read length + band), and ``anchor`` — the smallest REFERENCE HIT
     POSITION among the winning bins' hits. The anchor is a real
     global coordinate inside the supporting contig, which is what the
     caller must use to assign the window's contig (the widened window
-    itself may straddle a boundary). Rows with no in-cap seed hits
-    get votes == 0 and anchor == -1.
+    itself may straddle a boundary). ``votes2`` is the second-best
+    NON-OVERLAPPING bin pair's count — the margin behind MAPQ. Rows
+    with no in-cap seed hits get votes == 0 and anchor == -1.
     """
     R, L = enc4.shape
     k = index.k
     n = L - k + 1
     votes = np.zeros(R, np.int64)
+    votes2 = np.zeros(R, np.int64)
     wlo = np.zeros(R, np.int64)
     anchor = np.full(R, -1, np.int64)
     if n <= 0:
-        return votes, wlo, wlo, anchor
+        return votes, wlo, wlo, anchor, votes2
     # Big batches: chunk rows across threads — the hot numpy ops
     # (gathers, searchsorted, unique/sort) release the GIL, and chunks
     # are independent, so results are bit-identical to one pass.
@@ -362,7 +378,7 @@ def _vote_windows(
     use = svalid.ravel() & (cnt > 0) & (cnt <= max_hits)
     lo, cnt = lo[use], cnt[use]
     if lo.size == 0:
-        return votes, wlo, wlo, anchor
+        return votes, wlo, wlo, anchor, votes2
     rid = np.repeat(np.arange(R), offs.size)[use]
     off = np.tile(offs, R)[use]
     # Ragged expansion of [lo, lo+cnt) hit runs into flat arrays:
@@ -409,7 +425,17 @@ def _vote_windows(
     votes[urid_s[first]] = pair[rows]
     wlo[urid_s[first]] = ubin[rows] * band
     anchor[urid_s[first]] = pairpos[rows]
-    return votes, wlo, wlo + 2 * band, anchor
+    # Second-best NON-OVERLAPPING bin pair (|bin - winner| > 1 —
+    # adjacent pairs share hits and are not independent candidates):
+    # the uniqueness signal behind MAPQ.
+    winbin = np.full(R, np.int64(1) << 60)
+    winbin[urid_s[first]] = ubin[rows]
+    pair2 = np.where(np.abs(ubin - winbin[urid]) <= 1, -1, pair)
+    order2 = np.lexsort((ubin, -pair2, urid))
+    urid_s2 = urid[order2]
+    first2 = np.unique(urid_s2, return_index=True)[1]
+    votes2[urid_s2[first2]] = np.maximum(pair2[order2[first2]], 0)
+    return votes, wlo, wlo + 2 * band, anchor, votes2
 
 
 def map_reads(
@@ -486,11 +512,11 @@ def map_reads(
     ]
     lens = np.array([len(q) for q in oriented], np.int64)
     if seed_engine == "device":
-        votes, wlo, whi, anchor = _vote_windows_device(
+        votes, wlo, whi, anchor, votes2 = _vote_windows_device(
             index, enc4, stride, max_hits, band
         )
     elif seed_engine == "host":
-        votes, wlo, whi, anchor = _vote_windows(
+        votes, wlo, whi, anchor, votes2 = _vote_windows(
             index, enc4, stride, max_hits, band
         )
     else:
@@ -498,6 +524,10 @@ def map_reads(
     if both_strands:
         use_rc = votes[B:] > votes[:B]  # forward wins ties
         pick = np.where(use_rc, np.arange(B) + B, np.arange(B))
+        # The losing orientation's best window is itself a competing
+        # alignment: it joins the runner-up margin behind MAPQ.
+        other = np.where(use_rc, votes[:B], votes[B:])
+        votes2 = np.maximum(votes2[pick], other)
         votes, wlo, whi, anchor = (
             votes[pick], wlo[pick], whi[pick], anchor[pick],
         )
@@ -569,6 +599,7 @@ def map_reads(
                     cigar=cg,
                     aligned=a,
                     seeds=int(votes[i]),
+                    mapq=min(60, 6 * int(votes[i] - votes2[i])),
                 )
             )
         else:
@@ -599,6 +630,7 @@ def map_reads(
                     cigar="",
                     aligned=empty,
                     seeds=int(votes[i]),
+                    mapq=0,
                 )
             )
     return out
@@ -664,6 +696,7 @@ def write_sam_paired(
             [r.cigar for r in res],
             [r.mapinfo for r in res],
             [r.strand for r in res],
+            [r.mapq for r in res],
         )
 
     if len(res1) != len(res2):

@@ -89,6 +89,7 @@ def sam_records(
     cigars: list[str],
     mapinfo: list[tuple[int, int, int, int]],
     strands: list[str] | None = None,
+    mapqs: list[int] | None = None,
 ) -> list[dict]:
     """Per-read SAM record fields (before mate annotation / writing).
 
@@ -136,7 +137,7 @@ def sam_records(
                 dict(
                     qname=qname, flag=4, rname="*", pos=0, cigar="*",
                     seq=seq, qual=qual, score=a.score, mapped=False,
-                    ref_end=0,
+                    ref_end=0, mapq=0,
                 )
             )
             continue
@@ -150,6 +151,9 @@ def sam_records(
                 qname=qname, flag=flag, rname=_sam_token(refs[k].name),
                 pos=pos, cigar=cig, seq=seq, qual=qual, score=a.score,
                 mapped=True, ref_end=pos + ref_len - 1,
+                # 255 = "MAPQ unavailable" unless the caller supplies
+                # a real value (the mapper's seed-margin heuristic).
+                mapq=255 if mapqs is None else int(mapqs[k]),
             )
         )
     return out
@@ -179,7 +183,7 @@ def _sam_header(
 def _sam_line(r: dict, rnext="*", pnext=0, tlen=0) -> str:
     return (
         f"{r['qname']}\t{r['flag']}\t{r['rname']}\t{r['pos']}\t"
-        f"{255 if r['mapped'] else 0}\t{r['cigar']}\t{rnext}\t{pnext}\t"
+        f"{r['mapq']}\t{r['cigar']}\t{rnext}\t{pnext}\t"
         f"{tlen}\t{r['seq']}\t{r['qual']}\tAS:i:{r['score']}\n"
     )
 
@@ -192,6 +196,7 @@ def write_sam(
     mapinfo: list[tuple[int, int, int, int]],
     strands: list[str] | None = None,
     header_refs: list[Sequence] | None = None,
+    mapqs: list[int] | None = None,
 ) -> None:
     """Write read alignments as SAM 1.6 (framework extension).
 
@@ -208,7 +213,9 @@ def write_sam(
     """
     with open(path, "w") as f:
         f.write(_sam_header(refs, header_refs))
-        for r in sam_records(refs, aligned, cigars, mapinfo, strands):
+        for r in sam_records(
+            refs, aligned, cigars, mapinfo, strands, mapqs
+        ):
             f.write(_sam_line(r))
 
 

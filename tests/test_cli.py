@@ -427,6 +427,8 @@ def test_cli_map(tmp_path):
     assert [r[2] for r in rows] == ["+", "-", "+"]
     assert [r[3] for r in rows] == ["1", "1", "0"]
     assert rows[0][4] == "501" and rows[0][5] == "90"
+    # Unique planted hits earn the max seed-margin MAPQ; junk gets 0.
+    assert rows[0][6] == "60" and rows[2][6] == "0"
 
 
 def test_cli_map_paired(tmp_path):

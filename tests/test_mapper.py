@@ -417,3 +417,26 @@ def test_write_sam_paired_rejects_mismatch(tmp_path):
                   k=15, engine="scan")
     with pytest.raises(ValueError, match="mate count"):
         write_sam_paired(str(tmp_path / "x.sam"), r, [])
+
+
+def test_mapq_margin():
+    """MAPQ reflects seed-margin uniqueness: a read matching a unique
+    locus gets 60, a read matching two identical loci gets 0."""
+    rng = np.random.default_rng(53)
+    mid = "".join(rng.choice(list("ACGT"), 120))
+    flank = lambda n: "".join(rng.choice(list("ACGT"), n))
+    # `mid` appears twice, far apart; `uniq` once.
+    ref = Sequence("r", flank(500) + mid + flank(700) + mid + flank(500))
+    uniq_start = 500 + 120 + 100
+    reads = [
+        Sequence("multi", mid[:90]),
+        Sequence("uniq", ref.sequence[uniq_start : uniq_start + 90]),
+    ]
+    res = map_reads(reads, ref, SCORES, k=15, engine="scan")
+    assert res[0].mapped and res[0].mapq == 0  # tied duplicate locus
+    assert res[1].mapped and res[1].mapq == 60
+    # Device engine agrees.
+    dev = map_reads(
+        reads, ref, SCORES, k=15, engine="scan", seed_engine="device"
+    )
+    assert [r.mapq for r in dev] == [r.mapq for r in res]
