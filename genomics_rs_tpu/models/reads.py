@@ -345,6 +345,33 @@ def align_reads(
     all_strands: list[str] = []
     all_mapinfo: list[tuple[int, int, int, int]] = []
 
+    def _fill_and_walk(s1x, s2x, msx, nsx):
+        if use_pallas:
+            from genomics_rs_tpu.ops.gotoh_shortread import (
+                gotoh_scores_shortread,
+            )
+
+            sc, si, sj, codes = gotoh_scores_shortread(
+                s1x,
+                s2x,
+                msx,
+                nsx,
+                scores,
+                is_local,
+                emit_dirs=True,
+                interpret=interpret,
+            )
+            layout = "rows16"
+        else:
+            codes, sc, si, sj = _fill_batch(
+                s1x, s2x, msx, nsx, scores, is_local
+            )
+            layout = "diag"
+        walked = walk_batch(
+            codes, si, sj, scores, is_local, layout, max_steps
+        )
+        return walked + (sc, si, sj)
+
     def _dispatch(k0: int):
         qs = queries[k0 : k0 + batch]
         rs = refs[k0 : k0 + batch]
@@ -356,37 +383,42 @@ def align_reads(
         s2b = encode_batch(rs, L2, PAD_S2)
         ms = np.array([len(s) for s in qs], dtype=np.int32)
         ns = np.array([len(s) for s in rs], dtype=np.int32)
-        if use_pallas:
-            from genomics_rs_tpu.ops.gotoh_shortread import (
-                gotoh_scores_shortread,
-            )
+        # Multi-chip: equal slices of the round by explicit device
+        # placement (the device-loop pattern of
+        # parallel.batch.device_loop_scores) — fills AND walks on all
+        # local devices overlap via async dispatch, merged at harvest.
+        devs = jax.local_devices()
+        Bq = len(ms)
+        if len(devs) > 1 and Bq >= 2 * len(devs):
+            from genomics_rs_tpu.parallel.batch import pad_batch
 
-            sc, si, sj, codes = gotoh_scores_shortread(
-                s1b,
-                s2b,
-                ms,
-                ns,
-                scores,
-                is_local,
-                emit_dirs=True,
-                interpret=interpret,
+            (s1p, s2p, mp, np_), Bp = pad_batch(
+                (s1b, s2b, ms, ns), Bq, len(devs)
             )
-            layout = "rows16"
+            per = Bp // len(devs)
+            parts = []
+            for kd, d in enumerate(devs):
+                sl = slice(kd * per, (kd + 1) * per)
+                parts.append(
+                    _fill_and_walk(
+                        jax.device_put(np.ascontiguousarray(s1p[sl]), d),
+                        jax.device_put(np.ascontiguousarray(s2p[sl]), d),
+                        mp[sl],
+                        np_[sl],
+                    )
+                )
         else:
-            codes, sc, si, sj = _fill_batch(
-                s1b, s2b, ms, ns, scores, is_local
-            )
-            layout = "diag"
-        walked = walk_batch(
-            codes, si, sj, scores, is_local, layout, max_steps
-        )
-        return (k0, b, qs, rs, s1b, s2b, ms, ns, walked, sc, si, sj)
+            parts = [_fill_and_walk(s1b, s2b, ms, ns)]
+        return (k0, b, qs, rs, s1b, s2b, ms, ns, parts)
 
     def _harvest(state) -> None:
-        k0, b, qs, rs, s1b, s2b, ms, ns, walked, sc, si, sj = state
-        # One D2H transfer for everything the host needs.
-        moves, counts, i_f, j_f, done, sc_h, si_h, sj_h = jax.device_get(
-            walked + (sc, si, sj)
+        k0, b, qs, rs, s1b, s2b, ms, ns, parts = state
+        Bq = len(ms)
+        # One D2H transfer per device slice; trim the round padding.
+        got = [jax.device_get(p) for p in parts]
+        moves, counts, i_f, j_f, done, sc_h, si_h, sj_h = (
+            np.concatenate([np.asarray(g[f]) for g in got])[:Bq]
+            for f in range(8)
         )
         # A global retrace is complete only at (0, 0) — a mid-table
         # stop code there means a corrupt fill (the per-pair host

@@ -427,3 +427,33 @@ def test_write_sam_structurally_valid_random(tmp_path, is_local):
     mapped = _validate_sam(sam.read_text())
     # Every planted read (half the corpus) must map.
     assert mapped >= 12
+
+
+def test_align_reads_device_loop_parity():
+    """Rounds big enough to split across the virtual device mesh must
+    produce exactly the single-device results (slices are merged in
+    order; padding rows are discarded)."""
+    import jax
+
+    if len(jax.local_devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    rng = np.random.default_rng(61)
+    queries, refs = [], []
+    for k in range(21):  # odd count -> exercises slice padding
+        n = int(rng.integers(20, 100))
+        q = "".join(rng.choice(list("ACGT"), n))
+        r = list(q)
+        for _ in range(3):
+            r[int(rng.integers(0, n))] = rng.choice(list("ACGT"))
+        queries.append(Sequence(f"q{k}", q))
+        refs.append(Sequence(f"r{k}", "".join(r)))
+    # One round of 21 rows -> splits 8 ways; singles go one by one.
+    batch_res, batch_cigs = align_reads(
+        queries, refs, SCORES, is_local=True, engine="scan",
+        with_cigars=True,
+    )
+    single = PairwiseAligner(SCORES, is_local=True, engine="scan")
+    for k in range(21):
+        want = single.align(queries[k], refs[k])
+        assert batch_res[k].score == want.score, k
+        assert batch_res[k].alignment == want.alignment, k
