@@ -481,11 +481,18 @@ def run_full() -> dict:
             label="ckpt",
         )
         dt = time.perf_counter() - t0
+        # Steady state: the first call pays the block kernels' compiles;
+        # repeat jobs (and any corpus with >1 long pair) run warm.
+        t0 = time.perf_counter()
+        aligned2 = align_checkpointed(sl, sl, scores)
+        dt_warm = time.perf_counter() - t0
+        assert aligned2.score == aligned.score
         rows["checkpointed_155kb"] = {
             "len": len(sl),
             "score": aligned.score,
             "s": dt,
-            "cells_per_s_2pass": 2 * (len(sl) + 1.0) ** 2 / dt,
+            "s_warm": dt_warm,
+            "cells_per_s_2pass": 2 * (len(sl) + 1.0) ** 2 / dt_warm,
         }
 
     # --- chr12 x chr12 exact score (1.16e12 cells, rolling blocks) --
@@ -503,11 +510,16 @@ def run_full() -> dict:
             label="chr12",
         )
         dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sc12b = score_long(ch, ch, scores)[0]
+        dt_warm = time.perf_counter() - t0
+        assert int(sc12b) == int(sc12)
         rows["chr12_score"] = {
             "len": len(ch),
             "score": int(sc12),
             "s": dt,
-            "cells_per_s": (len(ch) + 1.0) ** 2 / dt,
+            "s_warm": dt_warm,
+            "cells_per_s": (len(ch) + 1.0) ** 2 / dt_warm,
         }
 
     # --- sequence-parallel pipeline on a 1-device mesh -------------

@@ -1178,7 +1178,7 @@ def _kernel_batch(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("is_local", "interpret")
+    jax.jit, static_argnames=("is_local", "interpret", "vma_axes")
 )
 def gotoh_scores_pallas_batch(
     s1eb: jax.Array,
@@ -1188,11 +1188,17 @@ def gotoh_scores_pallas_batch(
     scores: Scores,
     is_local: bool,
     interpret: bool = False,
+    vma_axes: tuple[str, ...] = (),
 ):
     """Score a batch of pairs in ONE kernel dispatch (no dirs).
 
     Returns (score, start_i, start_j) arrays of shape (B,). Shapes:
     s1eb (B, Lm), s2eb (B, Ln) — all pairs padded alike.
+
+    ``vma_axes``: mesh axes the outputs vary over when called inside a
+    ``shard_map`` with ``check_vma=True`` (``pallas_call`` requires the
+    out avals to declare their varying manual axes explicitly; every
+    other op auto-promotes).
     """
     B, Lm = s1eb.shape
     _, Ln = s2eb.shape
@@ -1265,11 +1271,13 @@ def gotoh_scores_pallas_batch(
     kernel = functools.partial(
         _kernel_batch, shapes=shapes, is_local=is_local
     )
+    out_vma = frozenset(vma_axes) if vma_axes else None
     bv, bk, fin = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=tuple(
-            [jax.ShapeDtypeStruct((B, ROWS, C), jnp.int32)] * 3
+            [jax.ShapeDtypeStruct((B, ROWS, C), jnp.int32, vma=out_vma)]
+            * 3
         ),
         interpret=interpret,
     )(scalars, s1m3d, s2inj)

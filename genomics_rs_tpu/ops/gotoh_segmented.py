@@ -213,7 +213,9 @@ def _kernel_seg(
         fin_ref[0] = fin_s[:]
 
 
-@functools.partial(jax.jit, static_argnames=("is_local", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("is_local", "interpret", "vma_axes")
+)
 def gotoh_scores_segmented(
     s1eb: jax.Array,
     s2eb: jax.Array,
@@ -222,6 +224,7 @@ def gotoh_scores_segmented(
     scores: Scores,
     is_local: bool,
     interpret: bool = False,
+    vma_axes: tuple[str, ...] = (),
 ):
     """Score a batch of mid-length pairs, 8 per register pane.
 
@@ -327,11 +330,15 @@ def gotoh_scores_segmented(
     kernel = functools.partial(
         _kernel_seg, K=K, chunk=chunk, C=C, is_local=is_local
     )
+    # vma: under shard_map+check_vma the out avals must declare their
+    # varying manual axes (every other op auto-promotes).
+    out_vma = frozenset(vma_axes) if vma_axes else None
     bv, bk, fin = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=tuple(
-            [jax.ShapeDtypeStruct((Bg, ROWS, C), jnp.int32)] * 3
+            [jax.ShapeDtypeStruct((Bg, ROWS, C), jnp.int32, vma=out_vma)]
+            * 3
         ),
         interpret=interpret,
     )(scalars, s1m, s2inj)

@@ -182,7 +182,8 @@ def _rowscan_body(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("is_local", "emit_dirs", "interpret")
+    jax.jit,
+    static_argnames=("is_local", "emit_dirs", "interpret", "vma_axes"),
 )
 def gotoh_scores_shortread(
     s1b: jax.Array,
@@ -193,6 +194,7 @@ def gotoh_scores_shortread(
     is_local: bool,
     emit_dirs: bool = False,
     interpret: bool = False,
+    vma_axes: tuple[str, ...] = (),
 ):
     """Score B short pairs, 1024 per kernel pane.
 
@@ -271,13 +273,20 @@ def gotoh_scores_shortread(
             block_shape, maps[which], memory_space=pltpu.VMEM
         )
 
+    # vma: under shard_map+check_vma the out avals must declare their
+    # varying manual axes (every other op auto-promotes).
+    out_vma = frozenset(vma_axes) if vma_axes else None
     row_out = _spec((1, L2, 8, 128), "rows")
     out_specs = (row_out,) * 3
-    out_shape = [jax.ShapeDtypeStruct((n_panes, L2, 8, 128), jnp.int32)] * 3
+    out_shape = [
+        jax.ShapeDtypeStruct((n_panes, L2, 8, 128), jnp.int32, vma=out_vma)
+    ] * 3
     if emit_dirs:
         out_specs += (_spec((1, RC, W, 8, 128), "codes"),)
         out_shape.append(
-            jax.ShapeDtypeStruct((n_panes, L1, W, 8, 128), jnp.int32)
+            jax.ShapeDtypeStruct(
+                (n_panes, L1, W, 8, 128), jnp.int32, vma=out_vma
+            )
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

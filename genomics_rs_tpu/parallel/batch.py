@@ -90,6 +90,12 @@ def _sharded_scores_fn(
     casts needed).
     """
     scores = Scores(*scores_tuple)
+    # Pallas *interpret* mode slices varying block operands internally
+    # in ways the vma checker rejects (JAX's error message itself
+    # prescribes check_vma=False); compiled kernels pass the checker —
+    # and under check_vma the pallas out avals must declare the axis.
+    check_vma = not (engine != "scan" and interpret)
+    kernel_vma = (axis_name,) if check_vma else ()
 
     def shard_fn(s1eb, s2eb, ms, ns):
         if engine == "scan":
@@ -99,7 +105,15 @@ def _sharded_scores_fn(
             sc, si, sj = local.score, local.start_i, local.start_j
         else:
             sc, si, sj = _kernel_scores(
-                engine, s1eb, s2eb, ms, ns, scores, is_local, interpret
+                engine,
+                s1eb,
+                s2eb,
+                ms,
+                ns,
+                scores,
+                is_local,
+                interpret,
+                vma_axes=kernel_vma,
             )
         cells = jnp.sum(
             (ms.astype(jnp.float32) + 1) * (ns.astype(jnp.float32) + 1)
@@ -129,11 +143,7 @@ def _sharded_scores_fn(
                 max_score=P(),
                 total_cells=P(),
             ),
-            # Pallas *interpret* mode slices varying block operands
-            # internally in ways the vma checker rejects (JAX's error
-            # message itself prescribes check_vma=False); compiled
-            # kernels pass the checker.
-            check_vma=not (engine != "scan" and interpret),
+            check_vma=check_vma,
         )
     )
 
@@ -276,11 +286,22 @@ STREAM8_MIN_LEN = 1024
 
 
 def _kernel_scores(
-    engine, s1b, s2b, ms, ns, scores: Scores, is_local: bool, interpret: bool
+    engine,
+    s1b,
+    s2b,
+    ms,
+    ns,
+    scores: Scores,
+    is_local: bool,
+    interpret: bool,
+    vma_axes: tuple[str, ...] = (),
 ):
     """Dispatch one named engine. Traceable for the traced-length
     kernels (shortread/segmented/pallas); stream/stream8 need concrete
-    ``ms``/``ns`` (host-level probe placement)."""
+    ``ms``/``ns`` (host-level probe placement). ``vma_axes`` declares
+    the mesh axes the pallas outputs vary over when dispatched inside
+    a ``check_vma=True`` ``shard_map`` (traced-length kernels only —
+    the stream kernels never trace inside ``shard_map``)."""
     if engine == "stream":
         from genomics_rs_tpu.ops.gotoh_stream import gotoh_scores_stream
 
@@ -301,7 +322,14 @@ def _kernel_scores(
         )
 
         return gotoh_scores_shortread(
-            s1b, s2b, ms, ns, scores, is_local, interpret=interpret
+            s1b,
+            s2b,
+            ms,
+            ns,
+            scores,
+            is_local,
+            interpret=interpret,
+            vma_axes=vma_axes,
         )
     if engine == "segmented":
         from genomics_rs_tpu.ops.gotoh_segmented import (
@@ -309,7 +337,14 @@ def _kernel_scores(
         )
 
         return gotoh_scores_segmented(
-            s1b, s2b, ms, ns, scores, is_local, interpret=interpret
+            s1b,
+            s2b,
+            ms,
+            ns,
+            scores,
+            is_local,
+            interpret=interpret,
+            vma_axes=vma_axes,
         )
     if engine == "pallas":
         from genomics_rs_tpu.ops.gotoh_pallas import (
@@ -317,7 +352,14 @@ def _kernel_scores(
         )
 
         return gotoh_scores_pallas_batch(
-            s1b, s2b, ms, ns, scores, is_local, interpret=interpret
+            s1b,
+            s2b,
+            ms,
+            ns,
+            scores,
+            is_local,
+            interpret=interpret,
+            vma_axes=vma_axes,
         )
     if engine == "scan":
         out = batch_scores(s1b, s2b, ms, ns, scores, is_local)

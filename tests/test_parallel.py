@@ -74,6 +74,34 @@ def test_sharded_matches_batch(is_local):
     assert float(out.total_cells) == float(ref.total_cells)
 
 
+@pytest.mark.parametrize("engine", ["segmented", "pallas", "shortread"])
+@pytest.mark.parametrize("is_local", [False, True])
+def test_sharded_compiled_trace_vma(engine, is_local):
+    """The COMPILED per-shard Pallas path must trace under
+    ``check_vma=True`` (jax >= 0.9 requires the pallas out avals to
+    declare their varying manual axes). CPU can't execute compiled
+    Mosaic, but ``eval_shape`` runs the abstract eval where the vma
+    checker fires — this pins the exact failure the hardware smoke
+    gate hit."""
+    mesh = make_mesh(8)
+    B, L = 8, 512
+    s1eb = np.zeros((B, L), np.uint8)
+    s2eb = np.zeros((B, L), np.uint8)
+    ms = np.full(B, L - 12, np.int32)
+    ns = np.full(B, L - 12, np.int32)
+    out = jax.eval_shape(
+        lambda a, b, c, d: batch_scores_sharded(
+            mesh, a, b, c, d, SCORES, is_local, engine=engine,
+            interpret=False,
+        ),
+        s1eb,
+        s2eb,
+        ms,
+        ns,
+    )
+    assert out.score.shape == (B,)
+
+
 def test_dryrun_multichip():
     import __graft_entry__
 
