@@ -46,7 +46,9 @@ def test_score_pairs_routes_segmented(monkeypatch):
 
     picked = {}
 
-    def fake_segmented(s1b, s2b, ms, ns, scores, is_local, interpret=False):
+    def fake_segmented(
+        s1b, s2b, ms, ns, scores, is_local, interpret=False, **kwargs
+    ):
         picked["engine"] = "segmented"
         import jax.numpy as jnp
 
