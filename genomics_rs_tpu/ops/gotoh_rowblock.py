@@ -13,13 +13,26 @@ and one scratch load/store set per diagonal.
 
 This kernel is the forward-pass specialization, built like the
 streamed batch kernel (``gotoh_stream``): pure-SSA step bodies
-unrolled ``UNROLL``-fold so scratch round-trips amortize, the factored
-2-shift recurrence (I, D, P = max(S, D), Q = max(I, S), cached
-shift(M)), boundary masks folded into two per-step compares, the
-col-0 left boundary computed in-register from ``h + (i0 + i) * g``
-(no left stream), and the (m, n) probe under a scalar ``pl.when``.
-Semantics are identical to ``gotoh_tile_pallas(emit_dirs=False,
-emit_bottom=True, j0=0)`` — pinned by tests in both modes.
+unrolled ``UNROLL``-fold so scratch round-trips amortize, the col-0
+left boundary computed in-register from ``h + (i0 + i) * g`` (no left
+stream), and the (m, n) probe under a scalar ``pl.when``.
+
+The recurrence uses the *pre-shift* carry factoring: because the lane
+shift commutes with elementwise ops, the two post-shift combines of
+the older kernels (``D' = max(shQ+h+g, shD+g)``, ``shM = max(shQ,
+shD)``) are computed one diagonal early as carries ``A = max(Q+h+g,
+D+g)`` and ``M = max(Q, D)`` so the step body is just ``D' =
+shift(A)`` and ``SM' = shift(M)`` — the same three shifts per step,
+but the combines price into ops the step already pays (A doubles as
+the open/extend predecessor max, M as the cell max that feeds the
+probe, the local argmax and the direction codes). Boundary masking is
+a single ``iv == k`` compare: lanes ahead of the wavefront carry
+bounded garbage that every lane's col-0 overwrite firewalls before
+its first true cell (the stream kernel's drift argument; pre-start
+garbage is only ever *shifted into* a lane on the step its col-0 fix
+lands, never read by a true cell).  Semantics are identical to
+``gotoh_tile_pallas(emit_dirs=False, emit_bottom=True, j0=0)`` —
+pinned by tests in both modes.
 """
 
 from __future__ import annotations
@@ -52,8 +65,17 @@ from genomics_rs_tpu.ops.gotoh_scan import (
 #: diagonals per grid step.
 CHUNK = 512
 #: SSA unroll factor (one scratch load/store set per UNROLL diagonals).
-#: Env-overridable (GENOMICS_TPU_UNROLL) for hardware sweeps.
-UNROLL = int(os.environ.get("GENOMICS_TPU_UNROLL", "2"))
+#: Env-overridable (GENOMICS_TPU_UNROLL_ROWBLOCK, falling back to the
+#: shared GENOMICS_TPU_UNROLL) for hardware sweeps. Default 16 from a
+#: v5e chr12 sweep of the pre-shift-carry body: 2/4/8/16/32 ->
+#: 8.3/8.9/9.4/9.6/9.75 e10 cells/s — 16 takes nearly all of the win
+#: without 32's compile-time growth.
+UNROLL = int(
+    os.environ.get(
+        "GENOMICS_TPU_UNROLL_ROWBLOCK",
+        os.environ.get("GENOMICS_TPU_UNROLL", "16"),
+    )
+)
 
 # The chunk loop runs chunk // UNROLL blocks — a non-divisor sweep
 # value would silently skip CHUNK % UNROLL diagonals per chunk.
@@ -90,7 +112,7 @@ def _kernel_rows(
     if emit_dirs:
         dirs_ref = rest[idx]
         idx += 1
-    s2j_ref, Ip, Pp, Dp, Qp, shM, fin_s = rest[idx : idx + 7]
+    s2j_ref, Ip, Pp, Ap, Mp, SMp, fin_s = rest[idx : idx + 7]
     idx += 7
     if is_local:
         bv_s, bk_s = rest[idx], rest[idx + 1]
@@ -121,9 +143,9 @@ def _kernel_rows(
         full_neg = jnp.full((ROWS, C), neg, dtype=jnp.int32)
         Ip[:] = full_neg
         Pp[:] = full_neg
-        Dp[:] = full_neg
-        Qp[:] = full_neg
-        shM[:] = full_neg
+        Ap[:] = full_neg
+        Mp[:] = full_neg
+        SMp[:] = full_neg
         s2j_ref[:] = jnp.full((ROWS, C), 0xFF, dtype=jnp.int32)
         fin_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
         if is_local:
@@ -133,7 +155,6 @@ def _kernel_rows(
             acc_s[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
 
     row0_mask = iv == 0
-    nz_mask = iv > 0
     # Lanes beyond the block's true rows are padding; without this
     # guard their garbage could alias the probe lane or enter the
     # local argmax when a NON-final block has m - i0 < V (the tile
@@ -148,54 +169,63 @@ def _kernel_rows(
     lane_r, lane_c = divmod(R, C)
 
     def step_ssa(state, t, k):
-        (s2j0, I0, P0, D0, Q0, M0, bv0, bk0, acc0) = state
+        (s2j0, I0, P0, A0, M0, SM0, bv0, bk0, acc0) = state
         inj = s2i_ref[0, t]
         s2j = _shift_down_flat(s2j0, inj, row_idx, col_idx, C)
-        shQ = _shift_down_flat(Q0, neg, row_idx, col_idx, C)
-        shD = _shift_down_flat(D0, neg, row_idx, col_idx, C)
+        # Pre-shift carries: D' = shift(A), S' = sub + SM where SM is
+        # the one-step-delayed shift(M) (M of diagonal k-2, shifted).
+        Dnew = _shift_down_flat(A0, neg, row_idx, col_idx, C)
+        SMnew = _shift_down_flat(M0, neg, row_idx, col_idx, C)
 
         sub = jnp.where(s1m_ref[:] == s2j, sm, sx)
         if is_local:
             Inew = jnp.maximum(jnp.maximum(I0 + gg, P0 + hg), zero)
-            Dnew = jnp.maximum(jnp.maximum(shQ + hg, shD + gg), zero)
-            Snew = sub + jnp.maximum(M0, zero)
         else:
             Inew = jnp.maximum(I0 + gg, P0 + hg)
-            Dnew = jnp.maximum(shQ + hg, shD + gg)
-            Snew = sub + M0
+        # Local zero floors on D and on the S predecessor max ride in
+        # the A/M carries (folded before their shift), so S/D are one
+        # op each here in both modes.
+        Snew = sub + SM0
 
-        # Boundary: lanes left of the wavefront (iv > k) and the col-0
-        # lane (iv == k) get the left boundary; lane 0 gets the top
-        # stream. Garbage right-of-column lanes drift unclamped (same
-        # int32 headroom argument as the flat batch kernel).
-        eq = iv == k
-        gt = iv > k
-        col0 = eq & nz_mask
-        dead_IS = col0 | gt
-        Inew = jnp.where(dead_IS, neg, Inew)
-        Snew = jnp.where(dead_IS, neg, Snew)
+        # Boundary: the col-0 lane (iv == k) gets the left boundary;
+        # lane 0 gets the top stream. Lanes ahead of the wavefront
+        # (iv > k) carry garbage that this same col-0 overwrite
+        # firewalls before any true cell reads it; right-of-column
+        # garbage drifts unclamped (int32 headroom argument as the
+        # flat batch kernel — both windows are <= K steps).
+        col0 = iv == k
+        Inew = jnp.where(col0, neg, Inew)
+        Snew = jnp.where(col0, neg, Snew)
         Dnew = jnp.where(col0, Dcol, Dnew)
-        Dnew = jnp.where(gt, neg, Dnew)
-        Inew = jnp.where(row0_mask, top_ref[0, t], Inew)
-        Snew = jnp.where(row0_mask, top_ref[1, t], Snew)
-        Dnew = jnp.where(row0_mask, top_ref[2, t], Dnew)
-
         Qnew = jnp.maximum(Inew, Snew)
+        # Row-0 fixes only land on Q and D: lane 0's I/P are never
+        # read (lane 0 is re-fixed every step) and S/P feed nothing
+        # the Q/D fixes don't already cover. topQ is a scalar max of
+        # two SMEM reads — scalar-unit work, no vector slot.
+        topQ = jnp.maximum(top_ref[0, t], top_ref[1, t])
+        Qnew = jnp.where(row0_mask, topQ, Qnew)
+        Dnew = jnp.where(row0_mask, top_ref[2, t], Dnew)
+        Mnew = jnp.maximum(Qnew, Dnew)
+        if is_local:
+            Mnew = jnp.maximum(Mnew, zero)
+
         if emit_dirs:
             # Same code chain (and tie order SUB > INS > DEL > STOP)
             # as the tile kernel; packed 16 codes per int32 word along
             # the diagonal axis, flushed per word and at the final
-            # true diagonal (a partial last word still lands).
-            cm_d = jnp.maximum(Qnew, Dnew)
-            if is_local:
-                cm_d = jnp.maximum(cm_d, zero)
+            # true diagonal (a partial last word still lands). Row-0
+            # codes are walked (e.g. the monolithic fill's top row),
+            # so dirs mode also fixes I/S at lane 0 to keep the code
+            # comparisons exact there.
+            Id = jnp.where(row0_mask, top_ref[0, t], Inew)
+            Sd = jnp.where(row0_mask, top_ref[1, t], Snew)
             dcode = jnp.where(
-                cm_d == Snew,
+                Mnew == Sd,
                 DIR_SUB,
                 jnp.where(
-                    cm_d == Inew,
+                    Mnew == Id,
                     DIR_INS,
-                    jnp.where(cm_d == Dnew, DIR_DEL, DIR_STOP),
+                    jnp.where(Mnew == Dnew, DIR_DEL, DIR_STOP),
                 ),
             )
             sp = t % PACK
@@ -206,25 +236,18 @@ def _kernel_rows(
                 dirs_ref[t // PACK] = acc0
 
         if is_local:
-            cmc = jnp.maximum(jnp.maximum(Qnew, Dnew), zero)
-            # in_true: iv <= m-i0, 0 <= j <= n (j = k - iv).
+            # in_true: lane started (iv <= k), iv <= m-i0, 0 <= j <= n
+            # (j = k - iv).
             val = jnp.where(
-                lem_mask & (~gt) & (iv >= k - n), cmc, int_min
+                lem_mask & (iv <= k) & (iv >= k - n), Mnew, int_min
             )
             upd = val >= bv0
             bv0 = jnp.where(upd, val, bv0)
             bk0 = jnp.where(upd, k - iv, bk0)
 
-            @pl.when(k == mi0 + n)
-            def _probe():
-                fin_s[:] = jnp.where(probe_mask, cmc, fin_s[:])
-
-        else:
-
-            @pl.when(k == mi0 + n)
-            def _probe():
-                cm = jnp.maximum(Qnew, Dnew)
-                fin_s[:] = jnp.where(probe_mask, cm, fin_s[:])
+        @pl.when(k == mi0 + n)
+        def _probe():
+            fin_s[:] = jnp.where(probe_mask, Mnew, fin_s[:])
 
         if emit_bottom:
             # Bottom row: cell (R, k - R) — three scalars broadcast
@@ -238,13 +261,19 @@ def _kernel_rows(
             )
             bot_ref[t] = jnp.broadcast_to(vals[:, None], (3, 128))
 
+        if is_local:
+            Anew = jnp.maximum(
+                jnp.maximum(Qnew + hg, Dnew + gg), zero
+            )
+        else:
+            Anew = jnp.maximum(Qnew + hg, Dnew + gg)
         return (
             s2j,
             Inew,
             jnp.maximum(Snew, Dnew),
-            Dnew,
-            Qnew,
-            jnp.maximum(shQ, shD),
+            Anew,
+            Mnew,
+            SMnew,
             bv0,
             bk0,
             acc0,
@@ -260,16 +289,16 @@ def _kernel_rows(
                 s2j_ref[:],
                 Ip[:],
                 Pp[:],
-                Dp[:],
-                Qp[:],
-                shM[:],
+                Ap[:],
+                Mp[:],
+                SMp[:],
             )
             + ((bv_s[:], bk_s[:]) if is_local else none2)
             + ((acc_s[:],) if emit_dirs else none1)
         )
         for sub in range(UNROLL):
             state = step_ssa(state, UNROLL * tt + sub, k0 + sub)
-        (s2j_ref[:], Ip[:], Pp[:], Dp[:], Qp[:], shM[:]) = state[:6]
+        (s2j_ref[:], Ip[:], Pp[:], Ap[:], Mp[:], SMp[:]) = state[:6]
         if is_local:
             bv_s[:], bk_s[:] = state[6], state[7]
         if emit_dirs:

@@ -157,7 +157,9 @@ def test_score_pairs_routes_stream8(monkeypatch):
     picked = {}
 
     def fake(name):
-        def f(s1b, s2b, ms, ns, scores, is_local, interpret=False):
+        def f(
+            s1b, s2b, ms, ns, scores, is_local, interpret=False, **kw
+        ):
             import jax.numpy as jnp
 
             picked["engine"] = name
