@@ -522,6 +522,32 @@ def run_full() -> dict:
             "cells_per_s": (len(ch) + 1.0) ** 2 / dt_warm,
         }
 
+        # --- chr12 x chr12 FULL alignment (hierarchical traceback) --
+        # 1.16e12 cells with a full bit-exact traceback via two-level
+        # checkpointing (models/longalign._walk_span): the coarse
+        # forward checkpoints ~98k-row blocks, crossed blocks are
+        # re-checkpointed at 16k rows, and only 16k-row dirs bitmaps
+        # ever materialize (a monolithic bitmap would be ~290 GB).
+        # The reference cannot run ANY pair this size (48 B/cell =
+        # ~56 TB). One timed call through the public aligner routing;
+        # compiles come from the persistent cache after the first run.
+        from genomics_rs_tpu.models.aligner import PairwiseAligner
+
+        t0 = time.perf_counter()
+        al12 = _retry(
+            lambda: PairwiseAligner(scores).align(ch, ch),
+            attempts=2,
+            label="chr12 full align",
+        )
+        dt = time.perf_counter() - t0
+        assert al12.score == len(ch) and al12.matches == len(ch)
+        rows["chr12_full_align"] = {
+            "len": len(ch),
+            "score": al12.score,
+            "s": dt,
+            "cells_per_s_1pass": (len(ch) + 1.0) ** 2 / dt,
+        }
+
     # --- sequence-parallel pipeline on a 1-device mesh -------------
     from genomics_rs_tpu.ops.gotoh_pallas import gotoh_scores_pallas_batch
     from genomics_rs_tpu.parallel.longseq import sharded_gotoh_score
@@ -1002,6 +1028,44 @@ def run_smoke() -> int:
             )
             if not ok:
                 failures.append(("sharded_batch", loc, i, g, w))
+
+    # Hierarchical checkpointed traceback (two checkpoint levels,
+    # compiled rowblock fills + device walks) vs the monolithic
+    # pallas aligner on the same pair — path, stats and score must be
+    # bit-identical (the chr12 full-alignment path in miniature).
+    from genomics_rs_tpu.models.aligner import PairwiseAligner
+    from genomics_rs_tpu.models.longalign import align_checkpointed
+
+    for loc in (False, True):
+        want_h = PairwiseAligner(scores, is_local=loc).align(sa, sb)
+        got_h = _retry(
+            lambda loc=loc: align_checkpointed(
+                sa, sb, scores, is_local=loc, block_rows=128, l2_rows=32
+            ),
+            label="smoke hier",
+        )
+        ok = (
+            got_h.alignment == want_h.alignment
+            and got_h.score == want_h.score
+            and (
+                got_h.matches,
+                got_h.mismatches,
+                got_h.opening_gaps,
+                got_h.gap_extensions,
+            )
+            == (
+                want_h.matches,
+                want_h.mismatches,
+                want_h.opening_gaps,
+                want_h.gap_extensions,
+            )
+        )
+        print(
+            f"[smoke] hier_traceback local={loc}: "
+            f"{'ok' if ok else 'MISMATCH vs monolithic aligner'}"
+        )
+        if not ok:
+            failures.append(("hier_traceback", loc, 0, None, None))
 
     if failures:
         print(f"[smoke] FAILED: {len(failures)} mismatches", file=sys.stderr)

@@ -151,12 +151,36 @@ class PairwiseAligner:
                         "score_long()/sharded scoring, or local-align "
                         "a region"
                     )
+            # Chromosome-scale pairs go HIERARCHICAL: the forward
+            # wavefront runs NB * (R + n) diagonal steps, so at
+            # R=8191 a 1 Mb pair pays ~132x its n in pure ramp — a
+            # ~96k-row coarse level amortizes that, and crossed
+            # blocks are re-checkpointed down to ``l2_rows`` before
+            # any dirs bitmap materializes (longalign._walk_span).
+            # The leaf blocks can be TALLER than the flat path's: a
+            # refill is transient (~4.5 GB cap, x2 live with the
+            # walk's prefetch) and the backward pass runs
+            # ~2 * (m / l2) * (l2 + j_avg) diagonal steps, so bigger
+            # leaves directly cut the Bt-dominated step count —
+            # chr12 x chr12 warm measured 41 s at l2=16383 vs ~75 s
+            # at l2=8191 (the whole-alignment cells/s bench row).
+            l2_rows = None
+            if m > self.HIER_ROWS_MIN:
+                for r in (16383, 8191, 4095, 2047, 1023):
+                    if (r + Ln + 1) * round_up(r + 1, 1024) // 4 <= (
+                        9 << 30
+                    ) // 2:
+                        l2_rows = r
+                        break
+            if l2_rows is not None:
+                block_rows = l2_rows * -(-98292 // l2_rows)
             log.info(
                 "align: %dx%d exceeds dirs budget -> checkpointed path "
-                "(block_rows=%d)",
+                "(block_rows=%d, l2_rows=%s)",
                 m,
                 n,
                 block_rows,
+                l2_rows,
             )
             return align_checkpointed(
                 seq1,
@@ -165,6 +189,7 @@ class PairwiseAligner:
                 is_local=self.is_local,
                 block_rows=block_rows,
                 interpret=self.interpret,
+                l2_rows=l2_rows,
             )
 
         s1e = seq1.encoded(pad_to=Lm, pad_value=PAD_S1)
@@ -245,6 +270,12 @@ class PairwiseAligner:
     #: Above this many rows the monolithic wavefront state no longer
     #: fits VMEM — score via rolling row blocks instead.
     SCORE_ROWS_LIMIT = 131072
+
+    #: Above this many rows a checkpointed traceback goes hierarchical
+    #: (two checkpoint levels, ~96k-row coarse blocks): the flat
+    #: backward's forward pass at refill-sized blocks would be
+    #: wavefront-ramp bound (NB * n extra diagonal steps).
+    HIER_ROWS_MIN = 196608
 
     def score_only(self, seq1: Sequence, seq2: Sequence) -> int:
         """Alignment score without traceback (no direction bitmap at

@@ -18,6 +18,14 @@ Because every block refill injects the exact checkpointed boundary
 values, the per-cell direction codes — and therefore the traceback
 path, tie-breaks and stats — are bit-identical to a monolithic fill
 (verified against ``PairwiseAligner`` in tests/test_longalign.py).
+
+At chromosome scale the scheme goes HIERARCHICAL (``l2_rows``): the
+forward pass checkpoints ~96k-row blocks (throughput-optimal for the
+wavefront), and the backward pass re-checkpoints each crossed block
+at ~16k rows from its stored boundary before materializing any
+direction bitmap — so a chr12 x chr12 alignment (1.16e12 cells, whose
+monolithic bitmap would be ~290 GB) keeps a full bit-exact traceback
+with at most a ~4.5 GB transient: 41 s warm on one v5e chip.
 """
 
 from __future__ import annotations
@@ -68,12 +76,15 @@ def _forward_blocks(
     through remote tunnels would otherwise dominate the pipeline.
     Returns (tops (NB, 3, n+1) | None, best (v, i, j), at_mn).
     """
+    Ln = s2e.shape[0]
     tops, best_dev, at_mn_dev = _fwd_jit(
         s1e,
         s2e,
         np.int32(m),
         np.int32(n),
         scores,
+        global_boundary_top(0, Ln, scores),
+        np.int32(0),
         NB=NB,
         R=R,
         keep=keep_tops,
@@ -90,7 +101,10 @@ def _forward_blocks(
 @functools.partial(
     jax.jit, static_argnames=("NB", "R", "keep", "loc", "interp", "lean")
 )
-def _fwd_jit(s1e, s2e, m, n, scores, NB, R, keep, loc, interp, lean=False):
+def _fwd_jit(
+    s1e, s2e, m, n, scores, top0, i_base, NB, R, keep, loc, interp,
+    lean=False,
+):
     """Module-level jit so the scan+kernel program compiles once per
     shape bucket, not per call (the closure version re-keyed the jit
     cache on function identity every invocation).
@@ -99,13 +113,17 @@ def _fwd_jit(s1e, s2e, m, n, scores, NB, R, keep, loc, interp, lean=False):
     kernel (``ops/gotoh_rowblock``) instead of the general tile
     kernel — identical results (pinned by tests), preferred for
     score-only passes with big blocks (``score_long``).
+
+    ``top0`` is the I/S/D boundary of row ``i_base`` over columns
+    0..len(s2e) — the global row-0 boundary for a whole-pair pass, a
+    checkpointed row for a nested pass inside a parent block (the
+    hierarchical backward, :func:`_walk_span`).
     """
-    Ln = s2e.shape[0]
     s1_blocks = s1e.reshape(NB, R)
 
     def body(top, xs):
         s1_blk, b = xs
-        i0 = b * R
+        i0 = i_base + b * R
         if lean:
             res = gotoh_rowblock_pallas(
                 s1_blk, s2e, top, m, n, i0, scores, loc,
@@ -135,10 +153,9 @@ def _fwd_jit(s1e, s2e, m, n, scores, NB, R, keep, loc, interp, lean=False):
         )
         return res.bottom, ys
 
-    top0 = global_boundary_top(0, Ln, scores)
     _, (tops, bests, at_mns) = jax.lax.scan(
         body,
-        top0,
+        jnp.asarray(top0, jnp.int32),
         (s1_blocks, jnp.arange(NB, dtype=jnp.int32)),
     )
     # Merge with the reference tie-break (blocks ordered by i).
@@ -201,6 +218,172 @@ def score_long(
     return at_mn, m, n
 
 
+def _walk_span(
+    s1e_span,
+    s2e_span,
+    tops,
+    R: int,
+    i_base: int,
+    m: int,
+    n: int,
+    scores: Scores,
+    is_local: bool,
+    interpret: bool,
+    i: int,
+    j: int,
+    l2_rows: int | None = None,
+):
+    """Walk the traceback upward through a span of checkpointed blocks.
+
+    The span covers global rows ``[i_base, i_base + NB*R]`` as ``NB``
+    blocks of ``R`` rows; ``tops[b]`` is the checkpointed I/S/D
+    boundary of row ``i_base + b*R`` over columns ``0..len(s2e_span)``
+    and ``s1e_span`` holds the span's ``NB*R`` encoded rows. The walk
+    enters at global ``(i, j)`` and returns ``(codes, i, j, done)``
+    with the move codes in walk order; ``done=False`` means the path
+    exited the span above ``i_base`` (and continues in the caller's
+    block above).
+
+    With ``l2_rows=None`` each crossed block is refilled with its
+    packed 2-bit direction bitmap and chased on device. With
+    ``l2_rows`` set (the hierarchical backward; ``R % l2_rows == 0``),
+    a crossed block is instead *re-checkpointed*: a nested forward
+    pass over ``l2_rows``-row sub-blocks (column-truncated to the
+    entry column) rebuilds that block's interior boundaries from
+    ``tops[b]``, and the walk recurses one level down — so the dirs
+    bitmaps only ever materialize at ``l2_rows`` granularity. That is
+    what lets chromosome-scale pairs keep full bit-exact tracebacks:
+    a chr12-height block's own bitmap would be tens of GB, a
+    sub-block's is ~1-2 GB transient.
+
+    Two latency optimizations in the leaf level (see the refill loop):
+
+    * COLUMN TRUNCATION — the walk enters a block at column ``j`` and
+      only ever moves left, so cells right of ``j`` are never read:
+      refill just columns [0, Bt] with ``Bt >= j``, quantized to
+      quarter-width buckets to bound compiled kernel variants.
+    * PREFETCH — a global walk always exits into the block above, and
+      its exit column can't exceed its entry column, so the next
+      block's refill is enqueued (JAX async dispatch) BEFORE the
+      walk's host sync: one device round-trip per block instead of
+      two. (A local walk may stop in ANY block, where a prefetched
+      whole-block fill would be discarded — locals refill after the
+      walk instead.)
+    """
+    codes: list[np.ndarray] = []
+    done = i == 0 and j == 0
+    if done:
+        return codes, i, j, True
+    Ln = s2e_span.shape[0]
+    quantum = max(round_up(-(-Ln // 4), 128), 128)
+    blk = max(0, (i - 1 - i_base) // R)
+
+    if l2_rows is not None:
+        if R % l2_rows:
+            raise ValueError(
+                f"hierarchical walk needs block_rows ({R}) to be a "
+                f"multiple of l2_rows ({l2_rows})"
+            )
+        NB2 = R // l2_rows
+        while not done:
+            i0 = i_base + blk * R
+            r0 = blk * R
+            s1_blk = s1e_span[r0 : r0 + R]
+            # Nested forward from the checkpointed row i0, truncated
+            # right of the entry column (cells there are never read:
+            # DP dependencies only flow rightward).
+            Bt = min(Ln, round_up(max(j, 1), quantum))
+            sub_tops, _, _ = _fwd_jit(
+                s1_blk,
+                s2e_span[:Bt],
+                np.int32(m),
+                np.int32(n),
+                scores,
+                tops[blk][:, : Bt + 1],
+                np.int32(i0),
+                NB=NB2,
+                R=l2_rows,
+                keep=True,
+                loc=is_local,
+                interp=interpret,
+                lean=True,
+            )
+            sub_codes, i, j, done = _walk_span(
+                s1_blk,
+                s2e_span[:Bt],
+                sub_tops,
+                l2_rows,
+                i0,
+                m,
+                n,
+                scores,
+                is_local,
+                interpret,
+                i,
+                j,
+            )
+            codes.extend(sub_codes)
+            if not done:
+                if blk == 0:
+                    return codes, i, j, False
+                blk -= 1
+        return codes, i, j, True
+
+    max_steps = R + Ln + 1
+    # Prefetching keeps TWO dirs bitmaps live; past ~4.5 GB each the
+    # pair would crowd out the 16 GB HBM, so walk unprefetched (the
+    # hidden latency is one host round-trip per block — noise next to
+    # a multi-GB refill; chr12-width leaves sit just under the gate
+    # and measured fine with both buffers live). Locals never
+    # prefetch: they may stop in ANY block, discarding the
+    # speculative fill.
+    refill_bytes = (R + Ln + 1) * round_up(R + 1, 1024) // 4
+    prefetch_ok = (not is_local) and refill_bytes <= (9 << 30) // 2
+
+    def refill(b: int, jcap: int):
+        i0 = i_base + b * R
+        r0 = b * R
+        Bt = min(Ln, round_up(max(jcap, 1), quantum))
+        res = gotoh_rowblock_pallas(
+            s1e_span[r0 : r0 + R],
+            s2e_span[:Bt],
+            tops[b][:, : Bt + 1],
+            np.int32(m),
+            np.int32(n),
+            np.int32(i0),
+            scores,
+            is_local,
+            emit_dirs=True,
+            emit_bottom=False,
+            interpret=interpret,
+        )
+        return res, i0
+
+    res, i0 = refill(blk, j)
+    while not done:
+        if blk > 0 and prefetch_ok:
+            nxt = refill(blk - 1, j)
+        blk_codes, i_f, j_f, done_f = device_walk(
+            res.dirs,
+            np.int32(i - i0),
+            np.int32(j),
+            np.int32(i0),
+            max_steps=max_steps,
+            interpret=interpret,
+        )
+        codes.append(blk_codes)
+        i, j, done = int(i_f), int(j_f), bool(done_f)
+        # device_walk only returns on terminate/exit (it resumes a
+        # filled buffer internally and raises on zero progress), so
+        # the remaining failure mode is exiting past the first block.
+        if not done and blk == 0:
+            return codes, i, j, False
+        if not done:
+            res, i0 = nxt if prefetch_ok else refill(blk - 1, j)
+            blk -= 1
+    return codes, i, j, True
+
+
 def align_checkpointed(
     seq1: Sequence,
     seq2: Sequence,
@@ -208,6 +391,7 @@ def align_checkpointed(
     is_local: bool = False,
     block_rows: int = 8191,
     interpret: bool = False,
+    l2_rows: int | None = None,
 ) -> AlignedSequences:
     """Full global/local alignment with O((m/R + R) * n) device memory.
 
@@ -218,6 +402,16 @@ def align_checkpointed(
     dirs (no bottom) and walks them on device. Size ``block_rows`` so
     R+1 is a multiple of 1024 (the lean kernel's lane vector covers
     R+1 rows rounded up to 1024).
+
+    ``l2_rows`` enables the HIERARCHICAL backward (two checkpoint
+    levels) for chromosome-scale pairs: ``block_rows`` becomes the
+    coarse level (sized for forward-pass throughput — the wavefront
+    runs ``NB * (R + n)`` diagonal steps, so tall blocks amortize the
+    per-block ``n``; ~96k rows is the measured chr12 sweet spot) and
+    crossed blocks are re-checkpointed at ``l2_rows`` granularity
+    before their dirs bitmaps materialize (``_walk_span``). Requires
+    ``block_rows % l2_rows == 0``; size both so each +1 is a multiple
+    of 1024 (e.g. 12*8191 + 11 = 98303 wastes lanes — use 98292).
     """
     m, n = len(seq1), len(seq2)
     R = block_rows
@@ -241,76 +435,28 @@ def align_checkpointed(
         score, start_i, start_j = at_mn, m, n
 
     # ---- backward: refill crossed blocks with dirs, walk on device ----
-    # Two latency optimizations over the naive refill-then-walk loop:
-    #
-    # * COLUMN TRUNCATION — the walk enters block ``blk`` at column
-    #   ``j`` and only ever moves left, so cells right of ``j`` are
-    #   never read: refill just columns [0, Bt] with ``Bt >= j``.
-    #   Fill time scales with the column count (diagonals = R+B+1 at
-    #   a fixed lane vector), so a roughly diagonal path halves the
-    #   backward fill. ``Bt`` is quantized to quarter-width buckets
-    #   to bound the number of compiled kernel variants at 4.
-    # * PREFETCH — the walk always exits into block ``blk - 1`` (or
-    #   terminates), and its exit column can't exceed its entry
-    #   column, so the next block's refill is enqueued (JAX async
-    #   dispatch) BEFORE the walk's host sync: one device round-trip
-    #   per block instead of two.
+    # (column truncation / prefetch / hierarchical re-checkpointing:
+    # see _walk_span.)
     t0 = time.perf_counter()
-    codes: list[np.ndarray] = []
-    i, j = start_i, start_j
-    done = i == 0 and j == 0
-    max_steps = R + Ln + 1
-    quantum = max(round_up(-(-Ln // 4), 128), 128)
-
-    def refill(blk: int, jcap: int):
-        i0 = blk * R
-        Bt = min(Ln, round_up(max(jcap, 1), quantum))
-        res = gotoh_rowblock_pallas(
-            s1e[i0 : i0 + R],
-            s2e[:Bt],
-            tops[blk][:, : Bt + 1],
-            np.int32(m),
-            np.int32(n),
-            np.int32(i0),
-            scores,
-            is_local,
-            emit_dirs=True,
-            emit_bottom=False,
-            interpret=interpret,
-        )
-        return res, i0
-
-    blk = max(0, (i - 1) // R) if not done else 0
+    codes, i, j, done = _walk_span(
+        s1e,
+        s2e,
+        tops,
+        R,
+        0,
+        m,
+        n,
+        scores,
+        is_local,
+        interpret,
+        start_i,
+        start_j,
+        l2_rows=l2_rows,
+    )
     if not done:
-        res, i0 = refill(blk, j)
-    while not done:
-        if blk > 0 and not is_local:
-            # Prefetch hides the per-block dispatch latency. Global
-            # walks can only terminate in block 0, so the refill is
-            # never wasted; a local walk may stop in ANY block, where
-            # a prefetched whole-block fill (seconds at R=8191) would
-            # be discarded — locals refill after the walk instead.
-            nxt = refill(blk - 1, j)
-        blk_codes, i_f, j_f, done_f = device_walk(
-            res.dirs,
-            np.int32(i - i0),
-            np.int32(j),
-            np.int32(i0),
-            max_steps=max_steps,
-            interpret=interpret,
+        raise RuntimeError(
+            f"traceback left block 0 at ({i}, {j}) without terminating"
         )
-        codes.append(blk_codes)
-        i, j, done = int(i_f), int(j_f), bool(done_f)
-        # device_walk only returns on terminate/exit (it resumes a
-        # filled buffer internally and raises on zero progress), so
-        # the remaining failure mode is exiting past the first block.
-        if not done and blk == 0:
-            raise RuntimeError(
-                f"traceback left block 0 at ({i}, {j}) without terminating"
-            )
-        if not done:
-            res, i0 = nxt if not is_local else refill(blk - 1, j)
-            blk -= 1
     t_bwd = time.perf_counter() - t0
     log.info(
         "[LongAlign] %dx%d in %d blocks of %d rows: forward %.2fs, "

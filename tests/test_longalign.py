@@ -89,3 +89,59 @@ def test_score_long_matches_oracle(is_local):
         ref = gotoh_fill_scan(s1e, s2e, m, n, SCORES, True)
         assert got[1] == int(ref.start_i)
         assert got[2] == int(ref.start_j)
+
+
+@pytest.mark.parametrize("is_local", [False, True])
+def test_hierarchical_matches_aligner(is_local):
+    """Two-level checkpointed backward (l2_rows) is bit-identical to
+    the monolithic aligner: same path, stats and score.
+
+    block_rows=128 with l2_rows=32 over ~300-row pairs exercises
+    multiple L1 blocks, nested forwards from checkpointed (non-row-0)
+    boundaries, sub-span exits, and the column truncation at both
+    levels.
+    """
+    rng = np.random.default_rng(61)
+    aligner = PairwiseAligner(SCORES, is_local=is_local, engine="scan")
+    for trial in range(3):
+        m = int(rng.integers(150, 400))
+        n = int(rng.integers(60, 400))
+        base = rng.choice(list("ACGT"), max(m, n) + 50)
+        a = "".join(base[:m])
+        bl = list(base[7 : n + 7])
+        for _ in range(8):
+            bl[int(rng.integers(0, n))] = str(rng.choice(list("ACGT")))
+        b = "".join(bl)
+        s1, s2 = Sequence("s1", a), Sequence("s2", b)
+
+        want = aligner.align(s1, s2)
+        got = align_checkpointed(
+            s1,
+            s2,
+            SCORES,
+            is_local=is_local,
+            block_rows=128,
+            interpret=True,
+            l2_rows=32,
+        )
+        assert got.score == want.score, (trial,)
+        assert got.alignment == want.alignment, (trial,)
+        assert (
+            got.matches,
+            got.mismatches,
+            got.opening_gaps,
+            got.gap_extensions,
+        ) == (
+            want.matches,
+            want.mismatches,
+            want.opening_gaps,
+            want.gap_extensions,
+        ), (trial,)
+
+
+def test_hierarchical_rejects_misaligned_levels():
+    s = Sequence("s", "ACGT" * 50)
+    with pytest.raises(ValueError, match="multiple of l2_rows"):
+        align_checkpointed(
+            s, s, SCORES, block_rows=100, interpret=True, l2_rows=32
+        )
