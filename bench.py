@@ -51,16 +51,19 @@ SCORE_ARGS = dict(s_match=1, s_mismatch=-2, g=-1, h=-5)
 
 #: int32 VPU ALU ops per lane-step of the streamed multi-segment
 #: score kernel (_kernel_stream, global mode): 3 flat shifts x 2 +
-#: I(3) + D(3) + sub/S(3) + boundary selects(7) + segment counter(3)
-#: + s1 seam swap(1) + probe(3) + Q/carries(3).
-OPS_PER_LANE_STEP = 32
-#: VMEM scratch issue slots per lane-step: 9 pane loads (s2j, I, P,
-#: D, Q, shM, counter, s1cur, fin) + 9 pane stores, amortized over
-#: the kernel's UNROLL=2 (one load/store set per two diagonals).
-#: The predecessor flat kernel was measured issue-slot bound (a 1.6x
-#: ALU cut left throughput unchanged), so the roofline is reported
-#: both ALU-only and total-slot.
-MEM_SLOTS_PER_LANE_STEP = 9
+#: I(3) + D(3) + sub/S(3) + boundary selects(5: col-0 I/S/D + row-0
+#: Q/D only, topQ is scalar) + segment counter(3) + s1 seam swap(1)
+#: + Q/carries(3). The probe runs under a scalar pl.when (one step
+#: per segment) and no longer costs hot-path vector ops.
+OPS_PER_LANE_STEP = 27
+#: VMEM scratch issue slots per lane-step: 8 pane loads (s2j, I, P,
+#: D, Q, shM, counter, s1cur) + 8 pane stores, amortized over the
+#: kernel's UNROLL=64 (one load/store set per 64 diagonals) —
+#: effectively 0.25 slots/step. The predecessor flat kernel was
+#: measured issue-slot bound (a 1.6x ALU cut left throughput
+#: unchanged), so the roofline is reported both ALU-only and
+#: total-slot.
+MEM_SLOTS_PER_LANE_STEP = 16 / 64
 #: v5e VPU peak int32 issue slots/s: 8 * 128 * 4 ALUs * 0.94 GHz.
 VPU_PEAK = 8 * 128 * 4 * 0.94e9
 

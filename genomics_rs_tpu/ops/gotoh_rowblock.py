@@ -62,18 +62,21 @@ from genomics_rs_tpu.ops.gotoh_scan import (
     NEG_INF,
 )
 
-#: diagonals per grid step.
-CHUNK = 512
+#: diagonals per grid step. Env-overridable
+#: (GENOMICS_TPU_CHUNK_ROWBLOCK) for hardware sweeps. Default 256
+#: with UNROLL 32 from a v5e chr12 sweep (512/16 -> 256/32 is
+#: +1.3%, 9.80 -> 9.92 e10 cells/s).
+CHUNK = int(os.environ.get("GENOMICS_TPU_CHUNK_ROWBLOCK", "256"))
 #: SSA unroll factor (one scratch load/store set per UNROLL diagonals).
 #: Env-overridable (GENOMICS_TPU_UNROLL_ROWBLOCK, falling back to the
-#: shared GENOMICS_TPU_UNROLL) for hardware sweeps. Default 16 from a
-#: v5e chr12 sweep of the pre-shift-carry body: 2/4/8/16/32 ->
-#: 8.3/8.9/9.4/9.6/9.75 e10 cells/s — 16 takes nearly all of the win
-#: without 32's compile-time growth.
+#: shared GENOMICS_TPU_UNROLL) for hardware sweeps. Default 32 from
+#: v5e chr12 sweeps of the pre-shift-carry body (2/4/8/16/32 ->
+#: 8.3/8.9/9.4/9.6/9.75 e10 cells/s at CHUNK=512; 256/32 lands
+#: 9.92 e10).
 UNROLL = int(
     os.environ.get(
         "GENOMICS_TPU_UNROLL_ROWBLOCK",
-        os.environ.get("GENOMICS_TPU_UNROLL", "16"),
+        os.environ.get("GENOMICS_TPU_UNROLL", "32"),
     )
 )
 

@@ -89,12 +89,16 @@ from genomics_rs_tpu.ops.gotoh_scan import INT_MIN, NEG_INF
 #: diagonals per grid step (SMEM stream block width). Env-overridable
 #: (GENOMICS_TPU_CHUNK) for hardware sweeps; must stay a multiple of
 #: UNROLL and divide the local-flush window constraints in _plan_stream.
-CHUNK = int(os.environ.get("GENOMICS_TPU_CHUNK", "512"))
+#: Default 256 from a v5e all-pairs sweep (512 -> 256 worth ~+1.5%:
+#: a smaller chunk also shrinks the L1 segment stride's round-up).
+CHUNK = int(os.environ.get("GENOMICS_TPU_CHUNK", "256"))
 #: SSA unroll factor: one scratch load/store set per UNROLL diagonals
 #: (the flat batch kernel is measured issue-slot bound; same trade).
 #: Env-overridable (GENOMICS_TPU_UNROLL) for hardware sweeps — read at
 #: import, so it is constant per process and safe under jit caching.
-UNROLL = int(os.environ.get("GENOMICS_TPU_UNROLL", "2"))
+#: Default 64 from a v5e all-pairs sweep of the post-surgery body
+#: (16/32/64 at CHUNK=256 -> 7.29/7.35/7.44 e10 cells/s).
+UNROLL = int(os.environ.get("GENOMICS_TPU_UNROLL", "64"))
 
 # The chunk loop runs chunk // UNROLL blocks and the local-flush window
 # math needs CHUNK | V (V is always a multiple of 1024) — a sweep value
@@ -274,18 +278,23 @@ def _kernel_stream(
             Dnew = jnp.maximum(shQ + hg, shD + gg)
             Snew = sub + M0
 
-        # Column-0 boundary (I/S = -inf, D = h + i*g), then the row-0
-        # stream overrides lane 0 (including the (0, 0) corner = 0).
+        # Column-0 boundary (I/S = -inf, D = h + i*g); the row-0
+        # stream then overrides lane 0 (including the (0, 0) corner
+        # = 0) — on Q and D only: lane 0's I/S/P are never read (its
+        # Q/D feed the shifts into lane 1 and lane 0 itself is
+        # re-fixed every step; its I/P only feed its own next I,
+        # which the Q fix makes unread, and the shift fill keeps the
+        # drift bounded). topQ is a scalar max of two SMEM reads —
+        # scalar-unit work, no vector slot (the rowblock kernel's
+        # collapse, gotoh_rowblock.py:203-207).
         Inew = jnp.where(col0, neg, Inew)
         Snew = jnp.where(col0, neg, Snew)
         Dnew = jnp.where(col0, Dcol, Dnew)
-        topI_s = topI_ref[0, t]
-        topSD_s = topSD_ref[0, t]
-        Inew = jnp.where(row0_mask, topI_s, Inew)
-        Snew = jnp.where(row0_mask, topSD_s, Snew)
-        Dnew = jnp.where(row0_mask, topSD_s, Dnew)
-
+        topQ = jnp.maximum(topI_ref[0, t], topSD_ref[0, t])
+        Dnew = jnp.where(row0_mask, topSD_ref[0, t], Dnew)
         Qnew = jnp.maximum(Inew, Snew)
+        Qnew = jnp.where(row0_mask, topQ, Qnew)
+
         if is_local:
             # Keep-last running argmax over the lane's true cells
             # (boundary cells clamp to 0 exactly like _kernel_batch;
@@ -297,11 +306,20 @@ def _kernel_stream(
             bj0 = jnp.where(upd, c1, bj0)
             tail = (bv0, bj0, mc0, nc0, cv0, cj0)
         else:
-            # Probe capture: pr is the probed lane or -1 (never
-            # matches iv >= 0) — one select per step.
+            # Probe capture: pr is the probed lane or -1. Under a
+            # scalar pl.when the two vector ops only run on the one
+            # step per segment that probes (55 of ~1.7M steps in the
+            # all-pairs headline) — the capture writes the scratch
+            # pane directly instead of riding the SSA state.
             pr = probe_ref[0, t]
-            bfin = jnp.where(iv == pr, jnp.maximum(Qnew, Dnew), loc[0])
-            tail = (bfin,)
+
+            @pl.when(pr >= 0)
+            def _probe():
+                fin_s[:] = jnp.where(
+                    iv == pr, jnp.maximum(Qnew, Dnew), fin_s[:]
+                )
+
+            tail = ()
         return (
             s2j,
             Inew,
@@ -316,7 +334,7 @@ def _kernel_stream(
     if is_local:
         tail_refs = (bv_s, bj_s, mc_s, nc_s, cv_s, cj_s)
     else:
-        tail_refs = (fin_s,)
+        tail_refs = ()  # fin_s is written in place under the probe when
     core_refs = (s2j_ref, Ip, Pp, Dp, Qp, shM, cnt_ref, s1cur)
 
     def body(tt, _):

@@ -207,8 +207,15 @@ def test_stream_fallback_paths():
 
     Lm = Ln = 2048
     _, _, L1, _, _ = _plan_stream(Lm, Ln, 2)
-    msx = np.array([2048, 300], np.int32)
-    nsx = np.array([2048, 300], np.int32)
+    # Place pair 1's probe step (L1 + m1 + n1) at the start of pair
+    # 0's probe chunk ((Lm + Ln) // CHUNK), whatever CHUNK/L1 the
+    # kernel is configured with.
+    tot1 = (Lm + Ln) // CHUNK * CHUNK - L1
+    assert 2 <= tot1 <= Lm + Ln, (
+        "test geometry no longer collides; adjust lengths"
+    )
+    msx = np.array([Lm, tot1 // 2], np.int32)
+    nsx = np.array([Ln, tot1 - tot1 // 2], np.int32)
     probe_chunks = (
         msx.astype(np.int64) + nsx + np.arange(2) * L1
     ) // CHUNK
