@@ -56,14 +56,21 @@ SCORE_ARGS = dict(s_match=1, s_mismatch=-2, g=-1, h=-5)
 #: + Q/carries(3). The probe runs under a scalar pl.when (one step
 #: per segment) and no longer costs hot-path vector ops.
 OPS_PER_LANE_STEP = 27
-#: VMEM scratch issue slots per lane-step: 8 pane loads (s2j, I, P,
-#: D, Q, shM, counter, s1cur) + 8 pane stores, amortized over the
-#: kernel's UNROLL=64 (one load/store set per 64 diagonals) —
-#: effectively 0.25 slots/step. The predecessor flat kernel was
-#: measured issue-slot bound (a 1.6x ALU cut left throughput
-#: unchanged), so the roofline is reported both ALU-only and
-#: total-slot.
-MEM_SLOTS_PER_LANE_STEP = 16 / 64
+#: VMEM scratch pane accesses per unroll block: 8 pane loads (s2j, I,
+#: P, D, Q, shM, counter, s1cur) + 8 pane stores, amortized over the
+#: stream kernel's configured UNROLL (one load/store set per UNROLL
+#: diagonals — 0.25 slots/step at the default 64). Computed from the
+#: live module constant so env-var sweeps keep the roofline honest.
+#: The predecessor flat kernel was measured issue-slot bound (a 1.6x
+#: ALU cut left throughput unchanged), so the roofline is reported
+#: both ALU-only and total-slot.
+PANE_ACCESSES_PER_UNROLL_BLOCK = 16
+
+
+def _mem_slots_per_lane_step() -> float:
+    from genomics_rs_tpu.ops.gotoh_stream import UNROLL as STREAM_UNROLL
+
+    return PANE_ACCESSES_PER_UNROLL_BLOCK / STREAM_UNROLL
 #: v5e VPU peak int32 issue slots/s: 8 * 128 * 4 ALUs * 0.94 GHz.
 VPU_PEAK = 8 * 128 * 4 * 0.94e9
 
@@ -166,7 +173,7 @@ def _roofline(
     ops_per_cell = lane_steps_per_cell * OPS_PER_LANE_STEP
     ops_per_s = cells_per_s * ops_per_cell
     slots_per_s = cells_per_s * lane_steps_per_cell * (
-        OPS_PER_LANE_STEP + MEM_SLOTS_PER_LANE_STEP
+        OPS_PER_LANE_STEP + _mem_slots_per_lane_step()
     )
     return {
         "ramp_factor": round(lane_steps_per_cell, 3),

@@ -164,16 +164,28 @@ class PairwiseAligner:
             # leaves directly cut the Bt-dominated step count —
             # chr12 x chr12 warm measured 41 s at l2=16383 vs ~75 s
             # at l2=8191 (the whole-alignment cells/s bench row).
+            from genomics_rs_tpu.models.longalign import (
+                REFILL_BYTES_CAP,
+            )
+
             l2_rows = None
             if m > self.HIER_ROWS_MIN:
                 for r in (16383, 8191, 4095, 2047, 1023):
-                    if (r + Ln + 1) * round_up(r + 1, 1024) // 4 <= (
-                        9 << 30
-                    ) // 2:
+                    if (
+                        (r + Ln + 1) * round_up(r + 1, 1024) // 4
+                        <= REFILL_BYTES_CAP
+                    ):
                         l2_rows = r
                         break
             if l2_rows is not None:
-                block_rows = l2_rows * -(-98292 // l2_rows)
+                # Coarse blocks near the ~96k sweet spot, but sized
+                # from the ACTUAL row count so a pair just over the
+                # threshold doesn't pad up to a full extra block
+                # (m = 196609 with a fixed 98298 coarse level would
+                # fill ~98k pure-padding rows).
+                n_blocks = -(-m // 98292)
+                per_block = -(-m // (n_blocks * l2_rows))
+                block_rows = l2_rows * per_block
             log.info(
                 "align: %dx%d exceeds dirs budget -> checkpointed path "
                 "(block_rows=%d, l2_rows=%s)",

@@ -53,6 +53,13 @@ from genomics_rs_tpu.sequence import PAD_S1, PAD_S2, Sequence, round_up
 
 log = logging.getLogger(__name__)
 
+#: Largest single backward-pass dirs refill, bytes. Shared invariant:
+#: the aligner picks hierarchical leaf heights so one refill fits
+#: this budget, and the leaf walk prefetches (two live refills) only
+#: under the same cap — 2 x 4.5 GB measured safe in 16 GB HBM at
+#: chr12 width, 2 x 9.1 GB (l2=32767) OOMs.
+REFILL_BYTES_CAP = (9 << 30) // 2
+
 
 
 def _forward_blocks(
@@ -338,7 +345,7 @@ def _walk_span(
     # prefetch: they may stop in ANY block, discarding the
     # speculative fill.
     refill_bytes = (R + Ln + 1) * round_up(R + 1, 1024) // 4
-    prefetch_ok = (not is_local) and refill_bytes <= (9 << 30) // 2
+    prefetch_ok = (not is_local) and refill_bytes <= REFILL_BYTES_CAP
 
     def refill(b: int, jcap: int):
         i0 = i_base + b * R
@@ -413,6 +420,13 @@ def align_checkpointed(
     ``block_rows % l2_rows == 0``; size both so each +1 is a multiple
     of 1024 (e.g. 12*8191 + 11 = 98303 wastes lanes — use 98292).
     """
+    if l2_rows is not None and block_rows % l2_rows:
+        # Checked again in _walk_span; failing here saves the whole
+        # forward pass (the precondition needs only the arguments).
+        raise ValueError(
+            f"hierarchical walk needs block_rows ({block_rows}) to be "
+            f"a multiple of l2_rows ({l2_rows})"
+        )
     m, n = len(seq1), len(seq2)
     R = block_rows
     Lm = max(round_up(m, R), R)

@@ -87,6 +87,15 @@ if UNROLL < 1 or CHUNK % UNROLL:
         f"GENOMICS_TPU_UNROLL={UNROLL} must be >= 1 and divide "
         f"CHUNK={CHUNK}"
     )
+# emit_dirs packs PACK (16) codes per int32 word along the diagonal
+# axis and sizes the dirs out-block as (CHUNK // PACK, ...): a CHUNK
+# that PACK doesn't divide would write past the block / misalign the
+# (Kp // PACK, V) layout — corrupt tracebacks from a sweep knob.
+if CHUNK < PACK or CHUNK % PACK:
+    raise ValueError(
+        f"GENOMICS_TPU_CHUNK_ROWBLOCK={CHUNK} must be a multiple of "
+        f"the dirs pack width ({PACK})"
+    )
 
 
 def _kernel_rows(
@@ -102,6 +111,7 @@ def _kernel_rows(
     is_local: bool,
     emit_dirs: bool,
     emit_bottom: bool,
+    unroll: int,
 ):
     idx = 0
     if emit_bottom:
@@ -286,7 +296,7 @@ def _kernel_rows(
     none1 = (jnp.int32(0),)
 
     def body(tt, _):
-        k0 = g_id * chunk + UNROLL * tt
+        k0 = g_id * chunk + unroll * tt
         state = (
             (
                 s2j_ref[:],
@@ -299,8 +309,8 @@ def _kernel_rows(
             + ((bv_s[:], bk_s[:]) if is_local else none2)
             + ((acc_s[:],) if emit_dirs else none1)
         )
-        for sub in range(UNROLL):
-            state = step_ssa(state, UNROLL * tt + sub, k0 + sub)
+        for sub in range(unroll):
+            state = step_ssa(state, unroll * tt + sub, k0 + sub)
         (s2j_ref[:], Ip[:], Pp[:], Ap[:], Mp[:], SMp[:]) = state[:6]
         if is_local:
             bv_s[:], bk_s[:] = state[6], state[7]
@@ -308,7 +318,7 @@ def _kernel_rows(
             acc_s[:] = state[8]
         return 0
 
-    jax.lax.fori_loop(0, chunk // UNROLL, body, 0)
+    jax.lax.fori_loop(0, chunk // unroll, body, 0)
 
     @pl.when(g_id == pl.num_programs(0) - 1)
     def _finalize():
@@ -433,6 +443,11 @@ def gotoh_rowblock_pallas(
         out_specs=tuple(out_specs),
         scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)] * n_scratch,
     )
+    # Interpret mode (CPU tests) evaluates the traced body per
+    # primitive — a wide SSA body is pure tracing/eval overhead
+    # there, so interpret runs keep a tiny unroll (semantics are
+    # unroll-invariant; pinned by the parity tests either way).
+    unroll = min(UNROLL, 2) if interpret else UNROLL
     kernel = functools.partial(
         _kernel_rows,
         C=C,
@@ -442,6 +457,7 @@ def gotoh_rowblock_pallas(
         is_local=is_local,
         emit_dirs=emit_dirs,
         emit_bottom=emit_bottom,
+        unroll=unroll,
     )
     outs = pl.pallas_call(
         kernel,

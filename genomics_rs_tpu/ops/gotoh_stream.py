@@ -152,6 +152,7 @@ def _kernel_stream(
     L1: int,
     chunk: int,
     is_local: bool,
+    unroll: int,
 ):
     if is_local:
         (
@@ -339,13 +340,13 @@ def _kernel_stream(
 
     def body(tt, _):
         state = tuple(r[:] for r in core_refs + tail_refs)
-        for sub in range(UNROLL):
-            state = step_ssa(state, UNROLL * tt + sub)
+        for sub in range(unroll):
+            state = step_ssa(state, unroll * tt + sub)
         for r, v in zip(core_refs + tail_refs, state):
             r[:] = v
         return 0
 
-    jax.lax.fori_loop(0, chunk // UNROLL, body, 0)
+    jax.lax.fori_loop(0, chunk // unroll, body, 0)
     # Lane-reduce the chunk accumulator to (8, 1) rows and broadcast
     # into the chunk's (1, 8, 128) output block (Mosaic requires the
     # block's trailing dims to be (8, 128)-aligned; (1, C) is not).
@@ -483,8 +484,18 @@ def _stream_call(
         scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)]
         * (14 if is_local else 9),
     )
+    # Interpret mode (CPU tests) evaluates the traced body per
+    # primitive: a 64-step SSA body is pure tracing/eval overhead
+    # there, so interpret runs keep a tiny unroll (semantics are
+    # unroll-invariant — pinned by the parity tests either way).
+    unroll = min(UNROLL, 2) if interpret else UNROLL
     kernel = functools.partial(
-        _kernel_stream, C=C, L1=L1, chunk=CHUNK, is_local=is_local
+        _kernel_stream,
+        C=C,
+        L1=L1,
+        chunk=CHUNK,
+        is_local=is_local,
+        unroll=unroll,
     )
     outs = pl.pallas_call(
         kernel,
