@@ -558,6 +558,28 @@ def run_full() -> dict:
             "cells_per_s_1pass": (len(ch) + 1.0) ** 2 / dt,
         }
 
+        # --- chr12 x chr12 BANDED full alignment --------------------
+        # Width-2048 diagonal band: 2.2e9 band cells instead of
+        # 1.16e12 — exact for near-diagonal pairs (ops/gotoh_banded).
+        from genomics_rs_tpu.models.banded import align_banded
+
+        _retry(
+            lambda: align_banded(ch, ch, scores, band=2048),
+            attempts=2,
+            label="chr12 banded",
+        )
+        t0 = time.perf_counter()
+        ab12 = align_banded(ch, ch, scores, band=2048)
+        dt = time.perf_counter() - t0
+        assert ab12.score == len(ch) and ab12.matches == len(ch)
+        rows["chr12_banded_align"] = {
+            "len": len(ch),
+            "band": 2048,
+            "score": ab12.score,
+            "s_warm": dt,
+            "band_cells_per_s": (len(ch) + 1.0) * 2048 / dt,
+        }
+
     # --- sequence-parallel pipeline on a 1-device mesh -------------
     from genomics_rs_tpu.ops.gotoh_pallas import gotoh_scores_pallas_batch
     from genomics_rs_tpu.parallel.longseq import sharded_gotoh_score
@@ -1076,6 +1098,40 @@ def run_smoke() -> int:
         )
         if not ok:
             failures.append(("hier_traceback", loc, 0, None, None))
+
+    # Banded global alignment (compiled): with band >= n the band
+    # covers the whole matrix and the output must be bit-identical to
+    # the monolithic pallas aligner on the same pair.
+    from genomics_rs_tpu.models.banded import align_banded
+
+    ba, bb = (sa, sb) if len(sb) <= len(sa) else (sb, sa)
+    want_b = PairwiseAligner(scores).align(ba, bb)
+    got_b = _retry(
+        lambda: align_banded(ba, bb, scores, band=1024),
+        label="smoke banded",
+    )
+    ok = (
+        got_b.alignment == want_b.alignment
+        and got_b.score == want_b.score
+        and (
+            got_b.matches,
+            got_b.mismatches,
+            got_b.opening_gaps,
+            got_b.gap_extensions,
+        )
+        == (
+            want_b.matches,
+            want_b.mismatches,
+            want_b.opening_gaps,
+            want_b.gap_extensions,
+        )
+    )
+    print(
+        f"[smoke] banded_full_cover: "
+        f"{'ok' if ok else 'MISMATCH vs monolithic aligner'}"
+    )
+    if not ok:
+        failures.append(("banded_full_cover", False, 0, None, None))
 
     if failures:
         print(f"[smoke] FAILED: {len(failures)} mismatches", file=sys.stderr)

@@ -46,6 +46,14 @@ def _build_parser() -> argparse.ArgumentParser:
     a.add_argument("-a", "--alignment-type", default="local")
     a.add_argument("-f", "--fasta-path", required=True)
     a.add_argument("--engine", default="auto", choices=["auto", "scan", "pallas"])
+    a.add_argument(
+        "--band",
+        type=int,
+        default=0,
+        help="global-only: restrict the fill to a diagonal band this "
+        "many columns wide (exact when the optimal path stays in "
+        "band — similar pairs; chromosome-scale in seconds)",
+    )
 
     s = sub.add_parser("suffixtree", help="suffix tree stats + BWT")
     s.add_argument("-a", "--alphabet-file", required=True)
@@ -204,10 +212,31 @@ def main(argv: list[str] | None = None) -> int:
 
         from genomics_rs_tpu.utils.profiling import trace
 
-        with trace("align"):
-            aligned = align_pair(
-                container, sc, is_local=is_local, engine=args.engine
-            )
+        if args.band:
+            if is_local:
+                print(
+                    "--band is global-only (banded local alignment is "
+                    "served by the map/reads modes)",
+                    file=sys.stderr,
+                )
+                return 2
+            from genomics_rs_tpu.models.banded import align_banded
+
+            seqs = container.sequences
+            if len(seqs) > 2:
+                log.warning(
+                    "More than two sequences found. Only the first "
+                    "two will be used."
+                )
+            with trace("align"):
+                aligned = align_banded(
+                    seqs[0], seqs[1], sc, band=args.band
+                )
+        else:
+            with trace("align"):
+                aligned = align_pair(
+                    container, sc, is_local=is_local, engine=args.engine
+                )
         print_alignment_tables(aligned, sc, is_local)
         print(format_aligned_sequences(aligned))
         return 0

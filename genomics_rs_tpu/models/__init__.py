@@ -1,6 +1,7 @@
 """High-level model-like APIs (aligners over the DP kernels)."""
 
 from genomics_rs_tpu.models.aligner import PairwiseAligner, align_pair
+from genomics_rs_tpu.models.banded import align_banded
 from genomics_rs_tpu.models.mapper import (
     KmerIndex,
     MappedRead,
@@ -13,6 +14,7 @@ from genomics_rs_tpu.models.reads import align_reads, write_sam
 __all__ = [
     "PairwiseAligner",
     "align_pair",
+    "align_banded",
     "align_reads",
     "write_sam",
     "KmerIndex",

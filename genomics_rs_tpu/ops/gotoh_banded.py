@@ -1,0 +1,505 @@
+"""Banded Gotoh kernel: full affine-gap alignment inside a diagonal band.
+
+A capability the reference does not have (its only modes are the full
+O(mn) global/local fills, ``/root/reference/src/alignment/algo.rs:151-282``):
+when two sequences are known to be similar — resequenced samples,
+same-species chromosomes, long reads against a reference window — the
+optimal path stays near the main diagonal and the O(mn) fill wastes
+almost all of its cells. This kernel fills only a width-``V`` band
+around the length-proportional diagonal: O(m*V) cells, O(m*V/16)
+packed direction words — chr12 x chr12 full alignment drops from
+1.16e12 cells / 41 s (hierarchical checkpoints) to 2.2e9 cells at
+V=2048.
+
+Formulation (vs the wavefront kernels' anti-diagonal vectors): lanes
+are BAND OFFSETS. Lane ``v`` of row ``i`` holds column
+``j = off(i) + v + 1`` where::
+
+    off(i) = clamp((i * n) // m - V // 2, 0, max(0, n - V))
+
+so the window tracks the (i * n / m) diagonal and ``delta(i) =
+off(i) - off(i-1)`` is 0 or 1 whenever ``n <= m`` (the wrapper
+enforces this; swap the pair otherwise). Per row:
+
+* D (vertical, consume s1) reads the previous row at the same column:
+  the pre-shift carry ``A = max(max(I, S) + h + g, D + g)`` is
+  computed on the producing row and aligned by ``delta`` on the
+  consuming row (one conditional lane shift, ``gotoh_rowblock``'s
+  carry trick);
+* S (diagonal) likewise via the carried row max ``M``, aligned by
+  ``delta - 1``;
+* I (horizontal, consume s2) is a first-order (max, +) recurrence
+  along the row — solved by a three-phase hierarchical prefix scan
+  over the (8, C) lane pane (within-sublane doubling rounds, a
+  cross-sublane scan of the 8 row aggregates, then a broadcast
+  combine), the same trick as ``gotoh_shortread`` restated for the
+  flat single-pair lane space.
+
+Out-of-band predecessors are -inf (strict banded semantics: the
+result equals the full DP iff an optimal path stays inside the band;
+with ``V >= n`` the band covers everything and the output is
+bit-identical to the monolithic fill — pinned by tests). Direction
+codes use the reference tie order (S > I > D) and are packed 16
+consecutive ROWS per int32 word at each lane (``dirs[(i-1)//16, v]``),
+walked by :func:`walk_banded` which re-derives ``off(i)`` per step.
+
+Global mode only: the banded use case is end-to-end alignment of
+similar sequences (local alignment of similar pairs is served by the
+full kernels and the mapper's seed-and-extend).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from genomics_rs_tpu.config import Scores
+from genomics_rs_tpu.ops.gotoh_pallas import (
+    ROWS,
+    _round_up,
+    _shift_down_flat,
+)
+from genomics_rs_tpu.ops.gotoh_scan import (
+    DIR_DEL,
+    DIR_INS,
+    DIR_STOP,
+    DIR_SUB,
+    INT_MIN,
+    NEG_INF,
+)
+
+#: rows per grid step (SMEM stream block width); a multiple of the
+#: 16-row dirs pack so chunks never split a packed word.
+RC = 256
+#: 2-bit codes per packed word (rows per int32).
+PACK = 16
+
+
+def band_offset(i, m: int, n: int, V: int):
+    """Window start of row ``i``: columns ``off+1 .. off+V`` are in
+    band. Host-side planning math (numpy); the device walker
+    re-derives the same integer formula."""
+    lo = (np.asarray(i, np.int64) * n) // m - V // 2
+    return np.clip(lo, 0, max(0, n - V))
+
+
+def _shift_up_flat(x, incoming, row_idx, col_idx, C):
+    """y[v] = x[v+1] over the flat (8, C) lane space; y[V-1] = incoming.
+
+    ``pltpu.roll`` only takes non-negative shifts — an up-shift by one
+    is a roll by size-1.
+    """
+    r = pltpu.roll(x, shift=C - 1, axis=1)
+    col = x[:, 0:1]
+    colr = pltpu.roll(col, shift=ROWS - 1, axis=0)
+    fix = jnp.where(row_idx[:, :1] == ROWS - 1, incoming, colr)
+    return jnp.where(col_idx == C - 1, fix, r)
+
+
+def _kernel_banded(
+    scalars,  # SMEM int32[8]: sm, sx, g, h, m, n, v_mn, pad
+    s2init_ref,  # VMEM int32 (8, C): s2 chars of the row-0 window
+    s1c_ref,  # SMEM int32 (1, RC): s1 char per row
+    delta_ref,  # SMEM int32 (1, RC): window slide per row (0/1)
+    s2in_ref,  # SMEM int32 (1, RC): char entering the window (delta=1)
+    fillM_ref,  # SMEM int32 (1, RC): M-shift left fill per row
+    fillN_ref,  # SMEM int32 (1, RC): I-seed left fill per row
+    dirs_ref,  # VMEM out (RC//16, 8, C): packed codes, 16 rows/word
+    fin_ref,  # VMEM out (8, C): probe capture at (m, n)
+    s2w,  # scratch (8, C): window s2 chars
+    Ap,  # scratch: pre-shift D carry of the previous row
+    Mp,  # scratch: previous row's cell max
+    fin_s,  # scratch: running probe capture
+    acc_s,  # scratch: dirs pack accumulator
+    *,
+    C: int,
+    chunk: int,
+    unroll: int,
+):
+    g_id = pl.program_id(0)
+    sm = scalars[0]
+    sx = scalars[1]
+    gg = scalars[2]
+    hh = scalars[3]
+    m = scalars[4]
+    v_mn = scalars[6]
+    hg = hh + gg
+
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 0)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 1)
+    iv = row_idx * C + col_idx
+    neg = jnp.int32(NEG_INF)
+    int_min = jnp.int32(INT_MIN)
+
+    @pl.when(g_id == 0)
+    def _init():
+        # Row 0 (off = 0, j = v + 1): I = h + j*g, S = D = -inf, so
+        # M(0, j) = h + j*g and A = max(M + h + g, -inf) = M + h + g.
+        M0 = hh + (iv + 1) * gg
+        Mp[:] = M0
+        Ap[:] = M0 + hg
+        s2w[:] = s2init_ref[:]
+        fin_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+        acc_s[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
+
+    def scan_maxplus(x):
+        """In-row (max, +) prefix: out[v] = max_{t<=v} x[t] + (v-t)*g.
+
+        Phase A doubles within sublane rows, phase B scans the 8 row
+        aggregates across sublanes, phase C combines the previous
+        rows' aggregate into every lane.
+        """
+        d = 1
+        while d < C:
+            r = pltpu.roll(x, shift=d, axis=1)
+            r = jnp.where(col_idx < d, neg, r)
+            x = jnp.maximum(x, r + d * gg)
+            d *= 2
+        agg = x[:, C - 1 : C]  # (8, 1) per-sublane-row totals
+        d = 1
+        while d < ROWS:
+            ra = pltpu.roll(agg, shift=d, axis=0)
+            ra = jnp.where(row_idx[:, :1] < d, neg, ra)
+            agg = jnp.maximum(agg, ra + d * C * gg)
+            d *= 2
+        prev = pltpu.roll(agg, shift=1, axis=0)
+        prev = jnp.where(row_idx[:, :1] == 0, neg, prev)
+        return jnp.maximum(x, prev + (col_idx + 1) * gg)
+
+    def step(state, t, i):
+        s2w0, A0, M0, fin0, acc0 = state
+        dlt = delta_ref[0, t]
+        is1 = dlt == 1
+        # Align the previous row's carries to this row's window:
+        # D reads the SAME column (shift up by delta), S reads the
+        # PREVIOUS column (shift down by 1 - delta).
+        A_up = _shift_up_flat(A0, neg, row_idx, col_idx, C)
+        Dn = jnp.where(is1, A_up, A0)
+        M_dn = _shift_down_flat(
+            M0, fillM_ref[0, t], row_idx, col_idx, C
+        )
+        M_al = jnp.where(is1, M0, M_dn)
+        s2_up = _shift_up_flat(
+            s2w0, s2in_ref[0, t], row_idx, col_idx, C
+        )
+        s2w1 = jnp.where(is1, s2_up, s2w0)
+
+        sub = jnp.where(s1c_ref[0, t] == s2w1, sm, sx)
+        Sn = sub + M_al
+        P = jnp.maximum(Sn, Dn)
+        seed = _shift_down_flat(
+            P + hg, fillN_ref[0, t], row_idx, col_idx, C
+        )
+        In = scan_maxplus(seed)
+        cm = jnp.maximum(In, P)
+
+        code = jnp.where(
+            cm == Sn,
+            DIR_SUB,
+            jnp.where(
+                cm == In,
+                DIR_INS,
+                jnp.where(cm == Dn, DIR_DEL, DIR_STOP),
+            ),
+        )
+        sp = (i - 1) % PACK
+        acc1 = jnp.where(sp == 0, 0, acc0) | (code << (2 * sp))
+
+        @pl.when(sp == PACK - 1)
+        def _flush():
+            dirs_ref[(t // PACK)] = acc1
+
+        fin1 = jnp.where((i == m) & (iv == v_mn), cm, fin0)
+
+        An = jnp.maximum(jnp.maximum(In, Sn) + hg, Dn + gg)
+        return s2w1, An, cm, fin1, acc1
+
+    refs = (s2w, Ap, Mp, fin_s, acc_s)
+
+    def body(tt, _):
+        state = tuple(r[:] for r in refs)
+        base = tt * unroll
+        for sub_t in range(unroll):
+            t = base + sub_t
+            i = g_id * chunk + t + 1
+            state = step(state, t, i)
+        for r, v in zip(refs, state):
+            r[:] = v
+        return 0
+
+    jax.lax.fori_loop(0, chunk // unroll, body, 0)
+
+    @pl.when(g_id == pl.num_programs(0) - 1)
+    def _finalize():
+        fin_ref[:] = fin_s[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("V", "m", "n", "interpret")
+)
+def _banded_call(
+    s1e: jax.Array,
+    s2e: jax.Array,
+    scores: Scores,
+    V: int,
+    m: int,
+    n: int,
+    interpret: bool,
+):
+    C = V // ROWS
+    Mp = _round_up(m, RC)
+    neg = jnp.int32(NEG_INF)
+    gg = jnp.int32(scores.g)
+    hh = jnp.int32(scores.h)
+
+    # Host-side per-row streams (numpy: m/n/V are static here).
+    rows = np.arange(1, Mp + 1, dtype=np.int64)
+    off = band_offset(rows, m, n, V).astype(np.int64)
+    off_prev = band_offset(rows - 1, m, n, V).astype(np.int64)
+    delta = (off - off_prev).astype(np.int32)
+    if delta.max(initial=0) > 1 or delta.min(initial=0) < 0:
+        raise ValueError(
+            f"band window slides by more than one column per row "
+            f"(m={m}, n={n}): banded alignment needs n <= m"
+        )
+
+    s1_idx = np.minimum(rows - 1, s1e.shape[0] - 1).astype(np.int32)
+    s1c = jnp.take(jnp.asarray(s1e, jnp.int32), jnp.asarray(s1_idx))[
+        None, :
+    ]
+    # Char entering the window on the right when delta == 1:
+    # column off(i) + V, i.e. s2e[off(i) + V - 1].
+    in_idx = np.minimum(off + V - 1, s2e.shape[0] - 1).astype(np.int32)
+    s2in = jnp.take(jnp.asarray(s2e, jnp.int32), jnp.asarray(in_idx))[
+        None, :
+    ]
+    # Left fills: real col-0 boundary values while the window still
+    # touches column 0, -inf once the band has moved past it. (jnp:
+    # the scores ride through the jit as traced scalars.)
+    at0 = jnp.asarray(off == 0)
+    rj = jnp.asarray(rows, jnp.int32)
+    fillM = jnp.where(
+        at0,
+        jnp.where(rj == 1, 0, hh + (rj - 1) * gg),
+        neg,
+    )[None, :]
+    fillN = jnp.where(at0, hh + rj * gg + hh + gg, neg)[None, :]
+
+    s2init = jnp.full((V,), 0xFF, dtype=jnp.int32)
+    take_n = min(V, len(s2e))
+    s2init = jax.lax.dynamic_update_slice(
+        s2init,
+        jnp.asarray(s2e[:take_n], jnp.int32),
+        (jnp.int32(0),),
+    ).reshape(ROWS, C)
+
+    v_mn = int(n - int(band_offset(m, m, n, V)) - 1)
+    scalars = jnp.stack(
+        [
+            jnp.int32(scores.s_match),
+            jnp.int32(scores.s_mismatch),
+            gg,
+            hh,
+            jnp.int32(m),
+            jnp.int32(n),
+            jnp.int32(v_mn),
+            jnp.int32(0),
+        ]
+    )
+
+    G = Mp // RC
+    smem_row = pl.BlockSpec(
+        (1, RC), lambda g, s: (0, g), memory_space=pltpu.SMEM
+    )
+    unroll = 2 if interpret else 16
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(
+                (ROWS, C), lambda g, s: (0, 0), memory_space=pltpu.VMEM
+            ),
+            smem_row,
+            smem_row,
+            smem_row,
+            smem_row,
+            smem_row,
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (RC // PACK, ROWS, C),
+                lambda g, s: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (ROWS, C), lambda g, s: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)] * 5,
+    )
+    kernel = functools.partial(
+        _kernel_banded, C=C, chunk=RC, unroll=unroll
+    )
+    dirs, fin = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((Mp // PACK, ROWS, C), jnp.int32),
+            jax.ShapeDtypeStruct((ROWS, C), jnp.int32),
+        ),
+        interpret=interpret,
+    )(
+        scalars,
+        s2init,
+        s1c,
+        jnp.asarray(delta)[None, :],
+        s2in,
+        jnp.asarray(fillM),
+        jnp.asarray(fillN),
+    )
+    return jnp.max(fin.reshape(V)), dirs.reshape(Mp // PACK, V)
+
+
+def gotoh_banded(
+    s1e, s2e, m: int, n: int, scores: Scores, V: int,
+    interpret: bool = False,
+):
+    """Banded global fill. Returns ``(score, dirs)`` with ``dirs``
+    the packed direction words (``dirs[(i-1)//16, j - off(i) - 1]``,
+    16 rows per int32). ``m``/``n`` must be concrete (the band
+    geometry is planned host-side); requires ``1 <= n <= m`` and
+    ``V`` a multiple of 1024."""
+    if V < 1024 or V % 1024:
+        raise ValueError(f"band width V={V} must be a multiple of 1024")
+    if not 1 <= n <= m:
+        raise ValueError(
+            f"banded alignment needs 1 <= n ({n}) <= m ({m}); swap "
+            "the pair (the band tracks the length-proportional "
+            "diagonal, which must slide at most one column per row)"
+        )
+    return _banded_call(
+        s1e, s2e, scores, V=int(V), m=int(m), n=int(n),
+        interpret=bool(interpret),
+    )
+
+
+#: dependent walk steps per while-loop iteration (see
+#: ops/traceback_device.walk_block — same amortization).
+WALK_UNROLL = 8
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n", "V", "max_steps"))
+def _walk_banded_jit(dirs, deltas, off_m: jax.Array, m: int, n: int,
+                     V: int, max_steps: int):
+    """``deltas[i-1]`` = window slide entering row ``i``; the walker
+    tracks ``off(i)`` incrementally (the closed form ``(i*n)//m``
+    overflows int32 at chromosome scale and x64 is disabled)."""
+
+    def substep(st):
+        i, j, off, pos, done, oob, moves = st
+        halt = done | oob | (pos >= max_steps)
+        # Boundary rows/columns synthesize the reference's codes
+        # (row 0 = all-INS, col 0 = all-DEL); interior cells read the
+        # packed word at band lane v = j - off(i) - 1.
+        v = j - off - 1
+        vc = jnp.clip(v, 0, V - 1)
+        word = dirs[jnp.maximum(i - 1, 0) // PACK, vc]
+        code = (word >> (2 * ((i - 1) % PACK))) & 3
+        code = jnp.where(i == 0, DIR_INS, jnp.where(j == 0, DIR_DEL, code))
+        # A walked interior cell outside the band — or one carrying a
+        # stop code in this global-mode table — is corrupt data
+        # (finite-score paths never cross -inf provenance).
+        bad = (
+            (~halt)
+            & (i > 0)
+            & (j > 0)
+            & ((v < 0) | (v >= V) | (code == DIR_STOP))
+        )
+
+        di = jnp.where(code == DIR_INS, 0, 1)
+        dj = jnp.where(code == DIR_DEL, 0, 1)
+        i_new = jnp.maximum(i - di, 0)
+        j_new = jnp.maximum(j - dj, 0)
+        write = (~halt) & (~bad)
+        # Entering row i-1 undoes that row's window slide.
+        off_new = off - deltas[jnp.maximum(i - 1, 0)]
+        moves = jnp.where(
+            write,
+            moves.at[jnp.minimum(pos, max_steps - 1)].set(
+                code.astype(jnp.uint8)
+            ),
+            moves,
+        )
+        pos = jnp.where(write, pos + 1, pos)
+        done_now = write & (i_new == 0) & (j_new == 0)
+        keep = halt | bad
+        moved_up = (~keep) & (i_new < i)
+        return (
+            jnp.where(keep, i, i_new),
+            jnp.where(keep, j, j_new),
+            jnp.where(moved_up, off_new, off),
+            pos,
+            done | done_now,
+            oob | bad,
+            moves,
+        )
+
+    def cond(st):
+        i, j, off, pos, done, oob, moves = st
+        return (~done) & (~oob) & (pos < max_steps)
+
+    def body(st):
+        for _ in range(WALK_UNROLL):
+            st = substep(st)
+        return st
+
+    init = (
+        jnp.int32(m),
+        jnp.int32(n),
+        jnp.asarray(off_m, jnp.int32),
+        jnp.int32(0),
+        jnp.asarray(False),
+        jnp.asarray(False),
+        jnp.zeros((max_steps,), dtype=jnp.uint8),
+    )
+    i, j, off, pos, done, oob, moves = jax.lax.while_loop(
+        cond, body, init
+    )
+    return moves, pos, done, oob
+
+
+def walk_banded(dirs, m: int, n: int, V: int):
+    """Chase the banded direction words from (m, n) to the origin;
+    returns the move codes in walk order (uint8). Raises on a path
+    that leaves the band (corrupt words) or fails to terminate."""
+    max_steps = _round_up(m + n + 1, 8192)
+    # deltas[i-1] = off(i) - off(i-1) for rows 1..m (host int64 math).
+    rows = np.arange(0, m + 1, dtype=np.int64)
+    offs = band_offset(rows, m, n, V)
+    deltas = jnp.asarray(np.diff(offs).astype(np.int32))
+    moves, pos, done, oob = _walk_banded_jit(
+        dirs,
+        deltas,
+        np.int32(offs[-1]),
+        m=int(m),
+        n=int(n),
+        V=int(V),
+        max_steps=max_steps,
+    )
+    moves, pos, done, oob = jax.device_get((moves, pos, done, oob))
+    if bool(oob):
+        raise RuntimeError(
+            "banded traceback left the band or hit a stop code — "
+            "corrupt direction data"
+        )
+    if not bool(done):
+        raise RuntimeError(
+            f"banded traceback did not terminate within {max_steps} moves"
+        )
+    return np.asarray(moves[: int(pos)])

@@ -52,6 +52,26 @@ def test_cli_align_local(small_pair, tmp_path):
     assert "Alignment Score:" in r.stdout
 
 
+def test_cli_align_banded(small_pair, tmp_path):
+    # band >= len(seq2): exact full-DP semantics — same score as the
+    # global scan run above (off-TPU the kernel auto-interprets).
+    r = _run(
+        ["align", "-a", "global", "-f", small_pair, "--band", "1024"],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr
+    assert "Alignment Score: 5" in r.stdout
+
+
+def test_cli_align_banded_rejects_local(small_pair, tmp_path):
+    r = _run(
+        ["align", "-a", "local", "-f", small_pair, "--band", "1024"],
+        str(tmp_path),
+    )
+    assert r.returncode == 2
+    assert "global-only" in r.stderr
+
+
 def test_cli_suffixtree_bwt_file(tmp_path):
     fasta = tmp_path / "banana.fasta"
     fasta.write_text(">b\nBANANA\n")
