@@ -390,8 +390,11 @@ def gotoh_banded(
 
 
 #: dependent walk steps per while-loop iteration (see
-#: ops/traceback_device.walk_block — same amortization).
-WALK_UNROLL = 8
+#: ops/traceback_device.walk_block — same amortization). Env knob
+#: for hardware sweeps.
+import os as _os
+
+WALK_UNROLL = int(_os.environ.get("GENOMICS_TPU_WALK_UNROLL", "8"))
 
 
 @functools.partial(jax.jit, static_argnames=("m", "n", "V", "max_steps"))
