@@ -163,6 +163,52 @@ def _build_parser() -> argparse.ArgumentParser:
     mp.add_argument("--format", choices=["sam", "tsv"], default="sam")
     mp.add_argument("-o", "--output", default="mapped.sam")
 
+    se = sub.add_parser(
+        "search",
+        help="FM-index substring search: count/locate every query in "
+        "a reference (TPU extension: device suffix array build + "
+        "batched backward search)",
+    )
+    se.add_argument("-r", "--ref", required=True, help="reference FASTA")
+    se.add_argument(
+        "-q", "--queries", required=True,
+        help="query patterns, FASTA or FASTQ (auto-detected)",
+    )
+    se.add_argument(
+        "--locate", action="store_true",
+        help="also report every match position (comma-separated)",
+    )
+    se.add_argument(
+        "--engine", default="device", choices=["device", "host"],
+        help="where the batched backward search runs",
+    )
+    se.add_argument("-o", "--output", default="search_hits.tsv")
+
+    ms = sub.add_parser(
+        "msa",
+        help="multiple sequence alignment (TPU extension: center-star "
+        "over the batched device aligner)",
+    )
+    ms.add_argument(
+        "-f",
+        "--fasta-path",
+        required=True,
+        nargs="+",
+        help="FASTA file(s) or a directory of .fasta files; all "
+        "sequences found are aligned together",
+    )
+    ms.add_argument("--engine", default="auto", choices=["auto", "scan", "pallas"])
+    ms.add_argument(
+        "--format", choices=["clustal", "fasta"], default="clustal"
+    )
+    ms.add_argument(
+        "-o",
+        "--output",
+        default=None,
+        help="write the alignment here as well (format follows "
+        "--format); stdout always gets the clustal rendering",
+    )
+
     am = sub.add_parser(
         "align-matrix",
         help="all-pairs DP alignment-score matrix over a FASTA dir "
@@ -561,6 +607,87 @@ def main(argv: list[str] | None = None) -> int:
                         f"{r.mapq}\t{r.seeds}\t{r.cigar}\n"
                     )
         print(f"wrote {args.output}")
+        return 0
+
+    if args.mode == "search":
+        import time
+
+        log.info("MODE: Search (FM-index substring queries)")
+        from genomics_rs_tpu.suffixtree.fmindex import FMIndex
+
+        refs = SequenceContainer().from_fasta(args.ref).sequences
+        queries = SequenceContainer().from_reads(args.queries).sequences
+        if not refs or not queries:
+            log.error("no reference or no queries loaded")
+            return 1
+        if len(refs) > 1:
+            log.warning(
+                "More than one reference sequence found. Only the "
+                "first will be indexed."
+            )
+        t0 = time.perf_counter()
+        index = FMIndex.build(refs[0].sequence)
+        t_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        counts = index.count_batch(
+            [q.sequence for q in queries],
+            device=args.engine == "device",
+        )
+        t_search = time.perf_counter() - t0
+        with open(args.output, "w") as f:
+            pos_col = "\tpositions" if args.locate else ""
+            f.write(f"query\tcount{pos_col}\n")
+            for q, c in zip(queries, counts):
+                tail = ""
+                if args.locate:
+                    tail = "\t" + ",".join(
+                        str(p) for p in index.locate(q.sequence)
+                    )
+                f.write(f"{q.name}\t{int(c)}{tail}\n")
+        print(
+            f"indexed {len(index.text) - 1} bases in {t_build:.3f}s; "
+            f"{len(queries)} queries in {t_search:.3f}s "
+            f"({sum(int(c) for c in counts)} total hits)"
+        )
+        print(f"wrote {args.output}")
+        return 0
+
+    if args.mode == "msa":
+        log.info("MODE: MSA (center-star multiple alignment)")
+        from genomics_rs_tpu.comparison.driver import load_fasta_dir
+        from genomics_rs_tpu.models.msa import (
+            center_star_msa,
+            format_msa_clustal,
+            write_msa_fasta,
+        )
+
+        container = SequenceContainer()
+        for path in args.fasta_path:
+            if os.path.isdir(path):
+                for s in load_fasta_dir(path).sequences:
+                    container.sequences.append(s)
+            else:
+                container.from_fasta(path)
+        log.info("Number of sequences: %d", len(container.sequences))
+        if len(container.sequences) < 2:
+            log.error("msa needs at least two sequences")
+            return 1
+        result = center_star_msa(
+            container, config.scores, engine=args.engine
+        )
+        log.info(
+            "center: %s, alignment width %d",
+            result.names[result.center_index],
+            result.width,
+        )
+        print(format_msa_clustal(result))
+        if args.output:
+            if args.format == "fasta":
+                write_msa_fasta(result, args.output)
+            else:
+                with open(args.output, "w") as f:
+                    f.write(format_msa_clustal(result) + "\n")
+            print(f"wrote {args.output}")
         return 0
 
     if args.mode == "align-matrix":

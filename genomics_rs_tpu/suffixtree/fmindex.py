@@ -1,0 +1,198 @@
+"""FM-index: BWT-backed substring counting/locating, batched on device.
+
+No reference counterpart: ``/root/reference`` computes the BWT only to
+print it (``src/suffixtree/tree.rs:740-803``, ``src/main.rs:177-214``).
+This module closes the loop — the BWT becomes a queryable index:
+
+* **build** rides the device prefix-doubling suffix array
+  (``ops/bwt_device.suffix_array``: log2(n) rounds of ``lax.sort``),
+  then derives the BWT, the C array and a full Occ table host-side;
+* **count** is classic backward search: per pattern char c,
+  ``lo, hi -> C[c] + Occ[lo][c], C[c] + Occ[hi][c]`` — O(|p|) with two
+  rank lookups per step, independent of text length;
+* **count_batch** runs thousands of backward searches in lockstep on
+  device: patterns are right-aligned into one (B, Lp) int32 buffer so
+  every search starts at the same column, and a single
+  ``jax.lax.scan`` over columns advances all B (lo, hi) ranges with
+  two flat gathers from the HBM-resident Occ table per step;
+* **locate** reads positions straight out of the retained suffix
+  array (it is a build byproduct here, so no SA sampling / LF walking
+  is needed — memory is 4 bytes/char, fine at chromosome scale).
+
+The terminator is the reference's ``'$'`` (0x24): ASCII-below A/C/G/T,
+so row 0 of the conceptual sorted-rotation matrix is the terminator
+row exactly as in the suffix-tree DFS BWT (SURVEY §2.4-13), and this
+index's BWT string equals ``compute_stats``'s for the same text.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genomics_rs_tpu.ops.bwt_device import TERMINATOR, suffix_array
+
+
+@functools.partial(jax.jit, static_argnames=("A",))
+def _search_batch_device(
+    occ_flat: jax.Array,  # int32 ((n+1) * A,) row-major Occ
+    cvec: jax.Array,  # int32 (A,) chars-below counts
+    pats: jax.Array,  # int32 (B, Lp) codes, -1 pad (left), right-aligned
+    n: jax.Array,  # int32 scalar: text length incl. terminator
+    A: int,
+):
+    B, Lp = pats.shape
+    lo0 = jnp.zeros((B,), jnp.int32)
+    hi0 = jnp.broadcast_to(n.astype(jnp.int32), (B,))
+
+    def step(carry, col):
+        lo, hi = carry
+        valid = col >= 0
+        c = jnp.where(valid, col, 0)
+        base = cvec[c]
+        nlo = base + occ_flat[lo * A + c]
+        nhi = base + occ_flat[hi * A + c]
+        lo = jnp.where(valid, nlo, lo)
+        hi = jnp.where(valid, nhi, hi)
+        return (lo, hi), None
+
+    # Backward search: last pattern char first = rightmost column
+    # first. Right-aligned padding puts every pattern's last char in
+    # the final column, so the -1 guards only fire once a (shorter)
+    # pattern has fully matched and its range must be held.
+    cols = jnp.flip(pats.T, axis=0)
+    (lo, hi), _ = jax.lax.scan(step, (lo0, hi0), cols)
+    return lo, hi
+
+
+@dataclasses.dataclass
+class FMIndex:
+    """Immutable FM-index over one text (terminator appended)."""
+
+    #: text bytes including the trailing terminator.
+    text: bytes
+    #: suffix array of ``text`` (length n = len(text)).
+    sa: np.ndarray
+    #: BWT bytes (length n).
+    bwt: bytes
+    #: sorted distinct byte values of ``text``.
+    alphabet: np.ndarray
+    #: byte value -> dense code, -1 for absent bytes (256,).
+    code: np.ndarray
+    #: (A,) count of text chars strictly below each alphabet char.
+    cvec: np.ndarray
+    #: (n+1, A) ranks: occ[i][c] = #occurrences of c in bwt[:i].
+    occ: np.ndarray
+
+    @classmethod
+    def build(cls, text: str | bytes) -> "FMIndex":
+        if isinstance(text, str):
+            text = text.encode("latin-1")
+        if bytes([TERMINATOR]) in text:
+            raise ValueError(
+                "text must not contain the terminator byte '$'"
+            )
+        sa = suffix_array(text)
+        s = np.frombuffer(text + b"$", dtype=np.uint8)
+        n = len(s)
+        bwt = s[(sa - 1) % n]
+        alphabet = np.unique(s)
+        A = len(alphabet)
+        code = np.full(256, -1, dtype=np.int32)
+        code[alphabet] = np.arange(A, dtype=np.int32)
+        counts = np.bincount(s, minlength=256)[alphabet]
+        cvec = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(
+            np.int32
+        )
+        onehot = code[bwt][:, None] == np.arange(A, dtype=np.int32)
+        occ = np.zeros((n + 1, A), dtype=np.int32)
+        np.cumsum(onehot, axis=0, out=occ[1:])
+        return cls(
+            text=bytes(s),
+            sa=sa.astype(np.int32),
+            bwt=bwt.tobytes(),
+            alphabet=alphabet,
+            code=code,
+            cvec=cvec,
+            occ=occ,
+        )
+
+    @property
+    def n(self) -> int:
+        return len(self.text)
+
+    def _range(self, pattern: bytes) -> tuple[int, int]:
+        lo, hi = 0, self.n
+        for byte in reversed(pattern):
+            c = int(self.code[byte])
+            if c < 0:
+                return 0, 0
+            lo = int(self.cvec[c]) + int(self.occ[lo, c])
+            hi = int(self.cvec[c]) + int(self.occ[hi, c])
+            if lo >= hi:
+                return 0, 0
+        return lo, hi
+
+    def count(self, pattern: str | bytes) -> int:
+        """Occurrences of ``pattern`` in the text (overlaps counted)."""
+        if isinstance(pattern, str):
+            pattern = pattern.encode("latin-1")
+        if not pattern:
+            return self.n
+        lo, hi = self._range(pattern)
+        return hi - lo
+
+    def locate(self, pattern: str | bytes) -> np.ndarray:
+        """Sorted start offsets of every occurrence."""
+        if isinstance(pattern, str):
+            pattern = pattern.encode("latin-1")
+        lo, hi = self._range(pattern) if pattern else (0, self.n)
+        return np.sort(self.sa[lo:hi])
+
+    def count_batch(
+        self, patterns: list[str | bytes], device: bool = True
+    ) -> np.ndarray:
+        """Counts for many patterns in one device dispatch.
+
+        Patterns containing bytes absent from the text count 0 (and
+        never reach the device); empty patterns count n (every
+        position), matching :meth:`count`.
+        """
+        B = len(patterns)
+        out = np.zeros(B, dtype=np.int64)
+        enc: list[tuple[int, np.ndarray]] = []
+        for k, p in enumerate(patterns):
+            if isinstance(p, str):
+                p = p.encode("latin-1")
+            if not p:
+                out[k] = self.n
+                continue
+            codes = self.code[np.frombuffer(p, dtype=np.uint8)]
+            if (codes < 0).any():
+                continue  # absent byte: count stays 0
+            enc.append((k, codes))
+        if not enc:
+            return out
+        if not device:
+            for k, codes in enc:
+                out[k] = self.count(bytes(self.alphabet[codes]))
+            return out
+        Lp = max(len(c) for _, c in enc)
+        pats = np.full((len(enc), Lp), -1, dtype=np.int32)
+        for row, (_, codes) in enumerate(enc):
+            pats[row, Lp - len(codes) :] = codes  # right-aligned
+        lo, hi = _search_batch_device(
+            jnp.asarray(self.occ.reshape(-1)),
+            jnp.asarray(self.cvec),
+            jnp.asarray(pats),
+            jnp.int32(self.n),
+            A=len(self.alphabet),
+        )
+        counts = np.asarray(hi) - np.asarray(lo)
+        for row, (k, _) in enumerate(enc):
+            out[k] = max(int(counts[row]), 0)
+        return out

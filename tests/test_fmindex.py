@@ -1,0 +1,130 @@
+"""FM-index tests (TPU extension — the reference only prints the BWT).
+
+The index must agree with brute force on counts and positions
+(overlapping occurrences), the batch device search must be
+bit-identical to the scalar host search, and the underlying BWT must
+match the suffix-tree DFS BWT goldens.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import reference_path
+from genomics_rs_tpu.suffixtree.fmindex import FMIndex
+
+
+def _naive_positions(text: str, pat: str) -> list[int]:
+    if not pat:
+        return list(range(len(text) + 1))
+    out, start = [], 0
+    while True:
+        i = text.find(pat, start)
+        if i < 0:
+            return out
+        out.append(i)
+        start = i + 1
+
+
+def test_banana_counts_and_positions():
+    idx = FMIndex.build("BANANA")
+    for pat in ["ANA", "NA", "BAN", "A", "BANANA", "Z", "NAB", ""]:
+        want = _naive_positions("BANANA", pat)
+        assert idx.count(pat) == len(want), pat
+        got = idx.locate(pat)
+        # '$' row: the empty pattern matches position 6 (terminator)
+        # too — naive counts len+1 slots including past-the-end.
+        assert sorted(got.tolist()) == want, pat
+
+
+def test_bwt_matches_golden():
+    idx = FMIndex.build("BANANA")
+    assert idx.bwt.decode() == "ANNB$AA"
+
+
+def test_fuzz_vs_naive():
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        n = int(rng.integers(20, 200))
+        text = "".join(rng.choice(list("ACGT"), n))
+        idx = FMIndex.build(text)
+        pats = []
+        for _ in range(20):
+            L = int(rng.integers(1, 8))
+            if rng.random() < 0.7 and L <= n:
+                start = int(rng.integers(0, n - L + 1))
+                pats.append(text[start : start + L])
+            else:
+                pats.append("".join(rng.choice(list("ACGTN"), L)))
+        for p in pats:
+            want = _naive_positions(text, p)
+            assert idx.count(p) == len(want), (text, p)
+            assert idx.locate(p).tolist() == want, (text, p)
+        # Batch device search == scalar host search.
+        got_dev = idx.count_batch(pats, device=True)
+        got_host = idx.count_batch(pats, device=False)
+        want_all = [len(_naive_positions(text, p)) for p in pats]
+        assert got_dev.tolist() == want_all
+        assert got_host.tolist() == want_all
+
+
+def test_batch_mixed_lengths_and_absent_chars():
+    idx = FMIndex.build("ACGTACGTACGT")
+    pats = ["ACGT", "", "T", "NNN", "GTA", "ACGTACGTACGT", "X"]
+    counts = idx.count_batch(pats)
+    assert counts.tolist() == [3, 13, 3, 0, 2, 1, 0]
+
+
+def test_terminator_byte_rejected():
+    with pytest.raises(ValueError):
+        FMIndex.build("AC$GT")
+
+
+def test_covid_kmers():
+    """30 kb genome: index counts must match numpy brute force."""
+    from genomics_rs_tpu.sequence import SequenceContainer
+
+    path = reference_path("test_data", "Covid_Wuhan.fasta")
+    seq = SequenceContainer().from_fasta(path).sequences[0].sequence
+    idx = FMIndex.build(seq)
+    rng = np.random.default_rng(3)
+    pats = []
+    for _ in range(32):
+        L = int(rng.integers(8, 40))
+        start = int(rng.integers(0, len(seq) - L))
+        pats.append(seq[start : start + L])
+    pats += ["ACGTACGTACGTAATTT", "TTTTTTTTTT"]
+    counts = idx.count_batch(pats)
+    for p, c in zip(pats, counts):
+        assert c == len(_naive_positions(seq, p)), p
+        locs = idx.locate(p)
+        assert len(locs) == c
+        for pos in locs[:3]:
+            assert seq[pos : pos + len(p)] == p
+
+
+def test_search_cli(tmp_path):
+    from genomics_rs_tpu.cli import main
+
+    ref = tmp_path / "ref.fasta"
+    ref.write_text(">r\nACGTACGTACGT\n")
+    q = tmp_path / "q.fasta"
+    q.write_text(">p1\nACGT\n>p2\nGTAC\n>p3\nTTTT\n")
+    cfg = tmp_path / "config.toml"
+    cfg.write_text(
+        "[scores]\ns_match = 1\ns_mismatch = -2\ng = -2\nh = -5\n"
+    )
+    out = tmp_path / "hits.tsv"
+    rc = main(
+        [
+            "-c", str(cfg), "search",
+            "-r", str(ref), "-q", str(q),
+            "--locate", "-o", str(out),
+        ]
+    )
+    assert rc == 0
+    lines = out.read_text().splitlines()
+    assert lines[0] == "query\tcount\tpositions"
+    rows = {l.split("\t")[0]: l.split("\t") for l in lines[1:]}
+    assert rows["p1"][1] == "3" and rows["p1"][2] == "0,4,8"
+    assert rows["p2"][1] == "2" and rows["p2"][2] == "2,6"
+    assert rows["p3"][1] == "0" and rows["p3"][2] == ""
