@@ -52,19 +52,21 @@ SCORE_ARGS = dict(s_match=1, s_mismatch=-2, g=-1, h=-5)
 #: int32 VPU ALU ops per lane-step of the streamed multi-segment
 #: score kernel (_kernel_stream, global mode): 3 flat shifts x 2 +
 #: I(3) + D(3) + sub/S(3) + boundary selects(5: col-0 I/S/D + row-0
-#: Q/D only, topQ is scalar) + segment counter(3) + s1 seam swap(1)
-#: + Q/carries(3). The probe runs under a scalar pl.when (one step
-#: per segment) and no longer costs hot-path vector ops.
-OPS_PER_LANE_STEP = 27
-#: VMEM scratch pane accesses per unroll block: 8 pane loads (s2j, I,
-#: P, D, Q, shM, counter, s1cur) + 8 pane stores, amortized over the
+#: Q/D only, topQ is scalar) + seam-lane compare(1: the per-lane
+#: column counter collapsed to one compare against the streamed
+#: k-mod-L1 scalar) + s1 seam swap(1) + Q/carries(3). The probe runs
+#: under a scalar pl.when (one step per segment) and no longer costs
+#: hot-path vector ops.
+OPS_PER_LANE_STEP = 25
+#: VMEM scratch pane accesses per unroll block: 7 pane loads (s2j, I,
+#: P, D, Q, shM, s1cur — no counter pane) + 7 pane stores, amortized over the
 #: stream kernel's configured UNROLL (one load/store set per UNROLL
 #: diagonals — 0.25 slots/step at the default 64). Computed from the
 #: live module constant so env-var sweeps keep the roofline honest.
 #: The predecessor flat kernel was measured issue-slot bound (a 1.6x
 #: ALU cut left throughput unchanged), so the roofline is reported
 #: both ALU-only and total-slot.
-PANE_ACCESSES_PER_UNROLL_BLOCK = 16
+PANE_ACCESSES_PER_UNROLL_BLOCK = 14
 
 
 def _mem_slots_per_lane_step() -> float:

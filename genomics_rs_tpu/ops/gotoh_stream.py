@@ -143,10 +143,6 @@ def _plan_stream(Lm: int, Ln: int, P: int):
 def _kernel_stream(
     scalars,  # SMEM int32[4]: sm, sx, g, h
     s1pane_ref,  # VMEM int32 (1, 8, C): s1 pane of the active segment
-    cinit_ref,  # VMEM int32 (8, C): per-lane counter at "step -1"
-    s2i_ref,  # SMEM int32 (1, chunk): injected s2 chars
-    topI_ref,  # SMEM int32 (1, chunk): row-0 I boundary per step
-    topSD_ref,  # SMEM int32 (1, chunk): row-0 S/D boundary per step
     *rest,  # mode-dependent streams, outputs and scratch (see below)
     C: int,
     L1: int,
@@ -156,6 +152,10 @@ def _kernel_stream(
 ):
     if is_local:
         (
+            cinit_ref,  # VMEM int32 (8, C): per-lane counter, "step -1"
+            s2i_ref,  # SMEM int32 (1, chunk): injected s2 chars
+            topI_ref,  # SMEM int32 (1, chunk): row-0 I boundary per step
+            topSD_ref,  # SMEM int32 (1, chunk): row-0 S/D per step
             mseg_ref,  # SMEM int32 (1, chunk): m of the step's segment
             nseg_ref,  # SMEM int32 (1, chunk): n of the step's segment
             val_out,  # VMEM (1, 8, 128) out: chunk flush best value
@@ -177,7 +177,16 @@ def _kernel_stream(
             cj_s,  # chunk flush accumulator: column
         ) = rest
     else:
+        # Global mode carries NO per-lane counter: L1 > V means at
+        # most one lane enters column 0 per step, and that lane's
+        # index is simply k mod L1 (when < V) — streamed per step as
+        # a scalar, so the seam test is ONE vector compare instead of
+        # the counter's increment + wrap-select + compare.
         (
+            s2i_ref,  # SMEM int32 (1, chunk): injected s2 chars
+            topI_ref,  # SMEM int32 (1, chunk): row-0 I boundary per step
+            topSD_ref,  # SMEM int32 (1, chunk): row-0 S/D per step
+            seam_ref,  # SMEM int32 (1, chunk): col-0 lane (-1) per step
             probe_ref,  # SMEM int32 (1, chunk): probe lane (-1) per step
             fin_out_ref,  # VMEM int32 (1, 8, 128) out: probe capture
             s2j_ref,
@@ -186,7 +195,6 @@ def _kernel_stream(
             Dp,
             Qp,
             shM,
-            cnt_ref,
             s1cur,
             fin_s,
         ) = rest
@@ -212,9 +220,9 @@ def _kernel_stream(
         Qp[:] = full_neg
         shM[:] = full_neg
         s2j_ref[:] = jnp.full((ROWS, C), 0xFF, dtype=jnp.int32)
-        cnt_ref[:] = cinit_ref[:]
         s1cur[:] = s1pane_ref[0]
         if is_local:
+            cnt_ref[:] = cinit_ref[:]
             bv_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
             bj_s[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
             # m/n = -1 masks every lane until its first seam crossing
@@ -240,19 +248,27 @@ def _kernel_stream(
     zero = jnp.int32(0)
 
     def step_ssa(state, t):
-        (s2j0, I0, P0, D0, Q0, M0, c0, s1c0, *loc) = state
+        (s2j0, I0, P0, D0, Q0, M0, s1c0, *loc) = state
         inj = s2i_ref[0, t]
-        # Per-lane segment-local column counter; c == 0 <=> this lane
-        # enters column 0 of its next segment at this step.
-        c1 = c0 + 1
-        c1 = jnp.where(c1 == L1, 0, c1)
-        col0 = c1 == 0
+        if is_local:
+            # Per-lane segment-local column counter; c == 0 <=> this
+            # lane enters column 0 of its next segment at this step
+            # (local mode also needs c1 itself for the argmax column
+            # and the (m, n) bounds test, so the counter stays).
+            c0 = loc[0]
+            c1 = c0 + 1
+            c1 = jnp.where(c1 == L1, 0, c1)
+            col0 = c1 == 0
+        else:
+            # The seam lane is a per-step scalar (k mod L1 when < V,
+            # else -1): one compare replaces the counter entirely.
+            col0 = iv == seam_ref[0, t]
         # Seam: swap in the next pair's s1 character for the crossing
         # lane (at most one lane per step; the presented pane is the
         # entered segment's because chunks never straddle seams).
         s1c1 = jnp.where(col0, s1pane_ref[0], s1c0)
         if is_local:
-            bv0, bj0, mc0, nc0, cv0, cj0 = loc
+            bv0, bj0, mc0, nc0, cv0, cj0 = loc[1:]
             # Flush the finished segment's per-lane best into the
             # chunk accumulator, reset the running best, and load the
             # entered segment's (m, n) bounds.
@@ -305,7 +321,7 @@ def _kernel_stream(
             upd = val >= bv0
             bv0 = jnp.where(upd, val, bv0)
             bj0 = jnp.where(upd, c1, bj0)
-            tail = (bv0, bj0, mc0, nc0, cv0, cj0)
+            tail = (c1, bv0, bj0, mc0, nc0, cv0, cj0)
         else:
             # Probe capture: pr is the probed lane or -1. Under a
             # scalar pl.when the two vector ops only run on the one
@@ -328,15 +344,14 @@ def _kernel_stream(
             Dnew,
             Qnew,
             jnp.maximum(shQ, shD),
-            c1,
             s1c1,
         ) + tail
 
     if is_local:
-        tail_refs = (bv_s, bj_s, mc_s, nc_s, cv_s, cj_s)
+        tail_refs = (cnt_ref, bv_s, bj_s, mc_s, nc_s, cv_s, cj_s)
     else:
         tail_refs = ()  # fin_s is written in place under the probe when
-    core_refs = (s2j_ref, Ip, Pp, Dp, Qp, shM, cnt_ref, s1cur)
+    core_refs = (s2j_ref, Ip, Pp, Dp, Qp, shM, s1cur)
 
     def body(tt, _):
         state = tuple(r[:] for r in core_refs + tail_refs)
@@ -399,12 +414,6 @@ def _stream_call(
     )
     s1panes = s1m.reshape(P, ROWS, C)
 
-    # Per-lane counter at "step -1": c_{-1}[lane] = (-1 - lane) mod L1
-    # so the incremented counter hits 0 exactly at step k = lane of
-    # segment 0 (and every L1 steps after).
-    ivf = jnp.arange(V, dtype=jnp.int32)
-    cinit = ((-1 - ivf) % L1).reshape(ROWS, C)
-
     # Streams over global steps: the char entering row 0 at step k is
     # column k of the concatenated layout = segment t = k // L1, local
     # column c = k - t*L1 (char s2eb[t][c-1]); sentinel elsewhere.
@@ -429,6 +438,11 @@ def _stream_call(
     G = Kp // CHUNK
 
     if is_local:
+        # Per-lane counter at "step -1": c_{-1}[lane] = (-1 - lane)
+        # mod L1 so the incremented counter hits 0 exactly at step
+        # k = lane of segment 0 (and every L1 steps after).
+        ivf = jnp.arange(V, dtype=jnp.int32)
+        cinit = ((-1 - ivf) % L1).reshape(ROWS, C)
         # Per-step segment bounds: every seam crossing at step k
         # enters segment k // L1, and all steps of a chunk share one
         # segment window, so the kernel reads the chunk's first
@@ -438,13 +452,20 @@ def _stream_call(
         nsegs = ns[tc][None, :]
         extra_streams = (msegs, nsegs)
     else:
+        # Col-0 seam lane per step: lane v crosses when (k - v) mod
+        # L1 == 0, i.e. v = k mod L1 (at most one lane since L1 > V;
+        # -1 on the L1 - V stride steps with no crossing). Replaces
+        # the local mode's per-lane counter — matches its unbounded
+        # wrap (no t < P guard): post-final-segment seams re-clamp
+        # lanes exactly like the counter did.
+        seam = jnp.where(c < V, c, -1)[None, :]
         # Probe steps: segment t's (m_t, n_t) cell lies on lane m_t
         # at step t*L1 + m_t + n_t.
         probe_ks = ms + ns + jnp.arange(P, dtype=jnp.int32) * L1
         probe = (
             jnp.full((Kp,), -1, jnp.int32).at[probe_ks].set(ms)[None, :]
         )
-        extra_streams = (probe,)
+        extra_streams = (seam, probe)
 
     scalars = jnp.stack(
         [
@@ -472,17 +493,22 @@ def _stream_call(
                 lambda g, s: (jnp.minimum(g * CHUNK // L1, P - 1), 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (ROWS, C), lambda g, s: (0, 0), memory_space=pltpu.VMEM
-            ),
-            smem_chunk,
-            smem_chunk,
-            smem_chunk,
         ]
-        + ([smem_chunk, smem_chunk] if is_local else [smem_chunk]),
+        + (
+            [
+                pl.BlockSpec(
+                    (ROWS, C),
+                    lambda g, s: (0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ]
+            if is_local
+            else []
+        )
+        + [smem_chunk] * 5,
         out_specs=tuple([out_block] * n_out),
         scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)]
-        * (14 if is_local else 9),
+        * (14 if is_local else 8),
     )
     # Interpret mode (CPU tests) evaluates the traced body per
     # primitive: a 64-step SSA body is pure tracing/eval overhead
@@ -497,12 +523,17 @@ def _stream_call(
         is_local=is_local,
         unroll=unroll,
     )
+    operands = (
+        (s1panes, cinit, inj, topI, topSD)
+        if is_local
+        else (s1panes, inj, topI, topSD)
+    )
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=tuple([out_arr] * n_out),
         interpret=interpret,
-    )(scalars, s1panes, cinit, inj, topI, topSD, *extra_streams)
+    )(scalars, *operands, *extra_streams)
 
     if not is_local:
         return jnp.max(outs[0][probe_ks // CHUNK], axis=(-2, -1))
