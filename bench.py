@@ -640,6 +640,58 @@ def run_full() -> dict:
     except Exception as e:  # noqa: BLE001
         rows["compare_10genomes"] = {"error": str(e)[:200]}
 
+    # --- center-star MSA over the 10-genome corpus ------------------
+    try:
+        from genomics_rs_tpu.comparison.driver import load_fasta_dir
+        from genomics_rs_tpu.models.msa import center_star_msa
+
+        corpus = load_fasta_dir(os.path.join(REF, "comparison_data"))
+        t0 = time.perf_counter()
+        msa = center_star_msa(corpus, Scores(**SCORE_ARGS))
+        dt = time.perf_counter() - t0
+        rows["msa_10genomes"] = {
+            "sequences": len(msa.rows),
+            "width": msa.width,
+            "s": dt,
+        }
+    except Exception as e:  # noqa: BLE001
+        rows["msa_10genomes"] = {"error": str(e)[:200]}
+
+    # --- FM-index: chr12 build + 100k-pattern batch search ----------
+    try:
+        from genomics_rs_tpu.suffixtree.fmindex import FMIndex
+
+        chr12 = (
+            SequenceContainer()
+            .from_fasta(os.path.join(REF, "test_data", "chr12.fasta"))
+            .sequences[0]
+            .sequence
+        )
+        t0 = time.perf_counter()
+        fm = FMIndex.build(chr12)
+        t_build = time.perf_counter() - t0
+        rng = np.random.default_rng(1)
+        pats = []
+        for _ in range(100_000):
+            L = int(rng.integers(20, 40))
+            st = int(rng.integers(0, len(chr12) - L))
+            pats.append(chr12[st : st + L])
+        fm.count_batch(pats[:128])  # warm the scan shape
+        t0 = time.perf_counter()
+        counts = fm.count_batch(pats)
+        t_search = time.perf_counter() - t0
+        if not (counts >= 1).all():
+            raise AssertionError("sampled pattern missed its own text")
+        rows["fmindex_chr12"] = {
+            "bases": len(chr12),
+            "build_s": t_build,
+            "patterns": len(pats),
+            "search_s": t_search,
+            "patterns_per_s": len(pats) / t_search,
+        }
+    except Exception as e:  # noqa: BLE001
+        rows["fmindex_chr12"] = {"error": str(e)[:200]}
+
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
         json.dump(rows, f, indent=1)
     return rows

@@ -32,12 +32,20 @@ TERMINATOR = 0x24  # '$'
 
 @functools.partial(jax.jit, static_argnames=("rounds",))
 def _suffix_array_fixed(s: jax.Array, rounds: int) -> jax.Array:
-    """SA of the full (already terminated) uint8 array ``s``."""
+    """SA of the full (already terminated) uint8 array ``s``.
+
+    The doubling rounds run inside ONE ``fori_loop`` body (``roll``
+    takes a traced shift), so the compiled graph holds a single sort
+    round instead of log2(n) inlined copies — at chromosome scale the
+    unrolled version took minutes to compile through the tunnel for
+    an identical result.
+    """
     n = s.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    rank = s.astype(jnp.int32)
+    rank0 = s.astype(jnp.int32)
 
-    def round_fn(rank, k):
+    def round_fn(i, rank):
+        k = jnp.left_shift(jnp.int32(1), i)
         rank2 = jnp.where(idx + k < n, jnp.roll(rank, -k), -1)
         # Lexicographic sort by (rank, rank2), carrying the index.
         r1s, r2s, order = jax.lax.sort(
@@ -48,11 +56,7 @@ def _suffix_array_fixed(s: jax.Array, rounds: int) -> jax.Array:
         new_sorted = jnp.cumsum(changed.astype(jnp.int32))
         return jnp.zeros_like(rank).at[order].set(new_sorted)
 
-    k = 1
-    for _ in range(rounds):
-        rank = round_fn(rank, k)
-        k *= 2
-
+    rank = jax.lax.fori_loop(0, rounds, round_fn, rank0)
     _, sa = jax.lax.sort((rank, idx), dimension=0, num_keys=1)
     return sa
 
