@@ -163,6 +163,34 @@ def _build_parser() -> argparse.ArgumentParser:
     mp.add_argument("--format", choices=["sam", "tsv"], default="sam")
     mp.add_argument("-o", "--output", default="mapped.sam")
 
+    cl = sub.add_parser(
+        "call",
+        help="variant calling: map reads, pile up on device, call "
+        "consensus SNPs/deletions (TPU extension: map -> pileup -> "
+        "call)",
+    )
+    cl.add_argument("-q", "--queries", required=True)
+    cl.add_argument("-r", "--ref", required=True)
+    cl.add_argument("-k", type=int, default=21, help="seed k-mer size")
+    cl.add_argument("--band", type=int, default=32)
+    cl.add_argument("--min-seeds", type=int, default=2)
+    cl.add_argument(
+        "--min-depth", type=int, default=8,
+        help="minimum pileup depth to consider a position",
+    )
+    cl.add_argument(
+        "--min-frac", type=float, default=0.7,
+        help="minimum alt-supporting fraction of the depth",
+    )
+    cl.add_argument(
+        "--single-strand", action="store_true",
+        help="map the forward orientation only",
+    )
+    cl.add_argument(
+        "--engine", default="auto", choices=["auto", "pallas", "scan"]
+    )
+    cl.add_argument("-o", "--output", default="calls.vcf")
+
     se = sub.add_parser(
         "search",
         help="FM-index substring search: count/locate every query in "
@@ -606,6 +634,41 @@ def main(argv: list[str] | None = None) -> int:
                         f"{int(r.mapped)}\t{rec['pos']}\t{r.score}\t"
                         f"{r.mapq}\t{r.seeds}\t{r.cigar}\n"
                     )
+        print(f"wrote {args.output}")
+        return 0
+
+    if args.mode == "call":
+        import time
+
+        log.info("MODE: Call (map -> pileup -> consensus variants)")
+        from genomics_rs_tpu.models.caller import call_reads, write_vcf
+
+        queries = SequenceContainer().from_reads(args.queries).sequences
+        refs = SequenceContainer().from_reads(args.ref).sequences
+        if not queries or not refs:
+            log.error("no reads or no reference loaded")
+            return 1
+        t0 = time.perf_counter()
+        try:
+            calls, pileups = call_reads(
+                queries, refs, config.scores,
+                min_depth=args.min_depth, min_frac=args.min_frac,
+                k=args.k, band=args.band, min_seeds=args.min_seeds,
+                both_strands=not args.single_strand,
+                engine=args.engine,
+            )
+        except ValueError as e:
+            log.error("%s", e)
+            return 1
+        dt = time.perf_counter() - t0
+        write_vcf(args.output, calls, refs)
+        covered = sum(
+            int((p.sum(axis=1) > 0).sum()) for p in pileups.values()
+        )
+        print(
+            f"{len(calls)} variants from {len(queries)} reads "
+            f"({covered} reference positions covered) in {dt:.3f}s"
+        )
         print(f"wrote {args.output}")
         return 0
 

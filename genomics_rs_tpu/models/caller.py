@@ -1,0 +1,302 @@
+"""Pileup + consensus variant calling over mapped reads.
+
+No reference counterpart (``/root/reference`` stops at alignment);
+this completes the read pipeline the framework opened with ``map``:
+map -> pileup -> call.
+
+The pileup is built from SAM-normalized records (``reads.sam_records``
+— same POS/CIGAR edge folding as the SAM writer, so the two outputs
+agree): each record's CIGAR is expanded run-by-run into (position,
+base-code) arrays with numpy slices — no per-base Python — and the
+whole read set lands in one scatter-add per contig, on device
+(``counts.at[pos, code].add(1)`` under jit) or host (``np.add.at``),
+bit-identical.
+
+Codes: A/C/G/T = 0..3, deletion = 4 (a D run deposits code 4 on every
+deleted reference position). Insertions consume read bases without a
+reference position; they are skipped (documented — insertion calling
+needs haplotype assembly, out of scope), but their read-cursor
+advance keeps every following M run's bases on the right positions.
+Non-ACGT read bases are skipped the same way.
+
+Calling is per-position consensus: at depth >= ``min_depth``, the
+most-voted non-reference code with fraction >= ``min_frac`` becomes a
+call — a SNP (codes 0..3) or a deletion (code 4). Adjacent deletion
+calls merge into one VCF record with the standard anchor-base
+representation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_BASES = "ACGT"
+_CODE = np.full(256, -1, dtype=np.int8)
+for _i, _b in enumerate(_BASES):
+    _CODE[ord(_b)] = _i
+    _CODE[ord(_b.lower())] = _i
+DEL_CODE = 4
+
+
+@dataclasses.dataclass
+class VariantCall:
+    contig: str
+    #: 1-based position of the variant base itself (VCF POS differs
+    #: for deletions: anchor base, pos - 1).
+    pos: int
+    ref: str  # reference base(s): one base for SNPs, run for dels
+    alt: str  # alt base for SNPs, "" for deletions
+    depth: int
+    alt_count: int
+
+    @property
+    def frac(self) -> float:
+        return self.alt_count / self.depth if self.depth else 0.0
+
+    @property
+    def is_deletion(self) -> bool:
+        return self.alt == ""
+
+
+def _expand_records(records: list[dict]) -> tuple[np.ndarray, np.ndarray]:
+    """(positions, codes) of every aligned base + deletion, 0-based."""
+    import re
+
+    pos_chunks: list[np.ndarray] = []
+    code_chunks: list[np.ndarray] = []
+    for rec in records:
+        if not rec["mapped"]:
+            continue
+        seq_codes = _CODE[
+            np.frombuffer(rec["seq"].encode("latin-1"), dtype=np.uint8)
+        ]
+        q = 0  # read cursor
+        r = rec["pos"] - 1  # 0-based reference cursor
+        for n_str, op in re.findall(r"(\d+)([MIDS])", rec["cigar"]):
+            n = int(n_str)
+            if op == "M":
+                codes = seq_codes[q : q + n].astype(np.int32)
+                keep = codes >= 0  # skip non-ACGT read bases
+                pos_chunks.append(
+                    (r + np.arange(n, dtype=np.int64))[keep]
+                )
+                code_chunks.append(codes[keep])
+                q += n
+                r += n
+            elif op == "D":
+                pos_chunks.append(r + np.arange(n, dtype=np.int64))
+                code_chunks.append(
+                    np.full(n, DEL_CODE, dtype=np.int32)
+                )
+                r += n
+            else:  # I or S: read-only
+                q += n
+    if not pos_chunks:
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int32),
+        )
+    return np.concatenate(pos_chunks), np.concatenate(code_chunks)
+
+
+def pileup(
+    records: list[dict], ref_len: int, device: bool = True
+) -> np.ndarray:
+    """(ref_len, 5) base/deletion counts from SAM-normalized records.
+
+    All records must target the same contig (group by ``rname``
+    upstream; :func:`call_reads` does).
+    """
+    positions, codes = _expand_records(records)
+    if device:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def scatter(p, c):
+            counts = jnp.zeros((ref_len + 1, 5), dtype=jnp.int32)
+            # Clip out-of-range positions onto a spill row instead of
+            # dropping silently (shouldn't happen; asserted below).
+            p = jnp.where((p >= 0) & (p < ref_len), p, ref_len)
+            return counts.at[p, c].add(1)
+
+        counts = np.asarray(
+            scatter(
+                jnp.asarray(positions, jnp.int32),
+                jnp.asarray(codes, jnp.int32),
+            )
+        )
+        if counts[ref_len].any():
+            raise AssertionError(
+                "pileup positions outside the reference "
+                f"({int(counts[ref_len].sum())} bases)"
+            )
+        return counts[:ref_len]
+    counts = np.zeros((ref_len, 5), dtype=np.int32)
+    if len(positions):
+        if positions.min() < 0 or positions.max() >= ref_len:
+            raise AssertionError(
+                "pileup positions outside the reference"
+            )
+        np.add.at(counts, (positions, codes), 1)
+    return counts
+
+
+def call_pileup(
+    counts: np.ndarray,
+    ref_seq: str,
+    contig: str,
+    min_depth: int = 8,
+    min_frac: float = 0.7,
+) -> list[VariantCall]:
+    """Consensus calls from a pileup (vectorized scan, then merge)."""
+    L = len(ref_seq)
+    ref_codes = _CODE[
+        np.frombuffer(ref_seq.encode("latin-1"), dtype=np.uint8)
+    ].astype(np.int32)
+    depth = counts.sum(axis=1)
+    # Mask the reference code's own votes, then take the best alt.
+    masked = counts.copy()
+    rows = np.arange(L)
+    valid_ref = ref_codes >= 0
+    masked[rows[valid_ref], ref_codes[valid_ref]] = -1
+    alt_code = masked.argmax(axis=1)
+    alt_count = masked[rows, alt_code]
+    callable_ = (
+        (depth >= min_depth)
+        & (alt_count.astype(np.float64) >= min_frac * depth)
+        & (alt_count > 0)
+        & valid_ref
+    )
+    calls: list[VariantCall] = []
+    for p in np.flatnonzero(callable_):
+        code = int(alt_code[p])
+        if code == DEL_CODE:
+            # Merge into an open adjacent deletion run.
+            if (
+                calls
+                and calls[-1].is_deletion
+                and calls[-1].pos + len(calls[-1].ref) - 1 == p
+            ):
+                prev = calls[-1]
+                calls[-1] = VariantCall(
+                    contig,
+                    prev.pos,
+                    prev.ref + ref_seq[p],
+                    "",
+                    max(prev.depth, int(depth[p])),
+                    max(prev.alt_count, int(alt_count[p])),
+                )
+            else:
+                calls.append(
+                    VariantCall(
+                        contig,
+                        int(p) + 1,
+                        ref_seq[p],
+                        "",
+                        int(depth[p]),
+                        int(alt_count[p]),
+                    )
+                )
+        else:
+            calls.append(
+                VariantCall(
+                    contig,
+                    int(p) + 1,
+                    ref_seq[p],
+                    _BASES[code],
+                    int(depth[p]),
+                    int(alt_count[p]),
+                )
+            )
+    return calls
+
+
+def call_reads(
+    queries,
+    refs,
+    scores,
+    min_depth: int = 8,
+    min_frac: float = 0.7,
+    device_pileup: bool = True,
+    **map_kw,
+) -> tuple[list[VariantCall], dict[str, np.ndarray]]:
+    """map -> pileup -> call. Returns (calls, per-contig pileups).
+
+    ``map_kw`` flows to :func:`models.mapper.map_reads` (band,
+    min_seeds, engine, ...).
+    """
+    from genomics_rs_tpu.models.mapper import map_reads
+    from genomics_rs_tpu.models.reads import sam_records
+
+    results = map_reads(queries, refs, scores, **map_kw)
+    records = sam_records(
+        [r.contig for r in results],
+        [r.aligned for r in results],
+        [r.cigar for r in results],
+        [r.mapinfo for r in results],
+        [r.strand for r in results],
+        mapqs=[r.mapq for r in results],
+    )
+    by_contig: dict[str, list[dict]] = {}
+    contig_seq = {r.name.split()[0]: r.sequence for r in refs}
+    for rec in records:
+        if rec["mapped"]:
+            by_contig.setdefault(rec["rname"], []).append(rec)
+    calls: list[VariantCall] = []
+    pileups: dict[str, np.ndarray] = {}
+    for rname in sorted(by_contig):
+        seq = contig_seq[rname]
+        counts = pileup(
+            by_contig[rname], len(seq), device=device_pileup
+        )
+        pileups[rname] = counts
+        calls.extend(
+            call_pileup(
+                counts, seq, rname,
+                min_depth=min_depth, min_frac=min_frac,
+            )
+        )
+    log.info(
+        "called %d variants from %d mapped reads",
+        len(calls),
+        sum(len(v) for v in by_contig.values()),
+    )
+    return calls, pileups
+
+
+def write_vcf(path: str, calls: list[VariantCall], refs) -> None:
+    """Minimal VCF 4.2: SNPs as REF/ALT bases, deletions anchored."""
+    with open(path, "w") as f:
+        f.write("##fileformat=VCFv4.2\n")
+        f.write(
+            '##INFO=<ID=DP,Number=1,Type=Integer,'
+            'Description="Pileup depth">\n'
+        )
+        f.write(
+            '##INFO=<ID=AC,Number=1,Type=Integer,'
+            'Description="Alt-supporting bases">\n'
+        )
+        for r in refs:
+            f.write(
+                f"##contig=<ID={r.name.split()[0]},length={len(r)}>\n"
+            )
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        contig_seq = {r.name.split()[0]: r.sequence for r in refs}
+        for c in calls:
+            if c.is_deletion:
+                if c.pos < 2:
+                    continue  # no anchor base before position 1
+                anchor = contig_seq[c.contig][c.pos - 2]
+                pos, ref, alt = c.pos - 1, anchor + c.ref, anchor
+            else:
+                pos, ref, alt = c.pos, c.ref, c.alt
+            f.write(
+                f"{c.contig}\t{pos}\t.\t{ref}\t{alt}\t.\tPASS\t"
+                f"DP={c.depth};AC={c.alt_count}\n"
+            )

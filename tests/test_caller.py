@@ -1,0 +1,175 @@
+"""Variant-caller tests (TPU extension: map -> pileup -> call).
+
+Synthetic truth: a random reference, perfectly tiled reads with
+planted SNPs/deletions — the caller must recover exactly the planted
+variants and nothing else, the device scatter pileup must equal the
+host pileup bit-for-bit, and the VCF must round-trip the calls.
+"""
+
+import numpy as np
+import pytest
+
+from genomics_rs_tpu.config import Scores
+from genomics_rs_tpu.models.caller import (
+    VariantCall,
+    call_pileup,
+    call_reads,
+    pileup,
+    write_vcf,
+)
+from genomics_rs_tpu.sequence import Sequence
+
+SCORES = Scores(s_match=1, s_mismatch=-2, g=-1, h=-5)
+
+
+def _random_ref(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return "".join(rng.choice(list("ACGT"), n))
+
+
+def _tile_reads(seq, read_len=80, step=7, mutate=()):
+    """Perfect reads tiling ``seq``; ``mutate`` maps ref pos -> base
+    ('' = delete that base from every covering read)."""
+    reads = []
+    for k, start in enumerate(range(0, len(seq) - read_len + 1, step)):
+        chars = []
+        for p in range(start, start + read_len):
+            b = mutate.get(p, seq[p]) if mutate else seq[p]
+            chars.append(b)
+        reads.append(Sequence(f"r{k}", "".join(chars)))
+    return reads
+
+
+def test_pileup_from_synthetic_records():
+    # One contig "AACGT", two reads: 5M at pos 1, 2M1D2M at pos 1.
+    recs = [
+        dict(mapped=True, pos=1, cigar="5M", seq="AACGT", rname="c"),
+        dict(mapped=True, pos=1, cigar="2M1D2M", seq="AAGT", rname="c"),
+        dict(mapped=False, pos=0, cigar="*", seq="AA", rname="*"),
+    ]
+    host = pileup(recs, 5, device=False)
+    dev = pileup(recs, 5, device=True)
+    assert (host == dev).all()
+    # pos2 (0-based 2): one 'C' + one deletion.
+    assert host[2].tolist() == [0, 1, 0, 0, 1]
+    assert host[0].tolist() == [2, 0, 0, 0, 0]
+    assert host.sum() == 10  # 5 + (4 bases + 1 deletion mark)
+
+
+def test_pileup_softclip_and_insert_offsets():
+    # 2S3M: the clip consumes read bases, not reference positions;
+    # 1M2I2M: the insert shifts the read cursor only.
+    recs = [
+        dict(mapped=True, pos=2, cigar="2S3M", seq="GGACG", rname="c"),
+        dict(mapped=True, pos=1, cigar="1M2I2M", seq="ATTAC", rname="c"),
+    ]
+    counts = pileup(recs, 5, device=False)
+    # read1: ACG at 0-based 1,2,3; read2: A at 0, AC at 1,2.
+    assert counts[0].tolist() == [1, 0, 0, 0, 0]
+    assert counts[1][0] == 2  # 'A' from both
+    assert counts[2][1] == 2  # 'C'
+    assert counts[3][2] == 1  # 'G'
+
+
+def test_call_pileup_snp_and_floor():
+    ref = "ACGTA"
+    counts = np.zeros((5, 5), np.int32)
+    counts[1, 1] = 2  # C (ref) minority
+    counts[1, 3] = 8  # T alt
+    counts[3, 0] = 3  # depth 3 < min_depth: no call
+    calls = call_pileup(counts, ref, "c", min_depth=5, min_frac=0.7)
+    assert len(calls) == 1
+    c = calls[0]
+    assert (c.pos, c.ref, c.alt, c.depth, c.alt_count) == (2, "C", "T", 10, 8)
+
+
+def test_call_reads_recovers_planted_snps():
+    ref_seq = _random_ref(600, seed=3)
+    # Plant two SNPs far apart; flip to a guaranteed-different base.
+    flip = {"A": "G", "C": "T", "G": "A", "T": "C"}
+    muts = {150: flip[ref_seq[150]], 400: flip[ref_seq[400]]}
+    reads = _tile_reads(ref_seq, mutate=muts)
+    refs = [Sequence("chr", ref_seq)]
+    calls, pileups = call_reads(
+        reads, refs, SCORES,
+        min_depth=5, min_frac=0.7,
+        engine="scan", min_seeds=2, k=15,
+    )
+    got = {(c.pos, c.alt) for c in calls}
+    assert got == {(151, muts[150]), (401, muts[400])}
+    # Near-homogeneous support (a read whose FIRST base is the SNP
+    # can take the reference's zero-plateau local walk and deposit a
+    # stray deletion mark instead — at most one such edge read).
+    for c in calls:
+        assert c.alt_count >= c.depth - 1
+        assert c.frac >= 0.8
+
+
+def test_call_reads_recovers_deletion():
+    ref_seq = _random_ref(400, seed=9)
+    reads = _tile_reads(ref_seq, mutate={200: "", 201: ""})
+    refs = [Sequence("chr", ref_seq)]
+    calls, _ = call_reads(
+        reads, refs, SCORES,
+        min_depth=5, min_frac=0.6,
+        engine="scan", min_seeds=2, k=15,
+    )
+    dels = [c for c in calls if c.is_deletion]
+    assert len(dels) == 1
+    # Adjacent deleted positions merge into one 2-base record.
+    assert dels[0].pos == 201
+    assert dels[0].ref == ref_seq[200:202]
+    snps = [c for c in calls if not c.is_deletion]
+    assert snps == []
+
+
+def test_write_vcf(tmp_path):
+    refs = [Sequence("chr", "AACGTT")]
+    calls = [
+        VariantCall("chr", 3, "C", "T", 12, 11),
+        VariantCall("chr", 5, "T", "", 9, 8),  # deletion of T at 5
+    ]
+    out = tmp_path / "calls.vcf"
+    write_vcf(str(out), calls, refs)
+    lines = [
+        l for l in out.read_text().splitlines() if not l.startswith("#")
+    ]
+    assert lines[0].split("\t")[:5] == ["chr", "3", ".", "C", "T"]
+    # Deletion: anchored at pos 4 (base G), REF="GT", ALT="G".
+    assert lines[1].split("\t")[:5] == ["chr", "4", ".", "GT", "G"]
+
+
+def test_call_cli(tmp_path):
+    from genomics_rs_tpu.cli import main
+
+    ref_seq = _random_ref(500, seed=5)
+    flip = {"A": "G", "C": "T", "G": "A", "T": "C"}
+    mut_pos = 250
+    reads = _tile_reads(ref_seq, mutate={mut_pos: flip[ref_seq[mut_pos]]})
+    ref_fa = tmp_path / "ref.fasta"
+    ref_fa.write_text(f">chr\n{ref_seq}\n")
+    reads_fa = tmp_path / "reads.fasta"
+    reads_fa.write_text(
+        "".join(f">{r.name}\n{r.sequence}\n" for r in reads)
+    )
+    cfg = tmp_path / "config.toml"
+    cfg.write_text(
+        "[scores]\ns_match = 1\ns_mismatch = -2\ng = -1\nh = -5\n"
+    )
+    out = tmp_path / "calls.vcf"
+    rc = main(
+        [
+            "-c", str(cfg), "call",
+            "-q", str(reads_fa), "-r", str(ref_fa),
+            "-k", "15", "--engine", "scan",
+            "--min-depth", "5", "-o", str(out),
+        ]
+    )
+    assert rc == 0
+    body = [
+        l for l in out.read_text().splitlines() if not l.startswith("#")
+    ]
+    assert len(body) == 1
+    f = body[0].split("\t")
+    assert f[0] == "chr" and int(f[1]) == mut_pos + 1
+    assert f[3] == ref_seq[mut_pos] and f[4] == flip[ref_seq[mut_pos]]
