@@ -692,7 +692,7 @@ def main(argv: list[str] | None = None) -> int:
         index = FMIndex.build(refs[0].sequence)
         t_build = time.perf_counter() - t0
         t0 = time.perf_counter()
-        counts = index.count_batch(
+        counts, ranges = index.search_batch(
             [q.sequence for q in queries],
             device=args.engine == "device",
         )
@@ -700,11 +700,13 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.output, "w") as f:
             pos_col = "\tpositions" if args.locate else ""
             f.write(f"query\tcount{pos_col}\n")
-            for q, c in zip(queries, counts):
+            for q, c, rng in zip(queries, counts, ranges):
                 tail = ""
                 if args.locate:
+                    # The batch search already produced the SA range;
+                    # locating is a pure slice.
                     tail = "\t" + ",".join(
-                        str(p) for p in index.locate(q.sequence)
+                        str(p) for p in index.locate_range(rng)
                     )
                 f.write(f"{q.name}\t{int(c)}{tail}\n")
         print(

@@ -77,9 +77,12 @@ def _expand_records(records: list[dict]) -> tuple[np.ndarray, np.ndarray]:
         ]
         q = 0  # read cursor
         r = rec["pos"] - 1  # 0-based reference cursor
-        for n_str, op in re.findall(r"(\d+)([MIDS])", rec["cigar"]):
+        runs = re.findall(r"(\d+)([A-Z=])", rec["cigar"])
+        if "".join(n + op for n, op in runs) != rec["cigar"]:
+            raise ValueError(f"malformed CIGAR {rec['cigar']!r}")
+        for n_str, op in runs:
             n = int(n_str)
-            if op == "M":
+            if op in ("M", "=", "X"):
                 codes = seq_codes[q : q + n].astype(np.int32)
                 keep = codes >= 0  # skip non-ACGT read bases
                 pos_chunks.append(
@@ -94,14 +97,52 @@ def _expand_records(records: list[dict]) -> tuple[np.ndarray, np.ndarray]:
                     np.full(n, DEL_CODE, dtype=np.int32)
                 )
                 r += n
-            else:  # I or S: read-only
+            elif op == "N":
+                # Skipped reference region (splice): consumes ref
+                # positions but is NOT deletion evidence.
+                r += n
+            elif op in ("I", "S"):  # read-only
                 q += n
+            elif op in ("H", "P"):
+                pass  # consume neither cursor
+            else:
+                # A silently skipped op would desync every following
+                # M run's positions — fail loudly instead.
+                raise ValueError(
+                    f"unsupported CIGAR op {op!r} in {rec['cigar']!r}"
+                )
     if not pos_chunks:
         return (
             np.zeros(0, dtype=np.int64),
             np.zeros(0, dtype=np.int32),
         )
     return np.concatenate(pos_chunks), np.concatenate(code_chunks)
+
+
+_SCATTER_JIT = None
+
+
+def _scatter_device(p, c, *, ref_len: int):
+    """One compiled scatter per (contig length, update count): the
+    jitted callable is created once and cached at module level, so
+    repeated pileups reuse the compiled kernel instead of retracing."""
+    global _SCATTER_JIT
+    if _SCATTER_JIT is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnames=("L",))
+        def _scatter(p, c, L):
+            counts = jnp.zeros((L + 1, 5), dtype=jnp.int32)
+            # Clip out-of-range positions onto a spill row instead of
+            # dropping silently (asserted by the caller).
+            p = jnp.where((p >= 0) & (p < L), p, L)
+            return counts.at[p, c].add(1)
+
+        _SCATTER_JIT = _scatter
+    return _SCATTER_JIT(p, c, L=ref_len)
 
 
 def pileup(
@@ -114,21 +155,13 @@ def pileup(
     """
     positions, codes = _expand_records(records)
     if device:
-        import jax
         import jax.numpy as jnp
 
-        @jax.jit
-        def scatter(p, c):
-            counts = jnp.zeros((ref_len + 1, 5), dtype=jnp.int32)
-            # Clip out-of-range positions onto a spill row instead of
-            # dropping silently (shouldn't happen; asserted below).
-            p = jnp.where((p >= 0) & (p < ref_len), p, ref_len)
-            return counts.at[p, c].add(1)
-
         counts = np.asarray(
-            scatter(
+            _scatter_device(
                 jnp.asarray(positions, jnp.int32),
                 jnp.asarray(codes, jnp.int32),
+                ref_len=ref_len,
             )
         )
         if counts[ref_len].any():
@@ -232,7 +265,7 @@ def call_reads(
     min_seeds, engine, ...).
     """
     from genomics_rs_tpu.models.mapper import map_reads
-    from genomics_rs_tpu.models.reads import sam_records
+    from genomics_rs_tpu.models.reads import _sam_token, sam_records
 
     results = map_reads(queries, refs, scores, **map_kw)
     records = sam_records(
@@ -244,7 +277,9 @@ def call_reads(
         mapqs=[r.mapq for r in results],
     )
     by_contig: dict[str, list[dict]] = {}
-    contig_seq = {r.name.split()[0]: r.sequence for r in refs}
+    # Keyed by the same SAM token the records carry (handles empty /
+    # whitespace-only names the way the SAM writer does).
+    contig_seq = {_sam_token(r.name): r.sequence for r in refs}
     for rec in records:
         if rec["mapped"]:
             by_contig.setdefault(rec["rname"], []).append(rec)
@@ -271,7 +306,15 @@ def call_reads(
 
 
 def write_vcf(path: str, calls: list[VariantCall], refs) -> None:
-    """Minimal VCF 4.2: SNPs as REF/ALT bases, deletions anchored."""
+    """Minimal VCF 4.2: SNPs as REF/ALT bases, deletions anchored.
+
+    Deletions normally anchor on the base BEFORE the event
+    (POS = pos - 1, REF = anchor + deleted run, ALT = anchor); a
+    deletion starting at reference position 1 has no preceding base,
+    so per the VCF spec it anchors on the base AFTER the run instead.
+    """
+    from genomics_rs_tpu.models.reads import _sam_token
+
     with open(path, "w") as f:
         f.write("##fileformat=VCFv4.2\n")
         f.write(
@@ -284,16 +327,26 @@ def write_vcf(path: str, calls: list[VariantCall], refs) -> None:
         )
         for r in refs:
             f.write(
-                f"##contig=<ID={r.name.split()[0]},length={len(r)}>\n"
+                f"##contig=<ID={_sam_token(r.name)},length={len(r)}>\n"
             )
         f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
-        contig_seq = {r.name.split()[0]: r.sequence for r in refs}
+        contig_seq = {_sam_token(r.name): r.sequence for r in refs}
         for c in calls:
             if c.is_deletion:
-                if c.pos < 2:
-                    continue  # no anchor base before position 1
-                anchor = contig_seq[c.contig][c.pos - 2]
-                pos, ref, alt = c.pos - 1, anchor + c.ref, anchor
+                seq = contig_seq[c.contig]
+                if c.pos >= 2:
+                    anchor = seq[c.pos - 2]
+                    pos, ref, alt = c.pos - 1, anchor + c.ref, anchor
+                elif c.pos + len(c.ref) - 1 < len(seq):
+                    # Whole-prefix deletion: anchor on the base after.
+                    anchor = seq[c.pos + len(c.ref) - 1]
+                    pos, ref, alt = c.pos, c.ref + anchor, anchor
+                else:
+                    log.warning(
+                        "deletion of the entire contig %s is not "
+                        "representable in VCF; skipped", c.contig,
+                    )
+                    continue
             else:
                 pos, ref, alt = c.pos, c.ref, c.alt
             f.write(

@@ -87,6 +87,11 @@ class FMIndex:
     cvec: np.ndarray
     #: (n+1, A) ranks: occ[i][c] = #occurrences of c in bwt[:i].
     occ: np.ndarray
+    #: lazily cached device-resident (occ_flat, cvec) so repeated
+    #: batch searches don't re-upload the Occ table every call.
+    _dev: tuple | None = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
 
     @classmethod
     def build(cls, text: str | bytes) -> "FMIndex":
@@ -125,10 +130,18 @@ class FMIndex:
     def n(self) -> int:
         return len(self.text)
 
+    def _pattern_code(self, byte: int) -> int:
+        """Dense code for a PATTERN byte: the terminator is part of
+        the index structure but not of the user's text, so patterns
+        containing it count 0 like any absent byte."""
+        if byte == TERMINATOR:
+            return -1
+        return int(self.code[byte])
+
     def _range(self, pattern: bytes) -> tuple[int, int]:
         lo, hi = 0, self.n
         for byte in reversed(pattern):
-            c = int(self.code[byte])
+            c = self._pattern_code(byte)
             if c < 0:
                 return 0, 0
             lo = int(self.cvec[c]) + int(self.occ[lo, c])
@@ -158,41 +171,71 @@ class FMIndex:
     ) -> np.ndarray:
         """Counts for many patterns in one device dispatch.
 
-        Patterns containing bytes absent from the text count 0 (and
-        never reach the device); empty patterns count n (every
-        position), matching :meth:`count`.
+        Patterns containing bytes absent from the text (including the
+        index's own terminator) count 0 and never reach the device;
+        empty patterns count n (every position), matching
+        :meth:`count`.
+        """
+        counts, _ = self.search_batch(patterns, device=device)
+        return counts
+
+    def search_batch(
+        self, patterns: list[str | bytes], device: bool = True
+    ) -> tuple[np.ndarray, list[tuple[int, int]]]:
+        """(counts, per-pattern (lo, hi) suffix-array ranges).
+
+        The ranges make batched locate a pure ``sa[lo:hi]`` slice —
+        no per-pattern host backward search after a device batch.
         """
         B = len(patterns)
         out = np.zeros(B, dtype=np.int64)
+        ranges: list[tuple[int, int]] = [(0, 0)] * B
         enc: list[tuple[int, np.ndarray]] = []
         for k, p in enumerate(patterns):
             if isinstance(p, str):
                 p = p.encode("latin-1")
             if not p:
                 out[k] = self.n
+                ranges[k] = (0, self.n)
                 continue
             codes = self.code[np.frombuffer(p, dtype=np.uint8)]
-            if (codes < 0).any():
+            if (codes < 0).any() or TERMINATOR in p:
                 continue  # absent byte: count stays 0
             enc.append((k, codes))
         if not enc:
-            return out
+            return out, ranges
         if not device:
             for k, codes in enc:
-                out[k] = self.count(bytes(self.alphabet[codes]))
-            return out
+                lo, hi = self._range(bytes(self.alphabet[codes]))
+                out[k] = hi - lo
+                ranges[k] = (lo, hi)
+            return out, ranges
         Lp = max(len(c) for _, c in enc)
         pats = np.full((len(enc), Lp), -1, dtype=np.int32)
         for row, (_, codes) in enumerate(enc):
             pats[row, Lp - len(codes) :] = codes  # right-aligned
+        if self._dev is None:
+            self._dev = (
+                jnp.asarray(self.occ.reshape(-1)),
+                jnp.asarray(self.cvec),
+            )
+        occ_flat, cvec = self._dev
         lo, hi = _search_batch_device(
-            jnp.asarray(self.occ.reshape(-1)),
-            jnp.asarray(self.cvec),
+            occ_flat,
+            cvec,
             jnp.asarray(pats),
             jnp.int32(self.n),
             A=len(self.alphabet),
         )
-        counts = np.asarray(hi) - np.asarray(lo)
+        lo, hi = np.asarray(lo), np.asarray(hi)
         for row, (k, _) in enumerate(enc):
-            out[k] = max(int(counts[row]), 0)
-        return out
+            l, h = int(lo[row]), int(hi[row])
+            out[k] = max(h - l, 0)
+            ranges[k] = (l, h) if h > l else (0, 0)
+        return out, ranges
+
+    def locate_range(self, rng: tuple[int, int]) -> np.ndarray:
+        """Sorted text offsets for a (lo, hi) range from
+        :meth:`search_batch`."""
+        lo, hi = rng
+        return np.sort(self.sa[lo:hi])

@@ -173,3 +173,28 @@ def test_call_cli(tmp_path):
     f = body[0].split("\t")
     assert f[0] == "chr" and int(f[1]) == mut_pos + 1
     assert f[3] == ref_seq[mut_pos] and f[4] == flip[ref_seq[mut_pos]]
+
+
+def test_pileup_n_skip_and_unknown_op():
+    # N consumes reference positions without deletion evidence.
+    recs = [dict(mapped=True, pos=1, cigar="2M3N2M", seq="AAGG", rname="c")]
+    counts = pileup(recs, 7, device=False)
+    assert counts[0][0] == 1 and counts[1][0] == 1
+    assert counts[2].sum() == 0 and counts[4].sum() == 0  # skipped
+    assert counts[5][2] == 1 and counts[6][2] == 1
+    # Unknown ops fail loudly instead of desyncing positions.
+    bad = [dict(mapped=True, pos=1, cigar="2M1Z2M", seq="AAGG", rname="c")]
+    with pytest.raises(ValueError):
+        pileup(bad, 7, device=False)
+
+
+def test_write_vcf_deletion_at_position_one(tmp_path):
+    refs = [Sequence("chr", "ACGTT")]
+    calls = [VariantCall("chr", 1, "AC", "", 9, 8)]  # del of prefix AC
+    out = tmp_path / "p1.vcf"
+    write_vcf(str(out), calls, refs)
+    body = [
+        l for l in out.read_text().splitlines() if not l.startswith("#")
+    ]
+    # Anchors on the base AFTER the run: POS=1, REF="ACG", ALT="G".
+    assert body[0].split("\t")[:5] == ["chr", "1", ".", "ACG", "G"]

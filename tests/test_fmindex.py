@@ -128,3 +128,27 @@ def test_search_cli(tmp_path):
     assert rows["p1"][1] == "3" and rows["p1"][2] == "0,4,8"
     assert rows["p2"][1] == "2" and rows["p2"][2] == "2,6"
     assert rows["p3"][1] == "0" and rows["p3"][2] == ""
+
+
+def test_terminator_pattern_counts_zero():
+    idx = FMIndex.build("ACGT")
+    assert idx.count("$") == 0
+    assert idx.locate("$").tolist() == []
+    assert idx.count("T$") == 0
+    counts = idx.count_batch(["$", "T$", "T"])
+    assert counts.tolist() == [0, 0, 1]
+
+
+def test_search_batch_ranges_locate():
+    text = "ACGTACGTACGT"
+    idx = FMIndex.build(text)
+    pats = ["ACGT", "", "ZZ", "GTAC"]
+    for device in (True, False):
+        counts, ranges = idx.search_batch(pats, device=device)
+        assert counts.tolist() == [3, 13, 0, 2]
+        assert idx.locate_range(ranges[0]).tolist() == [0, 4, 8]
+        assert idx.locate_range(ranges[2]).tolist() == []
+        assert idx.locate_range(ranges[3]).tolist() == [2, 6]
+        # Range-based locate == pattern locate.
+        for p, r in zip(pats, ranges):
+            assert idx.locate_range(r).tolist() == idx.locate(p).tolist()
