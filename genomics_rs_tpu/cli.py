@@ -676,20 +676,15 @@ def main(argv: list[str] | None = None) -> int:
         import time
 
         log.info("MODE: Search (FM-index substring queries)")
-        from genomics_rs_tpu.suffixtree.fmindex import FMIndex
+        from genomics_rs_tpu.suffixtree.fmindex import MultiFMIndex
 
         refs = SequenceContainer().from_fasta(args.ref).sequences
         queries = SequenceContainer().from_reads(args.queries).sequences
         if not refs or not queries:
             log.error("no reference or no queries loaded")
             return 1
-        if len(refs) > 1:
-            log.warning(
-                "More than one reference sequence found. Only the "
-                "first will be indexed."
-            )
         t0 = time.perf_counter()
-        index = FMIndex.build(refs[0].sequence)
+        index = MultiFMIndex.build(refs)
         t_build = time.perf_counter() - t0
         t0 = time.perf_counter()
         counts, ranges = index.search_batch(
@@ -697,6 +692,7 @@ def main(argv: list[str] | None = None) -> int:
             device=args.engine == "device",
         )
         t_search = time.perf_counter() - t0
+        multi = len(refs) > 1
         with open(args.output, "w") as f:
             pos_col = "\tpositions" if args.locate else ""
             f.write(f"query\tcount{pos_col}\n")
@@ -704,13 +700,16 @@ def main(argv: list[str] | None = None) -> int:
                 tail = ""
                 if args.locate:
                     # The batch search already produced the SA range;
-                    # locating is a pure slice.
+                    # locating is a pure slice + offset mapping.
+                    hits = index.locate_range(rng)
                     tail = "\t" + ",".join(
-                        str(p) for p in index.locate_range(rng)
+                        f"{name.split()[0]}:{off}" if multi else str(off)
+                        for name, off in hits
                     )
                 f.write(f"{q.name}\t{int(c)}{tail}\n")
         print(
-            f"indexed {len(index.text) - 1} bases in {t_build:.3f}s; "
+            f"indexed {int(index.lengths.sum())} bases "
+            f"({len(refs)} contigs) in {t_build:.3f}s; "
             f"{len(queries)} queries in {t_search:.3f}s "
             f"({sum(int(c) for c in counts)} total hits)"
         )

@@ -239,3 +239,89 @@ class FMIndex:
         :meth:`search_batch`."""
         lo, hi = rng
         return np.sort(self.sa[lo:hi])
+
+
+#: joins contigs in a multi-reference index. 0x23 ('#') is below every
+#: DNA/protein letter and distinct from the terminator; patterns never
+#: contain it, so no match can span a contig boundary.
+SEPARATOR = 0x23
+
+
+@dataclasses.dataclass
+class MultiFMIndex:
+    """FM-index over a multi-contig reference (one joined text).
+
+    Contigs are joined with :data:`SEPARATOR` bytes; a match would
+    have to contain the separator to cross a boundary, so every hit
+    lies inside exactly one contig and locating is coordinate
+    arithmetic over the contig offset table.
+    """
+
+    index: FMIndex
+    names: list[str]
+    #: (K,) start offset of each contig in the joined text.
+    offsets: np.ndarray
+    lengths: np.ndarray
+
+    @classmethod
+    def build(cls, refs) -> "MultiFMIndex":
+        """``refs``: Sequence-likes with ``.name`` and ``.sequence``."""
+        if not refs:
+            raise ValueError("empty reference list")
+        names, parts = [], []
+        for r in refs:
+            if chr(SEPARATOR) in r.sequence:
+                raise ValueError(
+                    f"contig {r.name!r} contains the separator byte"
+                )
+            names.append(r.name)
+            parts.append(r.sequence)
+        joined = chr(SEPARATOR).join(parts)
+        lengths = np.array([len(p) for p in parts], dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lengths[:-1] + 1)])
+        return cls(
+            index=FMIndex.build(joined),
+            names=names,
+            offsets=offsets,
+            lengths=lengths,
+        )
+
+    @staticmethod
+    def _sanitize(patterns) -> list:
+        """Separator bytes exist only as contig glue: a pattern
+        containing one matches nothing in any contig, so it is
+        replaced by an unsearchable stand-in (terminator byte) that
+        the single-text index already counts 0."""
+        sep = chr(SEPARATOR)
+        out = []
+        for p in patterns:
+            has_sep = (
+                SEPARATOR in p if isinstance(p, bytes) else sep in p
+            )
+            out.append(b"$" if has_sep else p)
+        return out
+
+    def count_batch(self, patterns, device: bool = True) -> np.ndarray:
+        return self.index.count_batch(
+            self._sanitize(patterns), device=device
+        )
+
+    def search_batch(self, patterns, device: bool = True):
+        return self.index.search_batch(
+            self._sanitize(patterns), device=device
+        )
+
+    def locate_range(
+        self, rng: tuple[int, int]
+    ) -> list[tuple[str, int]]:
+        """Sorted (contig name, 0-based offset) for every hit."""
+        out = []
+        for g in self.index.locate_range(rng):
+            k = int(np.searchsorted(self.offsets, g, side="right")) - 1
+            local = int(g) - int(self.offsets[k])
+            if local >= int(self.lengths[k]):
+                # The joined text's trailing-separator suffix can only
+                # surface for empty patterns; skip those pseudo-hits.
+                continue
+            out.append((self.names[k], local))
+        return out

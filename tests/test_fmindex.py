@@ -152,3 +152,57 @@ def test_search_batch_ranges_locate():
         # Range-based locate == pattern locate.
         for p, r in zip(pats, ranges):
             assert idx.locate_range(r).tolist() == idx.locate(p).tolist()
+
+
+def test_multi_contig_index():
+    from genomics_rs_tpu.suffixtree.fmindex import MultiFMIndex
+
+    from genomics_rs_tpu.sequence import Sequence
+
+    refs = [
+        Sequence("c1 desc", "ACGTACGT"),
+        Sequence("c2", "TTACGTT"),
+        Sequence("c3", "GGGG"),
+    ]
+    idx = MultiFMIndex.build(refs)
+    for device in (True, False):
+        counts, ranges = idx.search_batch(
+            ["ACGT", "TT", "GGGG", "T#A", "ZZ"], device=device
+        )
+        assert counts.tolist() == [3, 2, 1, 0, 0]
+        hits = idx.locate_range(ranges[0])
+        assert sorted(hits) == [("c1 desc", 0), ("c1 desc", 4), ("c2", 2)]
+        assert sorted(idx.locate_range(ranges[1])) == [
+            ("c2", 0),
+            ("c2", 5),
+        ]
+        assert idx.locate_range(ranges[2]) == [("c3", 0)]
+    # A pattern equal to one contig's suffix + next contig's prefix
+    # must NOT match across the boundary.
+    assert idx.count_batch(["CGTTT"]).tolist() == [0]
+    # Separator positions never surface, even for the empty pattern.
+    counts, ranges = idx.search_batch([""])
+    hits = idx.locate_range(ranges[0])
+    assert len(hits) == sum(len(r) for r in refs)
+
+
+def test_search_cli_multi_contig(tmp_path):
+    from genomics_rs_tpu.cli import main
+
+    ref = tmp_path / "ref.fasta"
+    ref.write_text(">c1\nACGTACGT\n>c2\nTTACGTT\n")
+    q = tmp_path / "q.fasta"
+    q.write_text(">p1\nACGT\n")
+    cfg = tmp_path / "config.toml"
+    cfg.write_text(
+        "[scores]\ns_match = 1\ns_mismatch = -2\ng = -2\nh = -5\n"
+    )
+    out = tmp_path / "hits.tsv"
+    rc = main(
+        ["-c", str(cfg), "search", "-r", str(ref), "-q", str(q),
+         "--locate", "-o", str(out)]
+    )
+    assert rc == 0
+    row = out.read_text().splitlines()[1].split("\t")
+    assert row[1] == "3"
+    assert sorted(row[2].split(",")) == ["c1:0", "c1:4", "c2:2"]
