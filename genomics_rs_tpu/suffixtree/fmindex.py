@@ -190,30 +190,51 @@ class FMIndex:
         B = len(patterns)
         out = np.zeros(B, dtype=np.int64)
         ranges: list[tuple[int, int]] = [(0, 0)] * B
-        enc: list[tuple[int, np.ndarray]] = []
-        for k, p in enumerate(patterns):
-            if isinstance(p, str):
-                p = p.encode("latin-1")
-            if not p:
-                out[k] = self.n
-                ranges[k] = (0, self.n)
-                continue
-            codes = self.code[np.frombuffer(p, dtype=np.uint8)]
-            if (codes < 0).any() or TERMINATOR in p:
-                continue  # absent byte: count stays 0
-            enc.append((k, codes))
-        if not enc:
+        # Vectorized encode: one pass over the joined pattern bytes
+        # (the per-pattern Python loop dominated wall-clock at 100k
+        # patterns — ~2 s of host time per batch).
+        pb = [
+            p.encode("latin-1") if isinstance(p, str) else p
+            for p in patterns
+        ]
+        lens = np.array([len(p) for p in pb], dtype=np.int64)
+        for k in np.flatnonzero(lens == 0):
+            out[k] = self.n
+            ranges[k] = (0, self.n)
+        joined = np.frombuffer(b"".join(pb), dtype=np.uint8)
+        if joined.size == 0:
+            return out, ranges
+        codes_all = self.code[joined].astype(np.int32)
+        # The terminator is index structure, not text: absent.
+        codes_all[joined == TERMINATOR] = -1
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        nz = np.flatnonzero(lens > 0)
+        # reduceat segment ends are the next listed start; empty
+        # patterns add no bytes, so consecutive nz starts are exact.
+        bad = (
+            np.add.reduceat((codes_all < 0).astype(np.int64), offs[nz])
+            > 0
+        )
+        keep = nz[~bad]  # searchable patterns (absent bytes count 0)
+        if keep.size == 0:
             return out, ranges
         if not device:
-            for k, codes in enc:
-                lo, hi = self._range(bytes(self.alphabet[codes]))
+            for k in keep:
+                lo, hi = self._range(pb[int(k)])
                 out[k] = hi - lo
                 ranges[k] = (lo, hi)
             return out, ranges
-        Lp = max(len(c) for _, c in enc)
-        pats = np.full((len(enc), Lp), -1, dtype=np.int32)
-        for row, (_, codes) in enumerate(enc):
-            pats[row, Lp - len(codes) :] = codes  # right-aligned
+        klens = lens[keep]
+        Lp = int(klens.max())
+        pats = np.full((len(keep), Lp), -1, dtype=np.int32)
+        within = (
+            np.arange(int(klens.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(klens) - klens, klens)
+        )
+        rowidx = np.repeat(np.arange(len(keep)), klens)
+        pats[rowidx, within + np.repeat(Lp - klens, klens)] = codes_all[
+            np.repeat(offs[keep], klens) + within
+        ]
         if self._dev is None:
             self._dev = (
                 jnp.asarray(self.occ.reshape(-1)),
@@ -228,9 +249,9 @@ class FMIndex:
             A=len(self.alphabet),
         )
         lo, hi = np.asarray(lo), np.asarray(hi)
-        for row, (k, _) in enumerate(enc):
+        out[keep] = np.maximum(hi.astype(np.int64) - lo, 0)
+        for row, k in enumerate(keep):
             l, h = int(lo[row]), int(hi[row])
-            out[k] = max(h - l, 0)
             ranges[k] = (l, h) if h > l else (0, 0)
         return out, ranges
 
