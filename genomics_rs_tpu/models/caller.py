@@ -14,16 +14,17 @@ bit-identical.
 
 Codes: A/C/G/T = 0..3, deletion = 4 (a D run deposits code 4 on every
 deleted reference position). Insertions consume read bases without a
-reference position; they are skipped (documented — insertion calling
-needs haplotype assembly, out of scope), but their read-cursor
-advance keeps every following M run's bases on the right positions.
-Non-ACGT read bases are skipped the same way.
+reference position; each I run is recorded as an event (anchor
+position, inserted string) in a side map, and the read-cursor advance
+keeps every following M run's bases on the right positions. Non-ACGT
+read bases are skipped.
 
 Calling is per-position consensus: at depth >= ``min_depth``, the
 most-voted non-reference code with fraction >= ``min_frac`` becomes a
-call — a SNP (codes 0..3) or a deletion (code 4). Adjacent deletion
+call — a SNP (codes 0..3) or a deletion (code 4); adjacent deletion
 calls merge into one VCF record with the standard anchor-base
-representation.
+representation. Insertions are called per anchor from the event map
+under the same gates (``call_insertions``).
 """
 
 from __future__ import annotations
@@ -62,13 +63,27 @@ class VariantCall:
     def is_deletion(self) -> bool:
         return self.alt == ""
 
+    @property
+    def is_insertion(self) -> bool:
+        return len(self.alt) > 1
 
-def _expand_records(records: list[dict]) -> tuple[np.ndarray, np.ndarray]:
-    """(positions, codes) of every aligned base + deletion, 0-based."""
+
+def _expand_records(
+    records: list[dict],
+) -> tuple[np.ndarray, np.ndarray, dict]:
+    """(positions, codes, insertions): per-base pileup inputs.
+
+    ``insertions`` maps a 0-based anchor position (the reference base
+    the inserted run follows) to a Counter of inserted strings — an I
+    run between reference positions ``r-1`` and ``r`` anchors at
+    ``r-1``. Leading-edge insertions (before position 0, i.e. soft
+    alignment artifacts) are dropped.
+    """
     import re
 
     pos_chunks: list[np.ndarray] = []
     code_chunks: list[np.ndarray] = []
+    insertions: dict = {}
     for rec in records:
         if not rec["mapped"]:
             continue
@@ -101,7 +116,14 @@ def _expand_records(records: list[dict]) -> tuple[np.ndarray, np.ndarray]:
                 # Skipped reference region (splice): consumes ref
                 # positions but is NOT deletion evidence.
                 r += n
-            elif op in ("I", "S"):  # read-only
+            elif op == "I":
+                anchor = r - 1
+                ins = rec["seq"][q : q + n].upper()
+                if anchor >= 0 and "-" not in ins:
+                    bucket = insertions.setdefault(anchor, {})
+                    bucket[ins] = bucket.get(ins, 0) + 1
+                q += n
+            elif op == "S":  # read-only
                 q += n
             elif op in ("H", "P"):
                 pass  # consume neither cursor
@@ -115,8 +137,13 @@ def _expand_records(records: list[dict]) -> tuple[np.ndarray, np.ndarray]:
         return (
             np.zeros(0, dtype=np.int64),
             np.zeros(0, dtype=np.int32),
+            insertions,
         )
-    return np.concatenate(pos_chunks), np.concatenate(code_chunks)
+    return (
+        np.concatenate(pos_chunks),
+        np.concatenate(code_chunks),
+        insertions,
+    )
 
 
 _SCATTER_JIT = None
@@ -151,9 +178,17 @@ def pileup(
     """(ref_len, 5) base/deletion counts from SAM-normalized records.
 
     All records must target the same contig (group by ``rname``
-    upstream; :func:`call_reads` does).
+    upstream; :func:`call_reads` does). Use :func:`pileup_full` to
+    also get the insertion-evidence map.
     """
-    positions, codes = _expand_records(records)
+    return pileup_full(records, ref_len, device=device)[0]
+
+
+def pileup_full(
+    records: list[dict], ref_len: int, device: bool = True
+) -> tuple[np.ndarray, dict]:
+    """(counts, insertions) — see :func:`pileup` / `_expand_records`."""
+    positions, codes, insertions = _expand_records(records)
     if device:
         import jax.numpy as jnp
 
@@ -169,7 +204,7 @@ def pileup(
                 "pileup positions outside the reference "
                 f"({int(counts[ref_len].sum())} bases)"
             )
-        return counts[:ref_len]
+        return counts[:ref_len], insertions
     counts = np.zeros((ref_len, 5), dtype=np.int32)
     if len(positions):
         if positions.min() < 0 or positions.max() >= ref_len:
@@ -177,7 +212,7 @@ def pileup(
                 "pileup positions outside the reference"
             )
         np.add.at(counts, (positions, codes), 1)
-    return counts
+    return counts, insertions
 
 
 def call_pileup(
@@ -250,6 +285,44 @@ def call_pileup(
     return calls
 
 
+def call_insertions(
+    insertions: dict,
+    counts: np.ndarray,
+    ref_seq: str,
+    contig: str,
+    min_depth: int = 8,
+    min_frac: float = 0.7,
+) -> list[VariantCall]:
+    """Consensus insertion calls from the pileup's insertion map.
+
+    An insertion anchors on the reference base it follows; its local
+    depth is that anchor's pileup depth (reads spanning the junction
+    without the insert vote against it implicitly by being counted in
+    the depth but not in the event). The majority inserted string at
+    an anchor is called when it clears the same depth/fraction gates
+    as SNPs. ``VariantCall.ref`` is the anchor base and ``alt`` the
+    anchor + inserted run — already in VCF shape.
+    """
+    calls: list[VariantCall] = []
+    for anchor in sorted(insertions):
+        bucket = insertions[anchor]
+        ins, support = max(bucket.items(), key=lambda kv: (kv[1], kv[0]))
+        depth = int(counts[anchor].sum())
+        if depth < min_depth or support < min_frac * depth:
+            continue
+        calls.append(
+            VariantCall(
+                contig,
+                anchor + 1,
+                ref_seq[anchor],
+                ref_seq[anchor] + ins,
+                depth,
+                int(support),
+            )
+        )
+    return calls
+
+
 def call_reads(
     queries,
     refs,
@@ -287,16 +360,19 @@ def call_reads(
     pileups: dict[str, np.ndarray] = {}
     for rname in sorted(by_contig):
         seq = contig_seq[rname]
-        counts = pileup(
+        counts, insertions = pileup_full(
             by_contig[rname], len(seq), device=device_pileup
         )
         pileups[rname] = counts
-        calls.extend(
-            call_pileup(
-                counts, seq, rname,
-                min_depth=min_depth, min_frac=min_frac,
-            )
+        contig_calls = call_pileup(
+            counts, seq, rname,
+            min_depth=min_depth, min_frac=min_frac,
+        ) + call_insertions(
+            insertions, counts, seq, rname,
+            min_depth=min_depth, min_frac=min_frac,
         )
+        contig_calls.sort(key=lambda c: c.pos)
+        calls.extend(contig_calls)
     log.info(
         "called %d variants from %d mapped reads",
         len(calls),

@@ -198,3 +198,57 @@ def test_write_vcf_deletion_at_position_one(tmp_path):
     ]
     # Anchors on the base AFTER the run: POS=1, REF="ACG", ALT="G".
     assert body[0].split("\t")[:5] == ["chr", "1", ".", "ACG", "G"]
+
+
+def test_pileup_full_collects_insertions():
+    from genomics_rs_tpu.models.caller import pileup_full
+
+    recs = [
+        dict(mapped=True, pos=1, cigar="2M2I3M", seq="AATTCGT", rname="c"),
+        dict(mapped=True, pos=1, cigar="2M2I3M", seq="AATTCGT", rname="c"),
+    ]
+    counts, ins = pileup_full(recs, 5, device=False)
+    # The TT insert anchors after 0-based position 1.
+    assert ins == {1: {"TT": 2}}
+    assert counts[1][0] == 2 and counts[2][1] == 2
+
+
+def test_call_insertions_gates_and_shape():
+    from genomics_rs_tpu.models.caller import call_insertions
+
+    counts = np.zeros((5, 5), np.int32)
+    counts[1, 0] = 10  # anchor depth 10
+    counts[3, 0] = 10
+    ins = {1: {"GG": 8, "G": 1}, 3: {"AA": 2}}  # 3: below frac
+    calls = call_insertions(ins, counts, "AACGT", "c", 5, 0.7)
+    assert len(calls) == 1
+    c = calls[0]
+    assert c.is_insertion and not c.is_deletion
+    assert (c.pos, c.ref, c.alt, c.depth, c.alt_count) == (2, "A", "AGG", 10, 8)
+
+
+def test_call_reads_recovers_insertion(tmp_path):
+    ref_seq = _random_ref(400, seed=21)
+    # Donor inserts "GG" after ref position 199 in every covering read.
+    donor = ref_seq[:200] + "GG" + ref_seq[200:]
+    reads = _tile_reads(donor)
+    refs = [Sequence("chr", ref_seq)]
+    calls, _ = call_reads(
+        reads, refs, SCORES,
+        min_depth=5, min_frac=0.6,
+        engine="scan", min_seeds=2, k=15,
+    )
+    ins = [c for c in calls if c.is_insertion]
+    assert len(ins) == 1
+    assert ins[0].pos == 200  # anchor = ref position 200 (1-based)
+    assert ins[0].alt == ref_seq[199] + "GG"
+    # VCF writes the insertion verbatim.
+    out = tmp_path / "ins.vcf"
+    write_vcf(str(out), calls, refs)
+    body = [
+        l for l in out.read_text().splitlines() if not l.startswith("#")
+    ]
+    assert any(
+        r.split("\t")[1] == "200" and r.split("\t")[4] == ref_seq[199] + "GG"
+        for r in body
+    )
