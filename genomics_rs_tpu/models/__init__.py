@@ -9,6 +9,17 @@ from genomics_rs_tpu.models.mapper import (
     map_reads,
     write_sam_paired,
 )
+from genomics_rs_tpu.models.caller import (
+    VariantCall,
+    call_reads,
+    write_vcf,
+)
+from genomics_rs_tpu.models.msa import (
+    MSAResult,
+    center_star_msa,
+    format_msa_clustal,
+    write_msa_fasta,
+)
 from genomics_rs_tpu.models.reads import align_reads, write_sam
 
 __all__ = [
@@ -22,4 +33,11 @@ __all__ = [
     "map_reads",
     "map_pairs",
     "write_sam_paired",
+    "MSAResult",
+    "center_star_msa",
+    "format_msa_clustal",
+    "write_msa_fasta",
+    "VariantCall",
+    "call_reads",
+    "write_vcf",
 ]

@@ -5,6 +5,7 @@ arena core (native/suffix_tree.cpp via ctypes) when built, else the
 pure-Python oracle. Both implement identical reference semantics
 (see tree.py docstring)."""
 
+from genomics_rs_tpu.suffixtree.fmindex import FMIndex, MultiFMIndex
 from genomics_rs_tpu.suffixtree.tree import STRING_TERMINATORS, SuffixTree, TreeStats
 
 try:  # pragma: no cover - exercised when the native lib is built
@@ -29,4 +30,6 @@ __all__ = [
     "STRING_TERMINATORS",
     "make_tree",
     "native_available",
+    "FMIndex",
+    "MultiFMIndex",
 ]
