@@ -566,7 +566,9 @@ def run_full() -> dict:
             "score": al12.score,
             "s": dt,
             "s_warm": dtw,
-            "cells_per_s_1pass": (len(ch) + 1.0) ** 2 / dtw,
+            # New key: prior rounds' cells_per_s_1pass divided by the
+            # cold time; keep the semantics change visible in diffs.
+            "cells_per_s_1pass_warm": (len(ch) + 1.0) ** 2 / dtw,
         }
 
         # --- chr12 x chr12 BANDED full alignment --------------------

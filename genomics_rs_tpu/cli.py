@@ -693,6 +693,8 @@ def main(argv: list[str] | None = None) -> int:
         )
         t_search = time.perf_counter() - t0
         multi = len(refs) > 1
+        from genomics_rs_tpu.models.reads import _sam_token
+
         with open(args.output, "w") as f:
             pos_col = "\tpositions" if args.locate else ""
             f.write(f"query\tcount{pos_col}\n")
@@ -703,7 +705,7 @@ def main(argv: list[str] | None = None) -> int:
                     # locating is a pure slice + offset mapping.
                     hits = index.locate_range(rng)
                     tail = "\t" + ",".join(
-                        f"{name.split()[0]}:{off}" if multi else str(off)
+                        f"{_sam_token(name)}:{off}" if multi else str(off)
                         for name, off in hits
                     )
                 f.write(f"{q.name}\t{int(c)}{tail}\n")

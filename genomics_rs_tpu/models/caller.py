@@ -119,7 +119,12 @@ def _expand_records(
             elif op == "I":
                 anchor = r - 1
                 ins = rec["seq"][q : q + n].upper()
-                if anchor >= 0 and "-" not in ins:
+                # Pure-ACGT inserts only: N/IUPAC bases would flow
+                # into VCF ALT (invalid) and split consensus votes —
+                # same skip contract as the per-base pileup.
+                if anchor >= 0 and all(
+                    _CODE[ord(ch)] >= 0 for ch in ins
+                ):
                     bucket = insertions.setdefault(anchor, {})
                     bucket[ins] = bucket.get(ins, 0) + 1
                 q += n

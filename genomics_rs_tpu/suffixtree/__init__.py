@@ -5,8 +5,20 @@ arena core (native/suffix_tree.cpp via ctypes) when built, else the
 pure-Python oracle. Both implement identical reference semantics
 (see tree.py docstring)."""
 
-from genomics_rs_tpu.suffixtree.fmindex import FMIndex, MultiFMIndex
 from genomics_rs_tpu.suffixtree.tree import STRING_TERMINATORS, SuffixTree, TreeStats
+
+
+def __getattr__(name):
+    # The FM-index pulls jax (device suffix array) — export it lazily
+    # so host-side tree consumers keep importing without jax/XLA
+    # initialization.
+    if name in ("FMIndex", "MultiFMIndex"):
+        from genomics_rs_tpu.suffixtree import fmindex
+
+        return getattr(fmindex, name)
+    raise AttributeError(
+        f"module {__name__!r} has no attribute {name!r}"
+    )
 
 try:  # pragma: no cover - exercised when the native lib is built
     from genomics_rs_tpu.suffixtree.native import NativeSuffixTree, native_available

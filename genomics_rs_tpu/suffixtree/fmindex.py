@@ -323,26 +323,35 @@ class MultiFMIndex:
         return out
 
     def count_batch(self, patterns, device: bool = True) -> np.ndarray:
-        return self.index.count_batch(
-            self._sanitize(patterns), device=device
-        )
+        return self.search_batch(patterns, device=device)[0]
 
     def search_batch(self, patterns, device: bool = True):
-        return self.index.search_batch(
+        counts, ranges = self.index.search_batch(
             self._sanitize(patterns), device=device
         )
+        # Empty patterns: the joined text's count would include the
+        # separator/terminator positions locate_range filters out —
+        # report the number of real contig positions so count ==
+        # len(locate_range(rng)) holds for every pattern.
+        real = int(self.lengths.sum())
+        for k, p in enumerate(patterns):
+            if len(p) == 0:
+                counts[k] = real
+        return counts, ranges
 
     def locate_range(
         self, rng: tuple[int, int]
     ) -> list[tuple[str, int]]:
         """Sorted (contig name, 0-based offset) for every hit."""
-        out = []
-        for g in self.index.locate_range(rng):
-            k = int(np.searchsorted(self.offsets, g, side="right")) - 1
-            local = int(g) - int(self.offsets[k])
-            if local >= int(self.lengths[k]):
-                # The joined text's trailing-separator suffix can only
-                # surface for empty patterns; skip those pseudo-hits.
-                continue
-            out.append((self.names[k], local))
-        return out
+        hits = self.index.locate_range(rng).astype(np.int64)
+        if hits.size == 0:
+            return []
+        k = np.searchsorted(self.offsets, hits, side="right") - 1
+        local = hits - self.offsets[k]
+        # Separator/terminator positions can only surface for empty
+        # patterns; one vectorized mask drops those pseudo-hits.
+        keep = local < self.lengths[k]
+        return [
+            (self.names[int(ki)], int(li))
+            for ki, li in zip(k[keep], local[keep])
+        ]

@@ -252,3 +252,15 @@ def test_call_reads_recovers_insertion(tmp_path):
         r.split("\t")[1] == "200" and r.split("\t")[4] == ref_seq[199] + "GG"
         for r in body
     )
+
+
+def test_insertions_with_ambiguous_bases_skipped():
+    from genomics_rs_tpu.models.caller import pileup_full
+
+    recs = [
+        dict(mapped=True, pos=1, cigar="2M2I2M", seq="AANNGT", rname="c"),
+        dict(mapped=True, pos=1, cigar="2M2I2M", seq="AATTGT", rname="c"),
+    ]
+    _, ins = pileup_full(recs, 4, device=False)
+    # The NN insert is dropped; only the clean TT event is recorded.
+    assert ins == {1: {"TT": 1}}

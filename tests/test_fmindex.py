@@ -206,3 +206,26 @@ def test_search_cli_multi_contig(tmp_path):
     row = out.read_text().splitlines()[1].split("\t")
     assert row[1] == "3"
     assert sorted(row[2].split(",")) == ["c1:0", "c1:4", "c2:2"]
+
+
+def test_multi_empty_pattern_count_matches_locate():
+    from genomics_rs_tpu.sequence import Sequence
+    from genomics_rs_tpu.suffixtree.fmindex import MultiFMIndex
+
+    idx = MultiFMIndex.build(
+        [Sequence("a", "ACGT"), Sequence("b", "GGA")]
+    )
+    counts, ranges = idx.search_batch(["", "G"])
+    assert counts[0] == 7  # real contig positions only
+    assert len(idx.locate_range(ranges[0])) == 7
+    assert counts[1] == len(idx.locate_range(ranges[1])) == 3
+
+
+def test_suffixtree_facade_lazy_fmindex():
+    import genomics_rs_tpu.suffixtree as st
+
+    assert st.FMIndex.build("AC").count("A") == 1
+    import pytest as _pytest
+
+    with _pytest.raises(AttributeError):
+        st.NoSuchThing
