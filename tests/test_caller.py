@@ -264,3 +264,30 @@ def test_insertions_with_ambiguous_bases_skipped():
     _, ins = pileup_full(recs, 4, device=False)
     # The NN insert is dropped; only the clean TT event is recorded.
     assert ins == {1: {"TT": 1}}
+
+
+def test_call_reads_multi_contig():
+    """Variants on different contigs are called with the right
+    contig names and coordinates."""
+    flip = {"A": "G", "C": "T", "G": "A", "T": "C"}
+    ref1 = _random_ref(300, seed=31)
+    ref2 = _random_ref(300, seed=32)
+    m1, m2 = 140, 170
+    reads = _tile_reads(ref1, mutate={m1: flip[ref1[m1]]}) + [
+        Sequence(f"q{k}", s.sequence)
+        for k, s in enumerate(
+            _tile_reads(ref2, mutate={m2: flip[ref2[m2]]})
+        )
+    ]
+    refs = [Sequence("chrA", ref1), Sequence("chrB", ref2)]
+    calls, pileups = call_reads(
+        reads, refs, SCORES,
+        min_depth=5, min_frac=0.7,
+        engine="scan", min_seeds=2, k=15,
+    )
+    got = {(c.contig, c.pos, c.alt) for c in calls}
+    assert got == {
+        ("chrA", m1 + 1, flip[ref1[m1]]),
+        ("chrB", m2 + 1, flip[ref2[m2]]),
+    }
+    assert set(pileups) == {"chrA", "chrB"}

@@ -229,3 +229,33 @@ def test_suffixtree_facade_lazy_fmindex():
 
     with _pytest.raises(AttributeError):
         st.NoSuchThing
+
+
+def test_multi_contig_fuzz_vs_naive():
+    from genomics_rs_tpu.sequence import Sequence
+    from genomics_rs_tpu.suffixtree.fmindex import MultiFMIndex
+
+    rng = np.random.default_rng(17)
+    for _ in range(3):
+        contigs = [
+            "".join(rng.choice(list("ACGT"), int(rng.integers(15, 80))))
+            for _ in range(int(rng.integers(2, 5)))
+        ]
+        refs = [Sequence(f"c{i}", s) for i, s in enumerate(contigs)]
+        idx = MultiFMIndex.build(refs)
+        pats = []
+        for _ in range(15):
+            src = contigs[int(rng.integers(0, len(contigs)))]
+            L = int(rng.integers(1, min(9, len(src) + 1)))
+            st = int(rng.integers(0, len(src) - L + 1))
+            pats.append(src[st : st + L])
+        counts, ranges = idx.search_batch(pats)
+        for p, c, rng_ in zip(pats, counts, ranges):
+            want = {
+                (f"c{i}", pos)
+                for i, s in enumerate(contigs)
+                for pos in _naive_positions(s, p)
+            }
+            got = set(idx.locate_range(rng_))
+            assert got == want, (p, contigs)
+            assert c == len(want)

@@ -150,3 +150,15 @@ def test_msa_cli(tmp_path):
     assert out.exists()
     text = out.read_text()
     assert text.count(">") == 3
+
+
+def test_msa_pallas_interpret_matches_scan():
+    """The MSA must be engine-invariant: pallas (interpret) rows ==
+    scan rows (same center, same merge)."""
+    seqs = ["ACACACTA", "AGCACACA", "ACACAGTA", "CACACTA"]
+    ref = _msa(seqs)
+    got = center_star_msa(
+        _container(seqs), SCORES, engine="pallas", interpret=True
+    )
+    assert got.rows == ref.rows
+    assert got.center_index == ref.center_index
