@@ -183,6 +183,21 @@ def _build_parser() -> argparse.ArgumentParser:
         help="minimum alt-supporting fraction of the depth",
     )
     cl.add_argument(
+        "--min-baseq", type=int, default=0,
+        help="drop M/X/= bases below this Phred quality (FASTQ "
+        "inputs; implies quality-weighted consensus)",
+    )
+    cl.add_argument(
+        "--min-mapq", type=int, default=0,
+        help="drop reads below this mapping quality (implies "
+        "quality-weighted consensus)",
+    )
+    cl.add_argument(
+        "--weighted", action="store_true",
+        help="weight votes by Phred*MAPQ correctness probability "
+        "instead of counting heads",
+    )
+    cl.add_argument(
         "--single-strand", action="store_true",
         help="map the forward orientation only",
     )
@@ -653,6 +668,8 @@ def main(argv: list[str] | None = None) -> int:
             calls, pileups = call_reads(
                 queries, refs, config.scores,
                 min_depth=args.min_depth, min_frac=args.min_frac,
+                min_baseq=args.min_baseq, min_mapq=args.min_mapq,
+                weighted=args.weighted,
                 k=args.k, band=args.band, min_seeds=args.min_seeds,
                 both_strands=not args.single_strand,
                 engine=args.engine,

@@ -25,6 +25,23 @@ call — a SNP (codes 0..3) or a deletion (code 4); adjacent deletion
 calls merge into one VCF record with the standard anchor-base
 representation. Insertions are called per anchor from the event map
 under the same gates (``call_insertions``).
+
+QUALITY-AWARE EVIDENCE (round-4): the pipeline already carries FASTQ
+Phred strings (``sequence.py`` FASTQ loader; reverse-complement
+reverses them in step) and real MAPQ (``models/mapper``), so the
+pileup can weigh votes instead of counting heads:
+
+* reads below ``min_mapq`` are excluded entirely; M/X/= bases below
+  ``min_baseq`` are excluded (no vote, no depth);
+* each surviving base votes ``(1 - 10^(-baseq/10)) *
+  (1 - 10^(-mapq/10))`` — its probability of being a correct
+  observation; deletion marks and insertion events carry the MAPQ
+  factor only (a deleted base has no base quality);
+* ``call_pileup``/``call_insertions`` then gate the **weighted**
+  alt fraction while the depth gate stays on integer coverage.
+
+Counting mode (all weights 1, no gates) remains the default for the
+plain ``pileup``/``call_pileup`` API and is bit-identical to round 3.
 """
 
 from __future__ import annotations
@@ -68,30 +85,78 @@ class VariantCall:
         return len(self.alt) > 1
 
 
+def _phred_probs(qual: str) -> np.ndarray:
+    """Phred+33 string -> per-base correctness probability
+    ``1 - 10^(-q/10)`` (float32)."""
+    q = (
+        np.frombuffer(qual.encode("latin-1"), dtype=np.uint8).astype(
+            np.float32
+        )
+        - 33.0
+    )
+    return 1.0 - np.power(10.0, -q / 10.0, dtype=np.float32)
+
+
+def _mapq_factor(mapq: int) -> float:
+    """MAPQ -> probability the mapping is correct. 255 means
+    'unavailable' in SAM — treated as certain."""
+    if mapq >= 255:
+        return 1.0
+    return float(1.0 - 10.0 ** (-mapq / 10.0))
+
+
 def _expand_records(
     records: list[dict],
-) -> tuple[np.ndarray, np.ndarray, dict]:
-    """(positions, codes, insertions): per-base pileup inputs.
+    min_baseq: int = 0,
+    min_mapq: int = 0,
+    collect_weights: bool = False,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None, dict, dict | None]:
+    """(positions, codes, weights, insertions, ins_w): pileup inputs.
 
     ``insertions`` maps a 0-based anchor position (the reference base
     the inserted run follows) to a Counter of inserted strings — an I
     run between reference positions ``r-1`` and ``r`` anchors at
-    ``r-1``. Leading-edge insertions (before position 0, i.e. soft
-    alignment artifacts) are dropped.
+    ``r-1``. An I run at the leading edge of a read (before any
+    reference-consuming op) is dropped: its anchor would be a
+    reference base the read itself does not cover, so the event's
+    depth gate would be judged against evidence from other reads only
+    (ADVICE r3) — and a leading-edge insert is an alignment artifact
+    anyway (the aligner could equally have placed it as a clip).
+
+    With ``collect_weights`` each vote also gets a correctness weight
+    (see the module docstring); ``min_baseq`` drops individual M/X/=
+    bases, ``min_mapq`` drops whole reads. ``weights``/``ins_w`` are
+    None when ``collect_weights`` is False.
     """
     import re
 
     pos_chunks: list[np.ndarray] = []
     code_chunks: list[np.ndarray] = []
+    w_chunks: list[np.ndarray] = []
     insertions: dict = {}
+    ins_w: dict | None = {} if collect_weights else None
     for rec in records:
         if not rec["mapped"]:
             continue
+        mapq = int(rec.get("mapq", 255))
+        if mapq < min_mapq:
+            continue
+        wm = np.float32(_mapq_factor(mapq)) if collect_weights else None
         seq_codes = _CODE[
             np.frombuffer(rec["seq"].encode("latin-1"), dtype=np.uint8)
         ]
+        qual = rec.get("qual") or "*"
+        probs = None
+        if qual != "*" and (min_baseq > 0 or collect_weights):
+            probs = _phred_probs(qual)
+            if len(probs) != len(seq_codes):
+                raise ValueError(
+                    f"quality length {len(probs)} != read length "
+                    f"{len(seq_codes)}"
+                )
         q = 0  # read cursor
         r = rec["pos"] - 1  # 0-based reference cursor
+        covered = False  # any reference-consuming op seen yet?
         runs = re.findall(r"(\d+)([A-Z=])", rec["cigar"])
         if "".join(n + op for n, op in runs) != rec["cigar"]:
             raise ValueError(f"malformed CIGAR {rec['cigar']!r}")
@@ -100,33 +165,62 @@ def _expand_records(
             if op in ("M", "=", "X"):
                 codes = seq_codes[q : q + n].astype(np.int32)
                 keep = codes >= 0  # skip non-ACGT read bases
+                if probs is not None and min_baseq > 0:
+                    # Phred+33 threshold on the raw quality chars.
+                    qv = (
+                        np.frombuffer(
+                            qual[q : q + n].encode("latin-1"),
+                            dtype=np.uint8,
+                        ).astype(np.int32)
+                        - 33
+                    )
+                    keep = keep & (qv >= min_baseq)
                 pos_chunks.append(
                     (r + np.arange(n, dtype=np.int64))[keep]
                 )
                 code_chunks.append(codes[keep])
+                if collect_weights:
+                    wb = (
+                        probs[q : q + n][keep]
+                        if probs is not None
+                        else np.ones(
+                            int(keep.sum()), dtype=np.float32
+                        )
+                    )
+                    w_chunks.append(wb * wm)
                 q += n
                 r += n
+                covered = True
             elif op == "D":
                 pos_chunks.append(r + np.arange(n, dtype=np.int64))
                 code_chunks.append(
                     np.full(n, DEL_CODE, dtype=np.int32)
                 )
+                if collect_weights:
+                    # No base quality exists for a deleted base; the
+                    # MAPQ factor is the whole weight.
+                    w_chunks.append(np.full(n, wm, dtype=np.float32))
                 r += n
+                covered = True
             elif op == "N":
                 # Skipped reference region (splice): consumes ref
                 # positions but is NOT deletion evidence.
                 r += n
+                covered = True
             elif op == "I":
                 anchor = r - 1
                 ins = rec["seq"][q : q + n].upper()
                 # Pure-ACGT inserts only: N/IUPAC bases would flow
                 # into VCF ALT (invalid) and split consensus votes —
                 # same skip contract as the per-base pileup.
-                if anchor >= 0 and all(
+                if covered and anchor >= 0 and all(
                     _CODE[ord(ch)] >= 0 for ch in ins
                 ):
                     bucket = insertions.setdefault(anchor, {})
                     bucket[ins] = bucket.get(ins, 0) + 1
+                    if collect_weights:
+                        wbucket = ins_w.setdefault(anchor, {})
+                        wbucket[ins] = wbucket.get(ins, 0.0) + float(wm)
                 q += n
             elif op == "S":  # read-only
                 q += n
@@ -142,16 +236,21 @@ def _expand_records(
         return (
             np.zeros(0, dtype=np.int64),
             np.zeros(0, dtype=np.int32),
+            np.zeros(0, dtype=np.float32) if collect_weights else None,
             insertions,
+            ins_w,
         )
     return (
         np.concatenate(pos_chunks),
         np.concatenate(code_chunks),
+        np.concatenate(w_chunks) if collect_weights else None,
         insertions,
+        ins_w,
     )
 
 
 _SCATTER_JIT = None
+_SCATTER_W_JIT = None
 
 
 def _scatter_device(p, c, *, ref_len: int):
@@ -177,6 +276,26 @@ def _scatter_device(p, c, *, ref_len: int):
     return _SCATTER_JIT(p, c, L=ref_len)
 
 
+def _scatter_device_w(p, c, w, *, ref_len: int):
+    """Counts + weight sums in one fused device dispatch."""
+    global _SCATTER_W_JIT
+    if _SCATTER_W_JIT is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnames=("L",))
+        def _scatter_w(p, c, w, L):
+            counts = jnp.zeros((L + 1, 5), dtype=jnp.int32)
+            wsum = jnp.zeros((L + 1, 5), dtype=jnp.float32)
+            p = jnp.where((p >= 0) & (p < L), p, L)
+            return counts.at[p, c].add(1), wsum.at[p, c].add(w)
+
+        _SCATTER_W_JIT = _scatter_w
+    return _SCATTER_W_JIT(p, c, w, L=ref_len)
+
+
 def pileup(
     records: list[dict], ref_len: int, device: bool = True
 ) -> np.ndarray:
@@ -193,7 +312,7 @@ def pileup_full(
     records: list[dict], ref_len: int, device: bool = True
 ) -> tuple[np.ndarray, dict]:
     """(counts, insertions) — see :func:`pileup` / `_expand_records`."""
-    positions, codes, insertions = _expand_records(records)
+    positions, codes, _, insertions, _ = _expand_records(records)
     if device:
         import jax.numpy as jnp
 
@@ -220,29 +339,85 @@ def pileup_full(
     return counts, insertions
 
 
+def pileup_q(
+    records: list[dict],
+    ref_len: int,
+    device: bool = True,
+    min_baseq: int = 0,
+    min_mapq: int = 0,
+) -> tuple[np.ndarray, np.ndarray, dict, dict]:
+    """Quality-aware pileup: (counts, weights, insertions, ins_w).
+
+    ``counts`` is the integer coverage surviving the gates; ``weights``
+    sums each vote's correctness probability (module docstring);
+    ``ins_w`` mirrors ``insertions`` with weighted support.
+    """
+    positions, codes, w, insertions, ins_w = _expand_records(
+        records,
+        min_baseq=min_baseq,
+        min_mapq=min_mapq,
+        collect_weights=True,
+    )
+    if device:
+        import jax.numpy as jnp
+
+        counts, wsum = _scatter_device_w(
+            jnp.asarray(positions, jnp.int32),
+            jnp.asarray(codes, jnp.int32),
+            jnp.asarray(w, jnp.float32),
+            ref_len=ref_len,
+        )
+        counts, wsum = np.asarray(counts), np.asarray(wsum)
+        if counts[ref_len].any():
+            raise AssertionError(
+                "pileup positions outside the reference "
+                f"({int(counts[ref_len].sum())} bases)"
+            )
+        return counts[:ref_len], wsum[:ref_len], insertions, ins_w
+    counts = np.zeros((ref_len, 5), dtype=np.int32)
+    wsum = np.zeros((ref_len, 5), dtype=np.float32)
+    if len(positions):
+        if positions.min() < 0 or positions.max() >= ref_len:
+            raise AssertionError(
+                "pileup positions outside the reference"
+            )
+        np.add.at(counts, (positions, codes), 1)
+        np.add.at(wsum, (positions, codes), w)
+    return counts, wsum, insertions, ins_w
+
+
 def call_pileup(
     counts: np.ndarray,
     ref_seq: str,
     contig: str,
     min_depth: int = 8,
     min_frac: float = 0.7,
+    weights: np.ndarray | None = None,
 ) -> list[VariantCall]:
-    """Consensus calls from a pileup (vectorized scan, then merge)."""
+    """Consensus calls from a pileup (vectorized scan, then merge).
+
+    With ``weights`` (a :func:`pileup_q` weight matrix) the alt
+    selection and the ``min_frac`` gate run on weighted evidence; the
+    ``min_depth`` gate and the reported DP/AC stay integer coverage.
+    """
     L = len(ref_seq)
     ref_codes = _CODE[
         np.frombuffer(ref_seq.encode("latin-1"), dtype=np.uint8)
     ].astype(np.int32)
     depth = counts.sum(axis=1)
     # Mask the reference code's own votes, then take the best alt.
-    masked = counts.copy()
+    evidence = counts if weights is None else weights
+    masked = evidence.copy()
     rows = np.arange(L)
     valid_ref = ref_codes >= 0
     masked[rows[valid_ref], ref_codes[valid_ref]] = -1
     alt_code = masked.argmax(axis=1)
-    alt_count = masked[rows, alt_code]
+    alt_evidence = masked[rows, alt_code]
+    alt_count = counts[rows, alt_code]
+    ev_depth = evidence.sum(axis=1)
     callable_ = (
         (depth >= min_depth)
-        & (alt_count.astype(np.float64) >= min_frac * depth)
+        & (alt_evidence.astype(np.float64) >= min_frac * ev_depth)
         & (alt_count > 0)
         & valid_ref
     )
@@ -257,13 +432,16 @@ def call_pileup(
                 and calls[-1].pos + len(calls[-1].ref) - 1 == p
             ):
                 prev = calls[-1]
+                # DP/AC of a merged run report the WEAKEST position:
+                # max() would overstate support for a base that barely
+                # cleared min_frac (ADVICE r3).
                 calls[-1] = VariantCall(
                     contig,
                     prev.pos,
                     prev.ref + ref_seq[p],
                     "",
-                    max(prev.depth, int(depth[p])),
-                    max(prev.alt_count, int(alt_count[p])),
+                    min(prev.depth, int(depth[p])),
+                    min(prev.alt_count, int(alt_count[p])),
                 )
             else:
                 calls.append(
@@ -297,6 +475,8 @@ def call_insertions(
     contig: str,
     min_depth: int = 8,
     min_frac: float = 0.7,
+    ins_w: dict | None = None,
+    weights: np.ndarray | None = None,
 ) -> list[VariantCall]:
     """Consensus insertion calls from the pileup's insertion map.
 
@@ -311,9 +491,23 @@ def call_insertions(
     calls: list[VariantCall] = []
     for anchor in sorted(insertions):
         bucket = insertions[anchor]
-        ins, support = max(bucket.items(), key=lambda kv: (kv[1], kv[0]))
+        # With weighted evidence the majority string and the fraction
+        # gate use weighted support vs the anchor's weighted depth;
+        # min_depth and the reported DP/AC stay integer coverage.
+        wbucket = ins_w.get(anchor, {}) if ins_w is not None else None
+        if wbucket:
+            ins, ev_support = max(
+                wbucket.items(), key=lambda kv: (kv[1], kv[0])
+            )
+            ev_depth = float(weights[anchor].sum())
+        else:
+            ins, ev_support = max(
+                bucket.items(), key=lambda kv: (kv[1], kv[0])
+            )
+            ev_depth = float(counts[anchor].sum())
+        support = bucket[ins]
         depth = int(counts[anchor].sum())
-        if depth < min_depth or support < min_frac * depth:
+        if depth < min_depth or ev_support < min_frac * ev_depth:
             continue
         calls.append(
             VariantCall(
@@ -335,12 +529,18 @@ def call_reads(
     min_depth: int = 8,
     min_frac: float = 0.7,
     device_pileup: bool = True,
+    min_baseq: int = 0,
+    min_mapq: int = 0,
+    weighted: bool = False,
     **map_kw,
 ) -> tuple[list[VariantCall], dict[str, np.ndarray]]:
     """map -> pileup -> call. Returns (calls, per-contig pileups).
 
     ``map_kw`` flows to :func:`models.mapper.map_reads` (band,
-    min_seeds, engine, ...).
+    min_seeds, engine, ...). ``weighted`` (or a nonzero
+    ``min_baseq``/``min_mapq``) switches to the quality-aware path:
+    per-base/mapping gates, then Phred*MAPQ-weighted consensus
+    (:func:`pileup_q`).
     """
     from genomics_rs_tpu.models.mapper import map_reads
     from genomics_rs_tpu.models.reads import _sam_token, sam_records
@@ -363,18 +563,27 @@ def call_reads(
             by_contig.setdefault(rec["rname"], []).append(rec)
     calls: list[VariantCall] = []
     pileups: dict[str, np.ndarray] = {}
+    use_q = weighted or min_baseq > 0 or min_mapq > 0
     for rname in sorted(by_contig):
         seq = contig_seq[rname]
-        counts, insertions = pileup_full(
-            by_contig[rname], len(seq), device=device_pileup
-        )
+        if use_q:
+            counts, wsum, insertions, ins_w = pileup_q(
+                by_contig[rname], len(seq), device=device_pileup,
+                min_baseq=min_baseq, min_mapq=min_mapq,
+            )
+        else:
+            counts, insertions = pileup_full(
+                by_contig[rname], len(seq), device=device_pileup
+            )
+            wsum = ins_w = None
         pileups[rname] = counts
         contig_calls = call_pileup(
             counts, seq, rname,
-            min_depth=min_depth, min_frac=min_frac,
+            min_depth=min_depth, min_frac=min_frac, weights=wsum,
         ) + call_insertions(
             insertions, counts, seq, rname,
             min_depth=min_depth, min_frac=min_frac,
+            ins_w=ins_w, weights=wsum,
         )
         contig_calls.sort(key=lambda c: c.pos)
         calls.extend(contig_calls)

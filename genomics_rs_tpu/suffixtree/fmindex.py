@@ -37,14 +37,20 @@ import numpy as np
 from genomics_rs_tpu.ops.bwt_device import TERMINATOR, suffix_array
 
 
-@functools.partial(jax.jit, static_argnames=("A",))
+@functools.partial(jax.jit, static_argnames=("A", "wide"))
 def _search_batch_device(
     occ_flat: jax.Array,  # int32 ((n+1) * A,) row-major Occ
     cvec: jax.Array,  # int32 (A,) chars-below counts
     pats: jax.Array,  # int32 (B, Lp) codes, -1 pad (left), right-aligned
     n: jax.Array,  # int32 scalar: text length incl. terminator
     A: int,
+    wide: bool = False,
 ):
+    # ``wide``: (n+1)*A exceeds int32, so the flat gather index
+    # lo * A + c would wrap silently (wrong counts — ADVICE r3).
+    # Gather the 2-D Occ with (row, col) instead there; the row index
+    # alone always fits int32.
+    occ2d = occ_flat.reshape(-1, A) if wide else None
     B, Lp = pats.shape
     lo0 = jnp.zeros((B,), jnp.int32)
     hi0 = jnp.broadcast_to(n.astype(jnp.int32), (B,))
@@ -54,8 +60,12 @@ def _search_batch_device(
         valid = col >= 0
         c = jnp.where(valid, col, 0)
         base = cvec[c]
-        nlo = base + occ_flat[lo * A + c]
-        nhi = base + occ_flat[hi * A + c]
+        if wide:
+            nlo = base + occ2d[lo, c]
+            nhi = base + occ2d[hi, c]
+        else:
+            nlo = base + occ_flat[lo * A + c]
+            nhi = base + occ_flat[hi * A + c]
         lo = jnp.where(valid, nlo, lo)
         hi = jnp.where(valid, nhi, hi)
         return (lo, hi), None
@@ -69,9 +79,14 @@ def _search_batch_device(
     return lo, hi
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class FMIndex:
-    """Immutable FM-index over one text (terminator appended)."""
+    """Immutable FM-index over one text (terminator appended).
+
+    ``eq=False``: ndarray fields make the generated ``__eq__``
+    ambiguous (it would raise on comparison); indexes are
+    identity-compared.
+    """
 
     #: text bytes including the trailing terminator.
     text: bytes
@@ -94,14 +109,35 @@ class FMIndex:
     )
 
     @classmethod
-    def build(cls, text: str | bytes) -> "FMIndex":
+    def build(cls, text: str | bytes, host: bool | None = None) -> "FMIndex":
+        """Build the index.
+
+        ``host=None`` (default) uses the linear-time native SA-IS
+        (native/sais.cpp) when built — at chromosome scale it beats
+        the device prefix-doubling SA by ~2 orders of magnitude —
+        falling back to the device path. ``host=True`` requires the
+        native path, ``host=False`` forces the device path (the BWT
+        golden; both orders are bit-identical, pinned in tests).
+        """
         if isinstance(text, str):
             text = text.encode("latin-1")
         if bytes([TERMINATOR]) in text:
             raise ValueError(
                 "text must not contain the terminator byte '$'"
             )
-        sa = suffix_array(text)
+        sa = None
+        if host is None or host:
+            from genomics_rs_tpu.suffixtree.native import (
+                native_suffix_array,
+            )
+
+            sa = native_suffix_array(text + b"$")
+            if sa is None and host:
+                raise RuntimeError(
+                    "host=True but the native library is unavailable"
+                )
+        if sa is None:
+            sa = suffix_array(text)
         s = np.frombuffer(text + b"$", dtype=np.uint8)
         n = len(s)
         bwt = s[(sa - 1) % n]
@@ -241,12 +277,14 @@ class FMIndex:
                 jnp.asarray(self.cvec),
             )
         occ_flat, cvec = self._dev
+        A = len(self.alphabet)
         lo, hi = _search_batch_device(
             occ_flat,
             cvec,
             jnp.asarray(pats),
             jnp.int32(self.n),
-            A=len(self.alphabet),
+            A=A,
+            wide=(self.n + 1) * A >= 2**31,
         )
         lo, hi = np.asarray(lo), np.asarray(hi)
         out[keep] = np.maximum(hi.astype(np.int64) - lo, 0)
@@ -268,7 +306,7 @@ class FMIndex:
 SEPARATOR = 0x23
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class MultiFMIndex:
     """FM-index over a multi-contig reference (one joined text).
 
@@ -285,8 +323,9 @@ class MultiFMIndex:
     lengths: np.ndarray
 
     @classmethod
-    def build(cls, refs) -> "MultiFMIndex":
-        """``refs``: Sequence-likes with ``.name`` and ``.sequence``."""
+    def build(cls, refs, host: bool | None = None) -> "MultiFMIndex":
+        """``refs``: Sequence-likes with ``.name`` and ``.sequence``.
+        ``host`` as in :meth:`FMIndex.build`."""
         if not refs:
             raise ValueError("empty reference list")
         names, parts = [], []
@@ -301,7 +340,7 @@ class MultiFMIndex:
         lengths = np.array([len(p) for p in parts], dtype=np.int64)
         offsets = np.concatenate([[0], np.cumsum(lengths[:-1] + 1)])
         return cls(
-            index=FMIndex.build(joined),
+            index=FMIndex.build(joined, host=host),
             names=names,
             offsets=offsets,
             lengths=lengths,

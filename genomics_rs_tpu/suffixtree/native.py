@@ -114,12 +114,42 @@ def _load_library() -> ctypes.CDLL | None:
             ctypes.c_char,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.sais_u8.restype = ctypes.c_int
+        lib.sais_u8.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         _lib = lib
         return _lib
 
 
 def native_available() -> bool:
     return _load_library() is not None
+
+
+def native_suffix_array(text: bytes):
+    """Linear-time host suffix array (native/sais.cpp), or None when
+    the native library is unavailable.
+
+    Returns the int32 suffix array of ``text`` exactly as
+    ``ops.bwt_device.suffix_array`` orders it when ``text`` carries
+    its own trailing terminator (proper-prefix suffixes first) —
+    cross-checked in tests/test_fmindex.py.
+    """
+    lib = _load_library()
+    if lib is None:
+        return None
+    import numpy as np
+
+    n = len(text)
+    sa = np.empty(n, dtype=np.int32)
+    rc = lib.sais_u8(
+        text, n, sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    )
+    if rc != 0:
+        raise RuntimeError(f"sais_u8 failed (rc={rc})")
+    return sa
 
 
 class NativeSuffixTree:

@@ -291,3 +291,141 @@ def test_call_reads_multi_contig():
         ("chrB", m2 + 1, flip[ref2[m2]]),
     }
     assert set(pileups) == {"chrA", "chrB"}
+
+
+def test_leading_edge_insertion_dropped():
+    """An I run before any reference-consuming op anchors on a base
+    the read does not cover — its depth gate would be judged against
+    other reads' evidence only, so it is not recorded (ADVICE r3)."""
+    from genomics_rs_tpu.models.caller import pileup_full
+
+    recs = [
+        # Leading-edge insert: anchor (pos-2 = 1) is uncovered.
+        dict(mapped=True, pos=3, cigar="2I3M", seq="TTCGT", rname="c"),
+        # Same anchor, but mid-read: recorded.
+        dict(mapped=True, pos=2, cigar="1M2I3M", seq="ATTCGT", rname="c"),
+    ]
+    _, ins = pileup_full(recs, 6, device=False)
+    assert ins == {1: {"TT": 1}}
+
+
+def test_merged_deletion_reports_weakest_evidence():
+    """DP/AC of an adjacent-merged deletion run are the min across
+    the run, not the max (ADVICE r3)."""
+    ref = "ACGTT"
+    counts = np.zeros((5, 5), np.int32)
+    counts[:, :] = 0
+    # Position 1: strong deletion (30 deep, 29 del votes).
+    counts[1, 4] = 29
+    counts[1, 1] = 1
+    # Position 2: weak deletion (10 deep, 8 del votes).
+    counts[2, 4] = 8
+    counts[2, 2] = 2
+    calls = call_pileup(counts, ref, "c", min_depth=5, min_frac=0.7)
+    assert len(calls) == 1
+    c = calls[0]
+    assert c.is_deletion and (c.pos, c.ref) == (2, "CG")
+    assert (c.depth, c.alt_count) == (10, 8)
+
+
+# ---- quality-aware calling (round 4) ----
+
+
+def _q(chrs):
+    """Phred string from a list of quality values."""
+    return "".join(chr(33 + v) for v in chrs)
+
+
+def test_pileup_q_weights_and_gates():
+    from genomics_rs_tpu.models.caller import pileup_q
+
+    recs = [
+        # High-quality read (q40 everywhere), mapq 60.
+        dict(mapped=True, pos=1, cigar="4M", seq="ACGT",
+             qual=_q([40, 40, 40, 40]), mapq=60, rname="c"),
+        # Low-quality base at position 1 (q2 < min_baseq): dropped.
+        dict(mapped=True, pos=1, cigar="4M", seq="ATGT",
+             qual=_q([40, 2, 40, 40]), mapq=60, rname="c"),
+        # Whole read below min_mapq: dropped.
+        dict(mapped=True, pos=1, cigar="4M", seq="TTTT",
+             qual=_q([40, 40, 40, 40]), mapq=3, rname="c"),
+    ]
+    counts, wsum, ins, ins_w = pileup_q(
+        recs, 4, device=False, min_baseq=13, min_mapq=10
+    )
+    # Position 1: only read 1's 'C' survives.
+    assert counts[1].tolist() == [0, 1, 0, 0, 0]
+    # Every surviving vote weighs (1-1e-4) * (1-1e-6) ~ 0.9999.
+    assert counts.sum() == 7  # 4 + 3 (low-q base dropped)
+    assert wsum.sum() == pytest.approx(7 * 0.9999, rel=1e-3)
+    # Device scatter == host scatter.
+    counts_d, wsum_d, _, _ = pileup_q(
+        recs, 4, device=True, min_baseq=13, min_mapq=10
+    )
+    assert (counts == counts_d).all()
+    np.testing.assert_allclose(wsum, wsum_d, rtol=1e-6)
+
+
+def test_weighted_consensus_outvotes_low_quality():
+    """6 low-q reads voting T vs 4 high-q reads voting C at one
+    position: head-counting calls T, quality weighting calls C."""
+    from genomics_rs_tpu.models.caller import pileup_q
+
+    recs = []
+    for _ in range(6):
+        recs.append(
+            dict(mapped=True, pos=1, cigar="3M", seq="ATG",
+                 qual=_q([40, 3, 40]), mapq=60, rname="c")
+        )
+    for _ in range(4):
+        recs.append(
+            dict(mapped=True, pos=1, cigar="3M", seq="ACG",
+                 qual=_q([40, 40, 40]), mapq=60, rname="c")
+        )
+    ref = "AGG"  # position 1 ref G: both T and C are alt
+    counts, wsum, _, _ = pileup_q(recs, 3, device=False)
+    plain = call_pileup(counts, ref, "c", min_depth=5, min_frac=0.5)
+    weighted = call_pileup(
+        counts, ref, "c", min_depth=5, min_frac=0.5, weights=wsum
+    )
+    assert [c.alt for c in plain] == ["T"]
+    assert [c.alt for c in weighted] == ["C"]
+
+
+def test_weighted_insertions_use_weighted_support():
+    from genomics_rs_tpu.models.caller import call_insertions
+
+    counts = np.zeros((4, 5), np.int32)
+    counts[1, 0] = 10
+    weights = np.zeros((4, 5), np.float32)
+    weights[1, 0] = 4.0  # most coverage is low-quality
+    ins = {1: {"GG": 4}}
+    ins_w = {1: {"GG": 3.6}}  # high-quality insert support
+    # Head-count fraction 4/10 < 0.7 -> no call without weights.
+    assert not call_insertions(ins, counts, "AACG", "c", 5, 0.7)
+    # Weighted fraction 3.6/4.0 >= 0.7 -> called; AC stays integer.
+    calls = call_insertions(
+        ins, counts, "AACG", "c", 5, 0.7, ins_w=ins_w, weights=weights
+    )
+    assert len(calls) == 1 and calls[0].alt_count == 4
+
+
+def test_call_reads_weighted_end_to_end():
+    """FASTQ-style reads with one noisy position: weighted calling
+    recovers the planted SNP and rejects the noise position."""
+    flip = {"A": "G", "C": "T", "G": "A", "T": "C"}
+    ref = _random_ref(300, seed=5)
+    m = 150
+    reads = _tile_reads(ref, mutate={m: flip[ref[m]]})
+    # Attach qualities: q38 everywhere.
+    reads = [
+        Sequence(r.name, r.sequence, "".join(chr(33 + 38) for _ in r.sequence))
+        for r in reads
+    ]
+    calls, _ = call_reads(
+        reads, [Sequence("chrT", ref)], SCORES,
+        min_depth=5, min_frac=0.7, weighted=True, min_baseq=10,
+        engine="scan", min_seeds=2, k=15,
+    )
+    got = {(c.pos, c.alt) for c in calls}
+    assert got == {(m + 1, flip[ref[m]])}

@@ -259,3 +259,84 @@ def test_multi_contig_fuzz_vs_naive():
             got = set(idx.locate_range(rng_))
             assert got == want, (p, contigs)
             assert c == len(want)
+
+
+def test_index_equality_is_identity():
+    """ndarray fields would make a generated __eq__ raise; the
+    dataclasses opt out (eq=False, ADVICE r3)."""
+    idx = FMIndex.build("ACGTACGT")
+    idx2 = FMIndex.build("ACGTACGT")
+    assert idx == idx and idx != idx2  # identity, no ValueError
+
+
+def test_wide_gather_matches_narrow():
+    """The wide (2-D Occ gather) search path is bit-identical to the
+    flat-index path on the same index (guards the (n+1)*A >= 2**31
+    overflow fix, ADVICE r3)."""
+    import jax.numpy as jnp
+
+    from genomics_rs_tpu.suffixtree.fmindex import _search_batch_device
+
+    idx = FMIndex.build("GATTACAGATTACACATTAG")
+    A = len(idx.alphabet)
+    occ_flat = jnp.asarray(idx.occ.reshape(-1))
+    cvec = jnp.asarray(idx.cvec)
+    pats = np.full((3, 4), -1, dtype=np.int32)
+    for row, p in enumerate([b"TTA", b"GATT", b"CA"]):
+        codes = idx.code[np.frombuffer(p, np.uint8)]
+        pats[row, 4 - len(p):] = codes
+    args = (occ_flat, cvec, jnp.asarray(pats), jnp.int32(idx.n))
+    lo_n, hi_n = _search_batch_device(*args, A=A, wide=False)
+    lo_w, hi_w = _search_batch_device(*args, A=A, wide=True)
+    assert (np.asarray(lo_n) == np.asarray(lo_w)).all()
+    assert (np.asarray(hi_n) == np.asarray(hi_w)).all()
+    # Ground truth by direct scan of the text.
+    text = "GATTACAGATTACACATTAG"
+    want = [
+        sum(
+            text[s : s + len(p)] == p
+            for s in range(len(text) - len(p) + 1)
+        )
+        for p in ("TTA", "GATT", "CA")
+    ]
+    assert (np.asarray(hi_n) - np.asarray(lo_n)).tolist() == want
+
+
+def test_native_sais_matches_device_sa():
+    """native/sais.cpp orders suffixes bit-identically to the device
+    prefix-doubling SA (ops/bwt_device.suffix_array) — including on a
+    multi-contig join whose separator byte sorts below the
+    terminator."""
+    from genomics_rs_tpu.ops.bwt_device import suffix_array
+    from genomics_rs_tpu.suffixtree.native import native_suffix_array
+
+    rng = np.random.default_rng(7)
+    texts = [
+        "GATTACA",
+        "A",
+        "AAAAAAAA",
+        "ACGT" * 50,
+        "".join(rng.choice(list("ACGT"), 997)),
+        # multi-contig shape: '#' (0x23) below '$' (0x24)
+        "ACGTT" + chr(0x23) + "GGTAC" + chr(0x23) + "ACG",
+    ]
+    for text in texts:
+        host = native_suffix_array(text.encode("latin-1") + b"$")
+        if host is None:
+            pytest.skip("native library unavailable")
+        dev = suffix_array(text)
+        assert host.tolist() == dev.tolist(), text
+
+
+def test_fmindex_host_and_device_builds_identical():
+    from genomics_rs_tpu.suffixtree.native import native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    text = "".join(rng.choice(list("ACGT"), 1500))
+    a = FMIndex.build(text, host=True)
+    b = FMIndex.build(text, host=False)
+    assert a.sa.tolist() == b.sa.tolist()
+    assert a.bwt == b.bwt
+    assert (a.occ == b.occ).all() and (a.cvec == b.cvec).all()
