@@ -534,15 +534,17 @@ def run_full() -> dict:
             "cells_per_s": (len(ch) + 1.0) ** 2 / dt_warm,
         }
 
-        # --- chr12 x chr12 FULL alignment (hierarchical traceback) --
-        # 1.16e12 cells with a full bit-exact traceback via two-level
-        # checkpointing (models/longalign._walk_span): the coarse
-        # forward checkpoints ~98k-row blocks, crossed blocks are
-        # re-checkpointed at 16k rows, and only 16k-row dirs bitmaps
-        # ever materialize (a monolithic bitmap would be ~290 GB).
-        # The reference cannot run ANY pair this size (48 B/cell =
-        # ~56 TB). One timed call through the public aligner routing;
-        # compiles come from the persistent cache after the first run.
+        # --- chr12 x chr12 FULL alignment (windowed traceback) ------
+        # 1.16e12 cells with a full bit-exact traceback via the
+        # round-4 windowed scheme (models/longalign): the forward
+        # checkpoints 32k-row block tops AND stride-32k columns, the
+        # backward refills only ~32-64k-column windows around the
+        # walked path (a monolithic bitmap would be ~290 GB; a
+        # full-width refill pass ~0.6e12 cells — the windows are
+        # ~5% of that). The reference cannot run ANY pair this size
+        # (48 B/cell = ~56 TB). One timed call through the public
+        # aligner routing; compiles come from the persistent cache
+        # after the first run.
         from genomics_rs_tpu.models.aligner import PairwiseAligner
 
         t0 = time.perf_counter()
@@ -1130,10 +1132,12 @@ def run_smoke() -> int:
             if not ok:
                 failures.append(("sharded_batch", loc, i, g, w))
 
-    # Hierarchical checkpointed traceback (two checkpoint levels,
-    # compiled rowblock fills + device walks) vs the monolithic
-    # pallas aligner on the same pair — path, stats and score must be
-    # bit-identical (the chr12 full-alignment path in miniature).
+    # Windowed checkpointed traceback (stride-V column checkpoints,
+    # compiled rowblock fills + left-exit device walks) vs the
+    # monolithic pallas aligner on the same pair — path, stats and
+    # score must be bit-identical (the chr12 full-alignment path in
+    # miniature; block_rows=1023 puts the walk into jc>0 windows
+    # whenever the pair is wider than 2048).
     from genomics_rs_tpu.models.aligner import PairwiseAligner
     from genomics_rs_tpu.models.longalign import align_checkpointed
 
@@ -1141,9 +1145,9 @@ def run_smoke() -> int:
         want_h = PairwiseAligner(scores, is_local=loc).align(sa, sb)
         got_h = _retry(
             lambda loc=loc: align_checkpointed(
-                sa, sb, scores, is_local=loc, block_rows=128, l2_rows=32
+                sa, sb, scores, is_local=loc, block_rows=1023
             ),
-            label="smoke hier",
+            label="smoke windowed",
         )
         ok = (
             got_h.alignment == want_h.alignment
@@ -1167,6 +1171,33 @@ def run_smoke() -> int:
         )
         if not ok:
             failures.append(("hier_traceback", loc, 0, None, None))
+
+    # Windowed backward with jc > 0 on hardware: a 2100 x 2600 pair
+    # at block_rows=1023 (V=1024) forces captured-column left
+    # boundaries and (for the deletion-heavy pair below) a LEFT
+    # window exit — compiled, against the monolithic aligner.
+    rng_w = np.random.default_rng(41)
+    aw = "".join(rng_w.choice(list("ACGT"), 2100))
+    bw = aw[:1000] + "".join(rng_w.choice(list("ACGT"), 500)) + aw[1000:]
+    for loc in (False, True):
+        sw1, sw2 = Sequence("wa", aw), Sequence("wb", bw)
+        want_w = PairwiseAligner(scores, is_local=loc).align(sw1, sw2)
+        got_w = _retry(
+            lambda loc=loc: align_checkpointed(
+                sw1, sw2, scores, is_local=loc, block_rows=1023
+            ),
+            label="smoke windowed jc>0",
+        )
+        ok = (
+            got_w.alignment == want_w.alignment
+            and got_w.score == want_w.score
+        )
+        print(
+            f"[smoke] windowed_traceback local={loc}: "
+            f"{'ok' if ok else 'MISMATCH vs monolithic aligner'}"
+        )
+        if not ok:
+            failures.append(("windowed_traceback", loc, 0, None, None))
 
     # Banded global alignment (compiled): with band >= n the band
     # covers the whole matrix and the output must be bit-identical to

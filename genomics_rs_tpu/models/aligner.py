@@ -124,75 +124,23 @@ class PairwiseAligner:
         if self.engine == "pallas" and est_dirs > self.DIRS_BYTE_BUDGET:
             from genomics_rs_tpu.models.longalign import align_checkpointed
 
-            # A backward-pass block refill materialises
-            # (R + Ln + 1) * roundup(R+1, 1024) / 4 packed-dirs
-            # bytes — pick the largest R that keeps one refill under
-            # ~2 GB HBM. The row-only decomposition can never go below
-            # ~Ln * 1024 / 4 bytes per refill, so extremely long
-            # second sequences need the sequence-parallel/score-only
-            # paths instead.
-            refill_cap = 2 << 30
-            hard_cap = 8 << 30
-            block_rows = None
-            # R+1 a multiple of 1024: the checkpointed forward's lean
-            # row-block kernel then wastes no lanes.
-            for r in (8191, 4095, 2047, 1023):
-                if (r + Ln + 1) * round_up(r + 1, 1024) // 4 <= refill_cap:
-                    block_rows = r
-                    break
-            if block_rows is None:
-                min_bytes = (1024 + Ln) * 1024 // 4
-                if min_bytes <= hard_cap:
-                    block_rows = 1023
-                else:
-                    raise MemoryError(
-                        f"align {m}x{n}: a traceback block refill needs "
-                        f">= {min_bytes / 2**30:.1f} GB; use "
-                        "score_long()/sharded scoring, or local-align "
-                        "a region"
-                    )
-            # Chromosome-scale pairs go HIERARCHICAL: the forward
-            # wavefront runs NB * (R + n) diagonal steps, so at
-            # R=8191 a 1 Mb pair pays ~132x its n in pure ramp — a
-            # ~96k-row coarse level amortizes that, and crossed
-            # blocks are re-checkpointed down to ``l2_rows`` before
-            # any dirs bitmap materializes (longalign._walk_span).
-            # The leaf blocks can be TALLER than the flat path's: a
-            # refill is transient (~4.5 GB cap, x2 live with the
-            # walk's prefetch) and the backward pass runs
-            # ~2 * (m / l2) * (l2 + j_avg) diagonal steps, so bigger
-            # leaves directly cut the Bt-dominated step count —
-            # chr12 x chr12 warm measured 41 s at l2=16383 vs ~75 s
-            # at l2=8191 (the whole-alignment cells/s bench row).
-            from genomics_rs_tpu.models.longalign import (
-                REFILL_BYTES_CAP,
+            # Round-4 windowed backward: a refill materialises at most
+            # (R + 2V + 1) * V / 4 packed-dirs bytes REGARDLESS of n
+            # (the window is bounded by the capture stride V = R+1
+            # rounded to 1024), so the block height no longer depends
+            # on Ln. 32767 is the measured v5e sweet spot between
+            # per-step lane throughput (rises with V) and total
+            # diagonal-step count (falls with V); shorter pairs
+            # shrink to the minimal lane vector.
+            block_rows = min(
+                32767, max(round_up(m + 1, 1024) - 1, 1023)
             )
-
-            l2_rows = None
-            if m > self.HIER_ROWS_MIN:
-                for r in (16383, 8191, 4095, 2047, 1023):
-                    if (
-                        (r + Ln + 1) * round_up(r + 1, 1024) // 4
-                        <= REFILL_BYTES_CAP
-                    ):
-                        l2_rows = r
-                        break
-            if l2_rows is not None:
-                # Coarse blocks near the ~96k sweet spot, but sized
-                # from the ACTUAL row count so a pair just over the
-                # threshold doesn't pad up to a full extra block
-                # (m = 196609 with a fixed 98298 coarse level would
-                # fill ~98k pure-padding rows).
-                n_blocks = -(-m // 98292)
-                per_block = -(-m // (n_blocks * l2_rows))
-                block_rows = l2_rows * per_block
             log.info(
-                "align: %dx%d exceeds dirs budget -> checkpointed path "
-                "(block_rows=%d, l2_rows=%s)",
+                "align: %dx%d exceeds dirs budget -> windowed "
+                "checkpointed path (block_rows=%d)",
                 m,
                 n,
                 block_rows,
-                l2_rows,
             )
             return align_checkpointed(
                 seq1,
@@ -201,7 +149,6 @@ class PairwiseAligner:
                 is_local=self.is_local,
                 block_rows=block_rows,
                 interpret=self.interpret,
-                l2_rows=l2_rows,
             )
 
         s1e = seq1.encoded(pad_to=Lm, pad_value=PAD_S1)
@@ -282,12 +229,6 @@ class PairwiseAligner:
     #: Above this many rows the monolithic wavefront state no longer
     #: fits VMEM — score via rolling row blocks instead.
     SCORE_ROWS_LIMIT = 131072
-
-    #: Above this many rows a checkpointed traceback goes hierarchical
-    #: (two checkpoint levels, ~96k-row coarse blocks): the flat
-    #: backward's forward pass at refill-sized blocks would be
-    #: wavefront-ramp bound (NB * n extra diagonal steps).
-    HIER_ROWS_MIN = 196608
 
     def score_only(self, seq1: Sequence, seq2: Sequence) -> int:
         """Alignment score without traceback (no direction bitmap at

@@ -5,27 +5,32 @@ The reference materialises 48 B/cell (SURVEY §2.4-9: ~43 GB for one
 60 kb pairs in one chip's HBM. This driver removes the ceiling:
 
 1. **Forward pass** — the table is filled as full-width row blocks of
-   ``block_rows`` rows through the streamed-boundary Pallas tile
-   kernel (score-only + bottom-row emission); only each block's input
-   top row is checkpointed (O((m/R) * n) int32).
+   ``block_rows`` rows through the lean row-block Pallas kernel;
+   each block's input top row is checkpointed (O((m/R) * n) int32),
+   and — round 4 — so is every COLUMN at stride V (the kernel's lane
+   count; ``emit_cols``, one compare + three selects per step).
 2. **Backward pass** — walking from the end cell, each crossed block
-   is *refilled* with its 2-bit direction bitmap (O(R * n) transient,
-   device-resident) and the path is chased on device
-   (``ops/traceback_device.device_walk``); only O(m+n) move codes ever
-   reach the host.
+   is refilled over a narrow column WINDOW ending at the walk's entry
+   column (left boundary = the nearest captured column at least V to
+   the left; top boundary = the checkpointed row sliced to the
+   window), its 2-bit direction bitmap is chased on device
+   (``ops/traceback_device.device_walk`` with a left-exit guard), and
+   only O(m+n) move codes ever reach the host. A walk that consumes
+   more than the window's columns (a long horizontal run) exits LEFT
+   and resumes in a window one stride wider — exactness never
+   depends on the window guess.
 
-Because every block refill injects the exact checkpointed boundary
+Because every window refill injects exact checkpointed boundary
 values, the per-cell direction codes — and therefore the traceback
 path, tie-breaks and stats — are bit-identical to a monolithic fill
 (verified against ``PairwiseAligner`` in tests/test_longalign.py).
 
-At chromosome scale the scheme goes HIERARCHICAL (``l2_rows``): the
-forward pass checkpoints ~96k-row blocks (throughput-optimal for the
-wavefront), and the backward pass re-checkpoints each crossed block
-at ~16k rows from its stored boundary before materializing any
-direction bitmap — so a chr12 x chr12 alignment (1.16e12 cells, whose
-monolithic bitmap would be ~290 GB) keeps a full bit-exact traceback
-with at most a ~4.5 GB transient: 41 s warm on one v5e chip.
+This replaces round 3's two-level re-checkpointing hierarchy: the
+windowed backward refills O(m * V) cells instead of O(m * n / 2)
+TWICE (nested score pass + full-width dirs refills), so a chr12 x
+chr12 alignment (1.16e12 cells, whose monolithic bitmap would be
+~290 GB) now spends its time almost entirely in the single forward
+pass, with a bounded ~0.8 GB dirs transient per window.
 """
 
 from __future__ import annotations
@@ -53,11 +58,9 @@ from genomics_rs_tpu.sequence import PAD_S1, PAD_S2, Sequence, round_up
 
 log = logging.getLogger(__name__)
 
-#: Largest single backward-pass dirs refill, bytes. Shared invariant:
-#: the aligner picks hierarchical leaf heights so one refill fits
-#: this budget, and the leaf walk prefetches (two live refills) only
-#: under the same cap — 2 x 4.5 GB measured safe in 16 GB HBM at
-#: chr12 width, 2 x 9.1 GB (l2=32767) OOMs.
+#: Largest single backward-pass dirs refill, bytes. The windowed
+#: backward bounds a refill at (R + 2V + 1) * V / 4 packed-dirs bytes
+#: by construction; this cap only gates the block-height choice.
 REFILL_BYTES_CAP = (9 << 30) // 2
 
 
@@ -74,6 +77,7 @@ def _forward_blocks(
     interpret: bool,
     keep_tops: bool,
     lean: bool = False,
+    keep_cols: bool = False,
 ):
     """Shared forward pass over full-width row blocks.
 
@@ -81,10 +85,11 @@ def _forward_blocks(
     kernel is a primitive inside the scan body), so a pair costs a
     single dispatch regardless of block count — dispatch latency
     through remote tunnels would otherwise dominate the pipeline.
-    Returns (tops (NB, 3, n+1) | None, best (v, i, j), at_mn).
+    Returns (tops (NB, 3, n+1) | None, cols (NB, NC, 3, V) | None,
+    best (v, i, j), at_mn).
     """
     Ln = s2e.shape[0]
-    tops, best_dev, at_mn_dev = _fwd_jit(
+    tops, cols, best_dev, at_mn_dev = _fwd_jit(
         s1e,
         s2e,
         np.int32(m),
@@ -98,19 +103,28 @@ def _forward_blocks(
         loc=is_local,
         interp=interpret,
         lean=lean,
+        keep_cols=keep_cols,
     )
     best = (
         tuple(int(x) for x in best_dev) if is_local else (INT_MIN, 0, 0)
     )
-    return (tops if keep_tops else None), best, int(at_mn_dev)
+    return (
+        (tops if keep_tops else None),
+        (cols if keep_cols else None),
+        best,
+        int(at_mn_dev),
+    )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("NB", "R", "keep", "loc", "interp", "lean")
+    jax.jit,
+    static_argnames=(
+        "NB", "R", "keep", "loc", "interp", "lean", "keep_cols"
+    ),
 )
 def _fwd_jit(
     s1e, s2e, m, n, scores, top0, i_base, NB, R, keep, loc, interp,
-    lean=False,
+    lean=False, keep_cols=False,
 ):
     """Module-level jit so the scan+kernel program compiles once per
     shape bucket, not per call (the closure version re-keyed the jit
@@ -121,11 +135,14 @@ def _fwd_jit(
     kernel — identical results (pinned by tests), preferred for
     score-only passes with big blocks (``score_long``).
 
+    ``keep_cols`` (lean only) also checkpoints every stride-V column
+    of every block (the windowed backward's left boundaries).
+
     ``top0`` is the I/S/D boundary of row ``i_base`` over columns
-    0..len(s2e) — the global row-0 boundary for a whole-pair pass, a
-    checkpointed row for a nested pass inside a parent block (the
-    hierarchical backward, :func:`_walk_span`).
+    0..len(s2e).
     """
+    if keep_cols and not lean:
+        raise ValueError("keep_cols requires the lean kernel")
     s1_blocks = s1e.reshape(NB, R)
 
     def body(top, xs):
@@ -134,6 +151,7 @@ def _fwd_jit(
         if lean:
             res = gotoh_rowblock_pallas(
                 s1_blk, s2e, top, m, n, i0, scores, loc,
+                emit_cols=keep_cols,
                 interpret=interp,
             )
         else:
@@ -155,12 +173,13 @@ def _fwd_jit(
             )
         ys = (
             top if keep else jnp.int32(0),
+            res.cols if keep_cols else jnp.int32(0),
             jnp.stack(res.best),
             res.score_at_mn,
         )
         return res.bottom, ys
 
-    _, (tops, bests, at_mns) = jax.lax.scan(
+    _, (tops, cols, bests, at_mns) = jax.lax.scan(
         body,
         jnp.asarray(top0, jnp.int32),
         (s1_blocks, jnp.arange(NB, dtype=jnp.int32)),
@@ -171,7 +190,7 @@ def _fwd_jit(
     vmax = jnp.max(v)
     i_best = jnp.max(jnp.where(v == vmax, bi, -1))
     j_best = jnp.max(jnp.where((v == vmax) & (bi == i_best), bj, -1))
-    return tops, (vmax, i_best, j_best), at_mn
+    return tops, cols, (vmax, i_best, j_best), at_mn
 
 
 def score_long(
@@ -205,7 +224,7 @@ def score_long(
     s2e = seq2.encoded(pad_to=Ln, pad_value=PAD_S2)
 
     t0 = time.perf_counter()
-    _, best, at_mn = _forward_blocks(
+    _, _, best, at_mn = _forward_blocks(
         s1e, s2e, m, n, R, NB, scores, is_local, interpret,
         keep_tops=False, lean=True,
     )
@@ -225,12 +244,12 @@ def score_long(
     return at_mn, m, n
 
 
-def _walk_span(
-    s1e_span,
-    s2e_span,
+def _walk_span_windowed(
+    s1e,
+    s2e,
     tops,
+    cols,
     R: int,
-    i_base: int,
     m: int,
     n: int,
     scores: Scores,
@@ -238,157 +257,83 @@ def _walk_span(
     interpret: bool,
     i: int,
     j: int,
-    l2_rows: int | None = None,
 ):
-    """Walk the traceback upward through a span of checkpointed blocks.
+    """Walk the traceback upward through windowed block refills.
 
-    The span covers global rows ``[i_base, i_base + NB*R]`` as ``NB``
-    blocks of ``R`` rows; ``tops[b]`` is the checkpointed I/S/D
-    boundary of row ``i_base + b*R`` over columns ``0..len(s2e_span)``
-    and ``s1e_span`` holds the span's ``NB*R`` encoded rows. The walk
-    enters at global ``(i, j)`` and returns ``(codes, i, j, done)``
-    with the move codes in walk order; ``done=False`` means the path
-    exited the span above ``i_base`` (and continues in the caller's
-    block above).
-
-    With ``l2_rows=None`` each crossed block is refilled with its
-    packed 2-bit direction bitmap and chased on device. With
-    ``l2_rows`` set (the hierarchical backward; ``R % l2_rows == 0``),
-    a crossed block is instead *re-checkpointed*: a nested forward
-    pass over ``l2_rows``-row sub-blocks (column-truncated to the
-    entry column) rebuilds that block's interior boundaries from
-    ``tops[b]``, and the walk recurses one level down — so the dirs
-    bitmaps only ever materialize at ``l2_rows`` granularity. That is
-    what lets chromosome-scale pairs keep full bit-exact tracebacks:
-    a chr12-height block's own bitmap would be tens of GB, a
-    sub-block's is ~1-2 GB transient.
-
-    Two latency optimizations in the leaf level (see the refill loop):
-
-    * COLUMN TRUNCATION — the walk enters a block at column ``j`` and
-      only ever moves left, so cells right of ``j`` are never read:
-      refill just columns [0, Bt] with ``Bt >= j``, quantized to
-      quarter-width buckets to bound compiled kernel variants.
-    * PREFETCH — a global walk always exits into the block above, and
-      its exit column can't exceed its entry column, so the next
-      block's refill is enqueued (JAX async dispatch) BEFORE the
-      walk's host sync: one device round-trip per block instead of
-      two. (A local walk may stop in ANY block, where a prefetched
-      whole-block fill would be discarded — locals refill after the
-      walk instead.)
+    ``tops[b]`` is the checkpointed I/S/D of row ``b*R`` over columns
+    0..Ln; ``cols[b, c]`` the captured I/S/D of column ``c*V`` over
+    the block's lanes (V = the kernel lane count for ``R``). For each
+    crossed block the refill covers only columns ``[jc, j]`` where
+    ``jc`` is the nearest captured column at least V left of the
+    entry column ``j`` — the walk has >= V columns of room, and a
+    rare longer horizontal run exits LEFT and resumes one stride
+    wider. Returns the move codes in walk order.
     """
     codes: list[np.ndarray] = []
-    done = i == 0 and j == 0
-    if done:
-        return codes, i, j, True
-    Ln = s2e_span.shape[0]
-    quantum = max(round_up(-(-Ln // 4), 128), 128)
-    blk = max(0, (i - 1 - i_base) // R)
-
-    if l2_rows is not None:
-        if R % l2_rows:
-            raise ValueError(
-                f"hierarchical walk needs block_rows ({R}) to be a "
-                f"multiple of l2_rows ({l2_rows})"
-            )
-        NB2 = R // l2_rows
-        while not done:
-            i0 = i_base + blk * R
-            r0 = blk * R
-            s1_blk = s1e_span[r0 : r0 + R]
-            # Nested forward from the checkpointed row i0, truncated
-            # right of the entry column (cells there are never read:
-            # DP dependencies only flow rightward).
-            Bt = min(Ln, round_up(max(j, 1), quantum))
-            sub_tops, _, _ = _fwd_jit(
-                s1_blk,
-                s2e_span[:Bt],
-                np.int32(m),
-                np.int32(n),
-                scores,
-                tops[blk][:, : Bt + 1],
-                np.int32(i0),
-                NB=NB2,
-                R=l2_rows,
-                keep=True,
-                loc=is_local,
-                interp=interpret,
-                lean=True,
-            )
-            sub_codes, i, j, done = _walk_span(
-                s1_blk,
-                s2e_span[:Bt],
-                sub_tops,
-                l2_rows,
-                i0,
-                m,
-                n,
-                scores,
-                is_local,
-                interpret,
-                i,
-                j,
-            )
-            codes.extend(sub_codes)
-            if not done:
-                if blk == 0:
-                    return codes, i, j, False
-                blk -= 1
-        return codes, i, j, True
-
-    max_steps = R + Ln + 1
-    # Prefetching keeps TWO dirs bitmaps live; past ~4.5 GB each the
-    # pair would crowd out the 16 GB HBM, so walk unprefetched (the
-    # hidden latency is one host round-trip per block — noise next to
-    # a multi-GB refill; chr12-width leaves sit just under the gate
-    # and measured fine with both buffers live). Locals never
-    # prefetch: they may stop in ANY block, discarding the
-    # speculative fill.
-    refill_bytes = (R + Ln + 1) * round_up(R + 1, 1024) // 4
-    prefetch_ok = (not is_local) and refill_bytes <= REFILL_BYTES_CAP
-
-    def refill(b: int, jcap: int):
-        i0 = i_base + b * R
-        r0 = b * R
-        Bt = min(Ln, round_up(max(jcap, 1), quantum))
+    if i == 0 and j == 0:
+        return codes
+    Ln = s2e.shape[0]
+    V = max(round_up(R + 1, 1024), 1024)
+    blk = max(0, (i - 1) // R)
+    max_steps = R + 2 * V + 1
+    while True:
+        i0 = blk * R
+        # Window floor: >= V columns of walking room below the entry
+        # column (j // V - 1 strides), clamped at the true left edge.
+        jc = max(0, (j // V - 1) * V)
+        # Width quantized to V so length-neighbouring windows share
+        # the compiled kernel (at most ~3 variants per pair shape).
+        Bt = min(Ln - jc, round_up(max(j - jc, 1), V))
+        left = None
+        if jc > 0:
+            left = cols[blk, jc // V, :, 1 : R + 1]
         res = gotoh_rowblock_pallas(
-            s1e_span[r0 : r0 + R],
-            s2e_span[:Bt],
-            tops[b][:, : Bt + 1],
+            s1e[i0 : i0 + R],
+            s2e[jc : jc + Bt],
+            tops[blk][:, jc : jc + Bt + 1],
             np.int32(m),
-            np.int32(n),
+            np.int32(Bt),
             np.int32(i0),
             scores,
             is_local,
             emit_dirs=True,
             emit_bottom=False,
+            left=left,
             interpret=interpret,
         )
-        return res, i0
-
-    res, i0 = refill(blk, j)
-    while not done:
-        if blk > 0 and prefetch_ok:
-            nxt = refill(blk - 1, j)
-        blk_codes, i_f, j_f, done_f = device_walk(
+        blk_codes, i_f, j_f, done = device_walk(
             res.dirs,
             np.int32(i - i0),
-            np.int32(j),
+            np.int32(j - jc),
             np.int32(i0),
             max_steps=max_steps,
             interpret=interpret,
+            j0=jc,
         )
         codes.append(blk_codes)
-        i, j, done = int(i_f), int(j_f), bool(done_f)
-        # device_walk only returns on terminate/exit (it resumes a
-        # filled buffer internally and raises on zero progress), so
-        # the remaining failure mode is exiting past the first block.
-        if not done and blk == 0:
-            return codes, i, j, False
-        if not done:
-            res, i0 = nxt if prefetch_ok else refill(blk - 1, j)
+        i, j_local, done = int(i_f), int(j_f), bool(done)
+        j = j_local + jc
+        if done:
+            return codes
+        if i < i0:
+            if blk == 0:
+                raise RuntimeError(
+                    f"traceback left block 0 at ({i}, {j}) without "
+                    "terminating"
+                )
             blk -= 1
-    return codes, i, j, True
+        elif j_local == 0:
+            # Left exit: same block, resume in a window one stride
+            # wider (the loop recomputes jc from the new j).
+            if jc == 0:
+                raise RuntimeError(
+                    f"traceback hit the left edge at ({i}, {j}) "
+                    "without terminating"
+                )
+        else:
+            raise RuntimeError(
+                f"traceback stalled at ({i}, {j}) in block {blk}"
+            )
 
 
 def align_checkpointed(
@@ -396,37 +341,20 @@ def align_checkpointed(
     seq2: Sequence,
     scores: Scores,
     is_local: bool = False,
-    block_rows: int = 8191,
+    block_rows: int = 32767,
     interpret: bool = False,
-    l2_rows: int | None = None,
 ) -> AlignedSequences:
-    """Full global/local alignment with O((m/R + R) * n) device memory.
+    """Full global/local alignment with O((m/R + R) * V) device memory.
 
     Both passes use the lean row-block kernel (``ops/gotoh_rowblock``,
     same results as the tile kernel — pinned by tests): the forward
     pass emits each block's bottom row as the next block's top
-    boundary, and the backward pass refills crossed blocks with packed
-    dirs (no bottom) and walks them on device. Size ``block_rows`` so
-    R+1 is a multiple of 1024 (the lean kernel's lane vector covers
-    R+1 rows rounded up to 1024).
-
-    ``l2_rows`` enables the HIERARCHICAL backward (two checkpoint
-    levels) for chromosome-scale pairs: ``block_rows`` becomes the
-    coarse level (sized for forward-pass throughput — the wavefront
-    runs ``NB * (R + n)`` diagonal steps, so tall blocks amortize the
-    per-block ``n``; ~96k rows is the measured chr12 sweet spot) and
-    crossed blocks are re-checkpointed at ``l2_rows`` granularity
-    before their dirs bitmaps materialize (``_walk_span``). Requires
-    ``block_rows % l2_rows == 0``; size both so each +1 is a multiple
-    of 1024 (e.g. 12*8191 + 11 = 98303 wastes lanes — use 98292).
+    boundary and checkpoints stride-V columns (``emit_cols``), and
+    the backward pass refills narrow column windows with packed dirs
+    and walks them on device (module docstring). Size ``block_rows``
+    so R+1 is a multiple of 1024 (the lean kernel's lane vector
+    covers R+1 rows rounded up to 1024).
     """
-    if l2_rows is not None and block_rows % l2_rows:
-        # Checked again in _walk_span; failing here saves the whole
-        # forward pass (the precondition needs only the arguments).
-        raise ValueError(
-            f"hierarchical walk needs block_rows ({block_rows}) to be "
-            f"a multiple of l2_rows ({l2_rows})"
-        )
     m, n = len(seq1), len(seq2)
     R = block_rows
     Lm = max(round_up(m, R), R)
@@ -435,11 +363,11 @@ def align_checkpointed(
     s1e = seq1.encoded(pad_to=Lm, pad_value=PAD_S1)
     s2e = seq2.encoded(pad_to=Ln, pad_value=PAD_S2)
 
-    # ---- forward: fill blocks, checkpoint each block's top row ----
+    # ---- forward: fill blocks, checkpoint top rows + stride-V cols --
     t0 = time.perf_counter()
-    tops, best, at_mn = _forward_blocks(
+    tops, cols, best, at_mn = _forward_blocks(
         s1e, s2e, m, n, R, NB, scores, is_local, interpret,
-        keep_tops=True, lean=True,
+        keep_tops=True, lean=True, keep_cols=True,
     )
     t_fwd = time.perf_counter() - t0
 
@@ -448,16 +376,14 @@ def align_checkpointed(
     else:
         score, start_i, start_j = at_mn, m, n
 
-    # ---- backward: refill crossed blocks with dirs, walk on device ----
-    # (column truncation / prefetch / hierarchical re-checkpointing:
-    # see _walk_span.)
+    # ---- backward: windowed dirs refills, walk on device ----
     t0 = time.perf_counter()
-    codes, i, j, done = _walk_span(
+    codes = _walk_span_windowed(
         s1e,
         s2e,
         tops,
+        cols,
         R,
-        0,
         m,
         n,
         scores,
@@ -465,12 +391,7 @@ def align_checkpointed(
         interpret,
         start_i,
         start_j,
-        l2_rows=l2_rows,
     )
-    if not done:
-        raise RuntimeError(
-            f"traceback left block 0 at ({i}, {j}) without terminating"
-        )
     t_bwd = time.perf_counter() - t0
     log.info(
         "[LongAlign] %dx%d in %d blocks of %d rows: forward %.2fs, "

@@ -12,13 +12,21 @@ into a proper MSA the TPU way:
    2-approximation pivot, argmax instead of argmin because these are
    similarity scores).
 2. **Star alignments** — every other sequence is globally aligned to
-   the center with the routed pairwise aligner (Pallas fill + device
-   walk; long pairs fall onto the checkpointed path automatically).
-3. **Merge** — "once a gap, always a gap": each pairwise alignment's
-   gapped center is merged into the running master center; every gap
-   inserted into the master is re-broadcast into previously merged
-   rows, so each row's projection against the center reproduces its
-   pairwise alignment exactly (pinned by ``tests/test_msa.py``).
+   the center. On the pallas engine the K-1 fills dispatch
+   back-to-back (async, shared compiled shape) and ALL their packed
+   direction bitmaps are walked in ONE lockstep device dispatch
+   (``ops/traceback_batch.walk_batch``, layout "diag16") — round 4's
+   batching of what used to be K-1 sequential fill+walk round trips.
+   Long pairs fall back to the routed pairwise aligner per pair.
+3. **Merge** — "once a gap, always a gap": between two center chars
+   (a "slot") the merged alignment carries the MAXIMUM of the gap
+   runs any pairwise alignment put there, each row's inserted chars
+   first and padding after — provably identical to the sequential
+   two-pointer merge (``_merge_center``, kept as the test oracle),
+   but built in O(width) numpy per row instead of re-spelling every
+   previous row on every merge. Each row's projection against the
+   center reproduces its pairwise alignment exactly (pinned by
+   ``tests/test_msa.py``).
 
 Ties in center selection keep the smallest index (deterministic).
 """
@@ -167,6 +175,126 @@ def _merge_center(
     return "".join(merged), out_rows, padded_new
 
 
+#: forward-op byte by walk move code (DIR_SUB/INS/DEL = 0/1/2).
+_OP_BY_CODE = np.frombuffer(b"MID?", dtype=np.uint8)
+
+
+def _star_ops_batched(
+    cseq: Sequence,
+    others: list[Sequence],
+    scores: Scores,
+    interpret: bool,
+) -> list[str]:
+    """Per-pair forward op strings (M/I/D) for center-vs-other global
+    alignments: K-1 async packed-dirs fills + ONE lockstep batched
+    device walk. Bit-identical to walking each pair alone (the walk
+    replicates ``walk_block``'s movement semantics)."""
+    from genomics_rs_tpu.models.aligner import PAD_MULTIPLE, _fill
+    from genomics_rs_tpu.ops.traceback_batch import NO_MOVE, walk_batch
+    from genomics_rs_tpu.sequence import PAD_S1, PAD_S2, round_up
+
+    import jax
+    import jax.numpy as jnp
+
+    m = len(cseq)
+    Lm = max(round_up(m, PAD_MULTIPLE), PAD_MULTIPLE)
+    Ln = max(
+        round_up(max(len(o) for o in others), PAD_MULTIPLE),
+        PAD_MULTIPLE,
+    )
+    s1e = cseq.encoded(pad_to=Lm, pad_value=PAD_S1)
+    # Sub-batch so the stacked packed bitmaps stay well under HBM
+    # (each is (Kp/16, V) int32 ~ (Lm+Ln)*Lm/4 bytes).
+    per_pair = (Lm + Ln + 1) * round_up(Lm + 1, 1024) // 4
+    group = max(1, int((4 << 30) // max(per_pair, 1)))
+    ops: list[str] = []
+    for g0 in range(0, len(others), group):
+        chunk = others[g0 : g0 + group]
+        dirs = []
+        for o in chunk:
+            s2e = o.encoded(pad_to=Ln, pad_value=PAD_S2)
+            res = _fill(
+                s1e, s2e, np.int32(m), np.int32(len(o)), scores,
+                False, "pallas", packed_dirs=True, interpret=interpret,
+            )
+            dirs.append(res.dirs)
+        codes = jnp.stack(dirs)
+        start_i = np.full(len(chunk), m, np.int32)
+        start_j = np.array([len(o) for o in chunk], np.int32)
+        moves, counts, i_f, j_f, done = jax.device_get(
+            walk_batch(
+                codes, start_i, start_j, scores, False,
+                layout="diag16", max_steps=Lm + Ln + 1,
+            )
+        )
+        if not done.all():
+            raise RuntimeError("batched star walk failed to terminate")
+        for b in range(len(chunk)):
+            cnt = int(counts[b])
+            mv = moves[b, :cnt][::-1]  # forward order
+            if (mv == NO_MOVE).any():
+                raise RuntimeError("batched star walk emitted a gap")
+            ops.append(_OP_BY_CODE[mv].tobytes().decode())
+    return ops
+
+
+def _build_rows(
+    center: str, others: list[str], ops_list: list[str]
+) -> tuple[str, list[str]]:
+    """Merged MSA rows from per-pair op strings (slot-count merge).
+
+    Slot p is the gap run between center chars p-1 and p (slot 0
+    before the first, slot C after the last). The merged width gives
+    every slot the max run over all pairs; each row places its own
+    inserted chars at the head of the slot and pads the rest — the
+    exact column layout the sequential two-pointer merge
+    (``_merge_center``) produces, in O(width) numpy per row.
+    """
+    C = len(center)
+    K1 = len(others)
+    gaps = np.zeros((K1, C + 1), np.int64)
+    parsed = []
+    for k, ops in enumerate(ops_list):
+        opsb = np.frombuffer(ops.encode("latin-1"), np.uint8)
+        isI = opsb == ord("I")
+        ccex = np.concatenate([[0], np.cumsum(~isI)[:-1]])
+        slots = ccex[isI]
+        gaps[k] = np.bincount(slots, minlength=C + 1)
+        parsed.append((opsb, isI, ccex, slots))
+    M = gaps.max(axis=0) if K1 else np.zeros(C + 1, np.int64)
+    W = C + int(M.sum())
+    preM = np.concatenate([[0], np.cumsum(M)])
+    base = np.arange(C + 1) + preM[:-1]  # slot p's first column
+    pos_center = base[:C] + M[:C]  # center char p's column
+    center_b = np.frombuffer(center.encode("latin-1"), np.uint8)
+    master = np.full(W, ord(_GAP), np.uint8)
+    master[pos_center] = center_b
+    rows: list[str] = []
+    for (opsb, isI, ccex, slots), other in zip(parsed, others):
+        if (~isI).sum() != C:
+            raise AssertionError(
+                "pairwise alignment did not consume the center "
+                f"({int((~isI).sum())}/{C})"
+            )
+        other_b = np.frombuffer(other.encode("latin-1"), np.uint8)
+        noD = opsb != ord("D")
+        if noD.sum() != len(other):
+            raise AssertionError(
+                "pairwise alignment did not consume the row sequence "
+                f"({int(noD.sum())}/{len(other)})"
+            )
+        oiex = np.concatenate([[0], np.cumsum(noD)[:-1]])
+        out = np.full(W, ord(_GAP), np.uint8)
+        cops = opsb[~isI]  # the op consuming each center char
+        m_mask = cops == ord("M")
+        out[pos_center[m_mask]] = other_b[oiex[~isI][m_mask]]
+        # I-run chars go at the head of their slot, in run order.
+        rank = np.arange(len(slots)) - np.searchsorted(slots, slots)
+        out[base[slots] + rank] = other_b[oiex[isI]]
+        rows.append(out.tobytes().decode("latin-1"))
+    return master.tobytes().decode("latin-1"), rows
+
+
 def center_star_msa(
     container: SequenceContainer,
     scores: Scores,
@@ -206,20 +334,44 @@ def center_star_msa(
         "MSA center: %s (summed score %d)", names[center], sums[center]
     )
 
-    aligner = PairwiseAligner(
-        scores, is_local=False, engine=engine, interpret=interpret
-    )
     cseq = seqs[center]
-    master = cseq.sequence
-    rows: list[str] = []
     order = [k for k in range(len(seqs)) if k != center]
+    others = [seqs[k] for k in order]
+    resolved = engine
+    if engine == "auto":
+        import jax
+
+        resolved = (
+            "pallas" if jax.default_backend() == "tpu" else "scan"
+        )
+    aligner = PairwiseAligner(
+        scores, is_local=False, engine=resolved, interpret=interpret
+    )
+    # The batched path needs every pair's monolithic packed bitmap to
+    # be buildable (the per-pair budget the aligner itself uses).
+    from genomics_rs_tpu.sequence import round_up as _ru
+
+    Lm_est = max(_ru(len(cseq), 128), 128)
+    Ln_est = max(
+        _ru(max((len(o) for o in others), default=1), 128), 128
+    )
+    est_dirs = (Lm_est + Ln_est + 1) * _ru(Lm_est + 1, 1024) // 4
     with PhaseTimer("msa").span("align the corpus to the center"):
-        for k in order:
-            aln = aligner.align(cseq, seqs[k])
-            ops = _alignment_ops(aln)
-            gc, go = _gapped_pair(cseq.sequence, seqs[k].sequence, ops)
-            master, rows, padded = _merge_center(master, rows, gc, go)
-            rows.append(padded)
+        if (
+            resolved == "pallas"
+            and others
+            and est_dirs <= PairwiseAligner.DIRS_BYTE_BUDGET
+        ):
+            ops_list = _star_ops_batched(
+                cseq, others, scores, interpret
+            )
+        else:
+            ops_list = [
+                _alignment_ops(aligner.align(cseq, o)) for o in others
+            ]
+        master, rows = _build_rows(
+            cseq.sequence, [o.sequence for o in others], ops_list
+        )
 
     # Rows back in corpus order, center included.
     all_rows = [""] * len(seqs)

@@ -404,6 +404,10 @@ class TileFillResult(NamedTuple):
     best: tuple[jax.Array, jax.Array, jax.Array]
     bottom: jax.Array | None
     right: jax.Array | None = None
+    #: (NC, 3, V) I/S/D of every stride-V column checkpoint (the
+    #: row-block kernel's ``emit_cols``; entry c, lane iv = cell
+    #: (i0+iv, c*V), lane 0 and columns > n are junk) or None.
+    cols: jax.Array | None = None
 
 
 def unpack_dirs(packed: jax.Array, Kp: int) -> jax.Array:

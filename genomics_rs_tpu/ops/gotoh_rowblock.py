@@ -103,7 +103,7 @@ def _kernel_rows(
     s1m_ref,  # VMEM int32 (8, C): s1m[v] = s1_block[v-1]
     s2i_ref,  # SMEM int32 (1, chunk): injected s2 chars
     top_ref,  # SMEM int32 (3, chunk): row-0 I/S/D stream
-    *rest,  # [bot_ref], fin_ref, [bv_ref, bk_ref], [dirs_ref], scratch...
+    *rest,  # [left_ref], [bot_ref], fin_ref, [bv, bk], [dirs], [cols], scratch
     C: int,
     K: int,
     R: int,
@@ -111,9 +111,14 @@ def _kernel_rows(
     is_local: bool,
     emit_dirs: bool,
     emit_bottom: bool,
+    has_left: bool,
+    emit_cols: bool,
     unroll: int,
 ):
     idx = 0
+    if has_left:
+        left_ref = rest[idx]  # SMEM (3, chunk): col-j0 I/S/D at row k
+        idx += 1
     if emit_bottom:
         bot_ref = rest[idx]
         idx += 1
@@ -125,6 +130,9 @@ def _kernel_rows(
     if emit_dirs:
         dirs_ref = rest[idx]
         idx += 1
+    if emit_cols:
+        cols_ref = rest[idx]  # (1, 3, ROWS, C) out block: window pane
+        idx += 1
     s2j_ref, Ip, Pp, Ap, Mp, SMp, fin_s = rest[idx : idx + 7]
     idx += 7
     if is_local:
@@ -132,6 +140,9 @@ def _kernel_rows(
         idx += 2
     if emit_dirs:
         acc_s = rest[idx]
+        idx += 1
+    if emit_cols:
+        cI_s, cS_s, cD_s = rest[idx : idx + 3]
 
     g_id = pl.program_id(0)
     m = scalars[0]
@@ -166,6 +177,10 @@ def _kernel_rows(
             bk_s[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
         if emit_dirs:
             acc_s[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
+        if emit_cols:
+            cI_s[:] = full_neg
+            cS_s[:] = full_neg
+            cD_s[:] = full_neg
 
     row0_mask = iv == 0
     # Lanes beyond the block's true rows are padding; without this
@@ -181,8 +196,10 @@ def _kernel_rows(
     probe_mask = (iv == mi0) & leR_mask
     lane_r, lane_c = divmod(R, C)
 
+    V = ROWS * C
+
     def step_ssa(state, t, k):
-        (s2j0, I0, P0, A0, M0, SM0, bv0, bk0, acc0) = state
+        (s2j0, I0, P0, A0, M0, SM0, bv0, bk0, acc0, cI0, cS0, cD0) = state
         inj = s2i_ref[0, t]
         s2j = _shift_down_flat(s2j0, inj, row_idx, col_idx, C)
         # Pre-shift carries: D' = shift(A), S' = sub + SM where SM is
@@ -207,9 +224,17 @@ def _kernel_rows(
         # garbage drifts unclamped (int32 headroom argument as the
         # flat batch kernel — both windows are <= K steps).
         col0 = iv == k
-        Inew = jnp.where(col0, neg, Inew)
-        Snew = jnp.where(col0, neg, Snew)
-        Dnew = jnp.where(col0, Dcol, Dnew)
+        if has_left:
+            # Windowed fill: the left boundary is a checkpointed
+            # interior column streamed in like the tile kernel's
+            # (gotoh_pallas._kernel_tile left_ref fix).
+            Inew = jnp.where(col0, left_ref[0, t], Inew)
+            Snew = jnp.where(col0, left_ref[1, t], Snew)
+            Dnew = jnp.where(col0, left_ref[2, t], Dnew)
+        else:
+            Inew = jnp.where(col0, neg, Inew)
+            Snew = jnp.where(col0, neg, Snew)
+            Dnew = jnp.where(col0, Dcol, Dnew)
         Qnew = jnp.maximum(Inew, Snew)
         # Row-0 fixes only land on Q and D: lane 0's I/P are never
         # read (lane 0 is re-fixed every step) and S/P feed nothing
@@ -221,6 +246,23 @@ def _kernel_rows(
         Mnew = jnp.maximum(Qnew, Dnew)
         if is_local:
             Mnew = jnp.maximum(Mnew, zero)
+
+        if emit_cols:
+            # Column checkpoints at stride V: cell (iv, j) with
+            # j = k - iv is on a checkpointed column exactly when
+            # k mod V == iv (stride == lane count, so exactly one
+            # lane captures per step, and a window's V capture steps
+            # are contiguous — the pane completes right at a chunk
+            # boundary since V % chunk == 0). Lane 0 (the block's top
+            # row) is junk here (row-0 fixes land on Q/D only) but is
+            # never consumed: windowed refills take row i0 from the
+            # row checkpoints. Panes beyond the last true diagonal
+            # keep stale values — those columns are > n and never
+            # consumed either.
+            cmask = iv == jax.lax.rem(k, jnp.int32(V))
+            cI0 = jnp.where(cmask, Inew, cI0)
+            cS0 = jnp.where(cmask, Snew, cS0)
+            cD0 = jnp.where(cmask, Dnew, cD0)
 
         if emit_dirs:
             # Same code chain (and tie order SUB > INS > DEL > STOP)
@@ -290,8 +332,12 @@ def _kernel_rows(
             bv0,
             bk0,
             acc0,
+            cI0,
+            cS0,
+            cD0,
         )
 
+    none3 = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
     none2 = (jnp.int32(0), jnp.int32(0))
     none1 = (jnp.int32(0),)
 
@@ -308,6 +354,7 @@ def _kernel_rows(
             )
             + ((bv_s[:], bk_s[:]) if is_local else none2)
             + ((acc_s[:],) if emit_dirs else none1)
+            + ((cI_s[:], cS_s[:], cD_s[:]) if emit_cols else none3)
         )
         for sub in range(unroll):
             state = step_ssa(state, unroll * tt + sub, k0 + sub)
@@ -316,9 +363,20 @@ def _kernel_rows(
             bv_s[:], bk_s[:] = state[6], state[7]
         if emit_dirs:
             acc_s[:] = state[8]
+        if emit_cols:
+            cI_s[:], cS_s[:], cD_s[:] = state[9], state[10], state[11]
         return 0
 
     jax.lax.fori_loop(0, chunk // unroll, body, 0)
+
+    if emit_cols:
+        # The out block for the window this chunk ends in stays
+        # VMEM-resident until its index changes (Pallas revisiting),
+        # so writing the pane once per chunk costs 3 VMEM stores and
+        # the HBM DMA only fires once per completed window.
+        cols_ref[0, 0] = cI_s[:]
+        cols_ref[0, 1] = cS_s[:]
+        cols_ref[0, 2] = cD_s[:]
 
     @pl.when(g_id == pl.num_programs(0) - 1)
     def _finalize():
@@ -330,7 +388,9 @@ def _kernel_rows(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("is_local", "emit_dirs", "emit_bottom", "interpret"),
+    static_argnames=(
+        "is_local", "emit_dirs", "emit_bottom", "emit_cols", "interpret"
+    ),
 )
 def gotoh_rowblock_pallas(
     s1_block: jax.Array,
@@ -343,6 +403,8 @@ def gotoh_rowblock_pallas(
     is_local: bool,
     emit_dirs: bool = False,
     emit_bottom: bool = True,
+    emit_cols: bool = False,
+    left: jax.Array | None = None,
     interpret: bool = False,
 ) -> TileFillResult:
     """Fill full-width rows [i0+1, i0+R] given the row-i0 boundary.
@@ -359,6 +421,20 @@ def gotoh_rowblock_pallas(
     (the monolithic fill, the checkpointed backward refills).
     Callers should size R so R+1 is a multiple of 1024 (e.g. 16383):
     the lane vector covers R+1 rows rounded up to 1024.
+
+    Round-4 windowed-traceback extensions:
+
+    * ``emit_cols`` — additionally checkpoint the I/S/D of every
+      column at stride V (one compare + three selects per step;
+      ``TileFillResult.cols`` (NC, 3, V)). These are the left
+      boundaries that let the backward pass refill narrow column
+      WINDOWS instead of [0, n] (``models/longalign``).
+    * ``left`` — (3, R) I/S/D of the fill's column-0 boundary at rows
+      i0+1..i0+R, replacing the in-register global col-0 formula:
+      pass a checkpointed column to fill the window starting there.
+      With ``left`` the caller's ``s2e``/``n``/``top`` are
+      window-local (``top`` starts at the window corner); row
+      coordinates (m, i0) stay global.
     """
     R = s1_block.shape[0]
     B = s2e.shape[0]
@@ -366,6 +442,13 @@ def gotoh_rowblock_pallas(
     C = V // ROWS
     K = R + B + 1
     Kp = _round_up(K, CHUNK)
+    if emit_cols and V % CHUNK:
+        # Window panes must complete exactly at chunk boundaries (the
+        # cols out-block index flips at window boundaries).
+        raise ValueError(
+            f"emit_cols needs V ({V}) to be a multiple of CHUNK "
+            f"({CHUNK})"
+        )
 
     s1m = jnp.full((V,), 0xFD, dtype=jnp.int32)
     s1m = jax.lax.dynamic_update_slice(
@@ -382,6 +465,16 @@ def gotoh_rowblock_pallas(
     top_stream = jax.lax.dynamic_update_slice(
         top_stream, top.astype(jnp.int32), (jnp.int32(0), jnp.int32(0))
     )
+    if left is not None:
+        # Lane k's col-0 fix lands at step k: stream positions 1..R
+        # hold the left-boundary rows i0+1..i0+R (position 0 is the
+        # corner, covered by the top stream's row-0 fix at lane 0).
+        left_stream = jnp.full((3, Kp), neg, dtype=jnp.int32)
+        left_stream = jax.lax.dynamic_update_slice(
+            left_stream,
+            left.astype(jnp.int32),
+            (jnp.int32(0), jnp.int32(1)),
+        )
 
     scalars = jnp.stack(
         [
@@ -428,18 +521,40 @@ def gotoh_rowblock_pallas(
             jax.ShapeDtypeStruct((Kp // PACK, ROWS, C), jnp.int32)
         )
         n_scratch += 1  # pack accumulator
+    NC = (Kp + V - 1) // V
+    if emit_cols:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 3, ROWS, C),
+                lambda g, s: ((g * CHUNK) // V, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((NC, 3, ROWS, C), jnp.int32)
+        )
+        n_scratch += 3  # I/S/D capture panes
+    in_specs = [
+        vec_spec,
+        pl.BlockSpec(
+            (1, CHUNK), lambda g, s: (0, g), memory_space=pltpu.SMEM
+        ),
+        pl.BlockSpec(
+            (3, CHUNK), lambda g, s: (0, g), memory_space=pltpu.SMEM
+        ),
+    ]
+    ins = [scalars, s1m2d, s2inj, top_stream]
+    if left is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (3, CHUNK), lambda g, s: (0, g), memory_space=pltpu.SMEM
+            )
+        )
+        ins.append(left_stream)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),
-        in_specs=[
-            vec_spec,
-            pl.BlockSpec(
-                (1, CHUNK), lambda g, s: (0, g), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (3, CHUNK), lambda g, s: (0, g), memory_space=pltpu.SMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)] * n_scratch,
     )
@@ -457,6 +572,8 @@ def gotoh_rowblock_pallas(
         is_local=is_local,
         emit_dirs=emit_dirs,
         emit_bottom=emit_bottom,
+        has_left=left is not None,
+        emit_cols=emit_cols,
         unroll=unroll,
     )
     outs = pl.pallas_call(
@@ -464,7 +581,7 @@ def gotoh_rowblock_pallas(
         grid_spec=grid_spec,
         out_shape=tuple(out_shapes),
         interpret=interpret,
-    )(scalars, s1m2d, s2inj, top_stream)
+    )(*ins)
 
     oi = 0
     if emit_bottom:
@@ -477,13 +594,20 @@ def gotoh_rowblock_pallas(
     if is_local:
         bv, bk = outs[oi + 1], outs[oi + 2]
         oi += 2
-    dirs = outs[oi + 1].reshape(Kp // PACK, V) if emit_dirs else None
+    oi += 1
+    if emit_dirs:
+        dirs = outs[oi].reshape(Kp // PACK, V)
+        oi += 1
+    else:
+        dirs = None
+    cols = outs[oi].reshape(NC, 3, V) if emit_cols else None
     if not is_local:
         return TileFillResult(
             dirs=dirs,
             score_at_mn=jnp.max(fin.reshape(V)),
             best=(jnp.int32(INT_MIN), jnp.int32(0), jnp.int32(0)),
             bottom=bottom,
+            cols=cols,
         )
     ivf = jnp.arange(V, dtype=jnp.int32)
     bvf = bv.reshape(V)
@@ -497,4 +621,5 @@ def gotoh_rowblock_pallas(
         score_at_mn=jnp.max(fin.reshape(V)),
         best=(vmax, i_best, j_best),
         bottom=bottom,
+        cols=cols,
     )

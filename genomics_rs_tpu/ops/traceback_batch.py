@@ -34,6 +34,11 @@ Two direction-code layouts are supported (static ``layout``):
   (row 0: I = h + j*g, col 0: D = h + i*g — ``algo.rs:193-220``),
   including the local-mode zero clamp that turns a negative boundary
   max into a stop.
+* ``"diag16"`` — per-pair diag-major PACKED words ``codes[b, (i+j)//16,
+  i]`` (16 codes per int32 — the monolithic Pallas fill's
+  ``packed_dirs`` layout, ``gotoh_pallas.TileFillResult``); boundary
+  cells are present. Lets a whole bucket of full pairwise alignments
+  (e.g. the MSA star stage) walk in one dispatch.
 """
 
 from __future__ import annotations
@@ -90,7 +95,7 @@ def walk_batch(
     (False only if a global walk failed to reach (0, 0), which the
     caller should treat as a bug).
     """
-    if layout not in ("diag", "rows16"):
+    if layout not in ("diag", "rows16", "diag16"):
         raise ValueError(f"unknown layout {layout!r}")
     B = codes.shape[0]
     hh = jnp.int32(scores.h)
@@ -107,6 +112,11 @@ def walk_batch(
         if layout == "diag":
             idx = (i + j) * Mp + i
             return jax.vmap(lambda f, x: f[x])(flat, idx).astype(jnp.int32)
+        if layout == "diag16":
+            k = i + j
+            idx = (k // 16) * Mp + i
+            word = jax.vmap(lambda f, x: f[x])(flat, idx)
+            return ((word >> (2 * (k % 16))) & 3).astype(jnp.int32)
         # rows16: interior cells from the packed words, boundary cells
         # from the closed-form boundary scores.
         ii = jnp.maximum(i, 1)

@@ -39,6 +39,7 @@ def walk_block(
     start_j: jax.Array,
     i0: jax.Array,
     max_steps: int,
+    j0: jax.Array = 0,
 ):
     """Chase codes from tile-local (start_li, start_j) until the path
     terminates or leaves the block upward.
@@ -49,22 +50,30 @@ def walk_block(
     the packed form directly keeps the refill bitmap 4x smaller.
     i0: global row of the tile's lane 0.
 
+    ``j0``: global column of the bitmap's column 0 (a WINDOWED refill,
+    round 4). ``start_j``/``j_final`` are then window-local; when a
+    move lands on local column 0 with ``j0 > 0`` the walk exits LEFT
+    (done=False, j_final=0, i_final >= i0) — the cell's code was not
+    read; the caller resumes it inside a window extending further
+    left. Global-origin termination only applies when ``j0 == 0``.
+
     Returns (moves uint8[max_steps], count, i_final, j_final, done):
     ``done`` means the walk terminated (reached global (0,0) or a
-    local stop code); otherwise it exited the block and continues at
-    global (i_final, j_final) in the block above.
+    local stop code); otherwise it exited the block (upward, or left
+    for windowed bitmaps) and continues at (i_final, j_final).
     """
     i0 = jnp.asarray(i0, jnp.int32)
+    j0 = jnp.asarray(j0, jnp.int32)
 
     def cond(st):
         li, j, pos, done, exited, moves = st
-        return (~done) & (~exited) & (pos < max_steps)
+        return (~done) & (exited == 0) & (pos < max_steps)
 
     def substep(st):
         li, j, pos, done, exited, moves = st
         # Once halted, later unrolled substeps are identity (the
         # gather still executes with the frozen — valid — indices).
-        halt = done | exited | (pos >= max_steps)
+        halt = done | (exited != 0) | (pos >= max_steps)
         k = li + j
         if os.environ.get("GENOMICS_TPU_DEBUG"):
             # Invariant: the walk must never read outside the bitmap
@@ -109,15 +118,23 @@ def walk_block(
         pos = jnp.where(write, pos + 1, pos)
 
         done_now = (~halt) & (
-            is_stop | ((ig_new == 0) & (j_new == 0))
+            is_stop | ((ig_new == 0) & (j_new == 0) & (j0 == 0))
         )
-        exited_now = (~halt) & (~done_now) & (ig_new < i0)
+        # exited: 0 = no, 1 = upward (past row i0), 2 = left (hit the
+        # window floor column while j0 > 0).
+        ex_up = (~halt) & (~done_now) & (ig_new < i0)
+        ex_left = (
+            (~halt) & (~done_now) & (~ex_up) & (j_new == 0) & (j0 > 0)
+        )
         return (
             jnp.where(halt, li, jnp.maximum(ig_new - i0, 0)),
             jnp.where(halt, j, j_new),
             pos,
             done | done_now,
-            exited | exited_now,
+            exited
+            | jnp.where(ex_up, 1, jnp.where(ex_left, 2, 0)).astype(
+                exited.dtype
+            ),
             moves,
         )
 
@@ -131,22 +148,25 @@ def walk_block(
         jnp.asarray(start_j, jnp.int32),
         jnp.int32(0),
         jnp.asarray(False),
-        jnp.asarray(False),
+        jnp.int32(0),
         jnp.zeros((max_steps,), dtype=jnp.uint8),
     )
     li, j, pos, done, exited, moves = jax.lax.while_loop(cond, body, init)
-    # On exit li was clamped to 0; the true row is i0 - 1.
-    i_final = jnp.where(exited, i0 - 1, i0 + li)
+    # On an upward exit li was clamped to 0; the true row is i0 - 1.
+    # A left exit stays in the block at its current (clamped) row.
+    i_final = jnp.where(exited == 1, i0 - 1, i0 + li)
     return moves, pos, i_final, j, done
 
 
-def resume_walk(step_fn, start_li, start_j, i0: int):
+def resume_walk(step_fn, start_li, start_j, i0: int, windowed=False):
     """Drive a single-buffer block walker to completion.
 
     ``step_fn(li, j) -> (codes uint8[count], i_final, j_final, done)``
     performs one bounded walk from the block-local row ``li``; this
     loop resumes it until the path terminates (``done``) or exits the
-    block upward (``i_final < i0``), concatenating the decoded codes.
+    block upward (``i_final < i0``) — or, for a WINDOWED bitmap
+    (``windowed=True``, local columns), left onto the window's floor
+    column (``j_final == 0``) — concatenating the decoded codes.
     A resume that did not move the position is a corrupt direction
     table (in a valid table every recorded move steps toward the
     origin) and raises — regardless of how many moves were written,
@@ -163,7 +183,7 @@ def resume_walk(step_fn, start_li, start_j, i0: int):
         chunks.append(codes)
         prev = (i0 + li, j)
         i_g, j_g, done = int(i_f), int(j_f), bool(done)
-        if done or i_g < i0:
+        if done or i_g < i0 or (windowed and j_g == 0):
             return (
                 np.concatenate(chunks)
                 if chunks
@@ -186,6 +206,7 @@ def device_walk(
     i0,
     max_steps: int,
     interpret: bool = False,
+    j0=0,
 ):
     """Chase a packed-dirs block from (start_li, start_j); returns
     ``(codes uint8[count], i_final, j_final, done)``.
@@ -197,13 +218,18 @@ def device_walk(
     window — as the XLA ``while_loop`` above. ``max_steps`` only sizes
     the move buffer; both paths keep walking past it by resuming
     through :func:`resume_walk`.
+
+    ``j0 > 0``: the bitmap is a column WINDOW starting at global
+    column j0 (``start_j``/``j_final`` window-local); a left exit
+    returns done=False with ``j_final == 0`` and ``i_final >= i0``.
     """
     if jax.default_backend() == "tpu" and not interpret:
         from genomics_rs_tpu.ops.traceback_pallas import PKW, walk_full
 
         if dirs.shape[0] >= PKW:
             return walk_full(
-                dirs, start_li, start_j, i0, max_steps=max_steps
+                dirs, start_li, start_j, i0, max_steps=max_steps,
+                j0=j0,
             )
 
     import numpy as np
@@ -215,9 +241,12 @@ def device_walk(
             np.int32(j),
             np.int32(i0),
             max_steps=max_steps,
+            j0=np.int32(j0),
         )
         # Single D2H transfer for the whole tuple (see walk_full).
         moves, count, i_f, j_f, done = jax.device_get(out)
         return moves[: int(count)], i_f, j_f, done
 
-    return resume_walk(step, start_li, start_j, i0)
+    return resume_walk(
+        step, start_li, start_j, i0, windowed=int(j0) > 0
+    )

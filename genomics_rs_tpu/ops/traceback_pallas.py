@@ -52,7 +52,7 @@ MAX_STEPS_CAP = 65536
 
 
 def _kernel_walk(
-    scalars,  # SMEM int32[4]: start_li, start_j, i0
+    scalars,  # SMEM int32[4]: start_li, start_j, i0, j0
     dirs_ref,  # ANY (KW, V/128, 128): packed direction words (HBM)
     words_ref,  # VMEM (NW, 128): packed move codes (column 0)
     meta_ref,  # VMEM (8, 128): pos, li, j, done, exited (column 0)
@@ -66,6 +66,10 @@ def _kernel_walk(
     start_li = scalars[0]
     start_j = scalars[1]
     i0 = scalars[2]
+    # Global column of bitmap column 0 (windowed refill; 0 = full
+    # width). Columns are window-local; landing on local column 0
+    # with j0 > 0 is a LEFT exit (code 2), not the global origin.
+    j0 = scalars[3]
 
     def outer_cond(st):
         li, j, pos, done, exited, acc = st
@@ -126,9 +130,17 @@ def _kernel_walk(
 
             pos = jnp.where(write, pos + 1, pos)
             done = jnp.where(
-                is_stop | ((ig_new == 0) & (j_new == 0)), 1, done
+                is_stop | ((ig_new == 0) & (j_new == 0) & (j0 == 0)),
+                1,
+                done,
             )
-            exited = jnp.where((done == 0) & (ig_new < i0), 1, exited)
+            ex_up = (done == 0) & (ig_new < i0)
+            ex_left = (
+                (done == 0) & (~ex_up) & (j_new == 0) & (j0 > 0)
+            )
+            exited = jnp.where(
+                ex_up, 1, jnp.where(ex_left, 2, exited)
+            )
             return (
                 jnp.maximum(ig_new - i0, 0),
                 j_new,
@@ -173,6 +185,7 @@ def walk_pallas(
     i0: jax.Array,
     max_steps: int,
     interpret: bool = False,
+    j0: jax.Array = 0,
 ):
     """``walk_block`` semantics with PACKED move output.
 
@@ -207,7 +220,7 @@ def walk_pallas(
             jnp.asarray(start_li, jnp.int32),
             jnp.asarray(start_j, jnp.int32),
             i0,
-            jnp.int32(0),
+            jnp.asarray(j0, jnp.int32),
         ]
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -243,8 +256,9 @@ def walk_pallas(
     li = meta[1, 0]
     j = meta[2, 0]
     done = meta[3, 0] != 0
-    exited = meta[4, 0] != 0
-    i_final = jnp.where(exited, i0 - 1, i0 + li)
+    # exited: 1 = upward (li clamped, true row i0 - 1), 2 = left
+    # (still in the block at row i0 + li).
+    i_final = jnp.where(meta[4, 0] == 1, i0 - 1, i0 + li)
     return words[:, 0], pos, i_final, j, done
 
 
@@ -263,13 +277,15 @@ def walk_full(
     i0: int,
     max_steps: int,
     interpret: bool = False,
+    j0: int = 0,
 ):
     """Loop :func:`walk_pallas` until the path terminates or exits the
     block, concatenating the decoded codes on host.
 
     Returns ``(codes uint8[count], i_final, j_final, done)`` with the
     same meaning as one ``walk_block`` call that never fills its
-    buffer.
+    buffer. ``j0``: see ``traceback_device.device_walk`` (windowed
+    bitmaps; a left exit returns j_final == 0, i_final >= i0).
     """
     from genomics_rs_tpu.ops.traceback_device import resume_walk
 
@@ -283,6 +299,7 @@ def walk_full(
             np.int32(i0),
             max_steps=cap,
             interpret=interpret,
+            j0=np.int32(j0),
         )
         # One D2H transfer for the whole result tuple: per-array
         # syncs each pay a full host round-trip (expensive over the
@@ -290,4 +307,6 @@ def walk_full(
         words, count, i_f, j_f, done = jax.device_get(out)
         return unpack_moves(words, int(count)), i_f, j_f, done
 
-    return resume_walk(step, start_li, start_j, int(i0))
+    return resume_walk(
+        step, start_li, start_j, int(i0), windowed=int(j0) > 0
+    )

@@ -92,56 +92,54 @@ def test_score_long_matches_oracle(is_local):
 
 
 @pytest.mark.parametrize("is_local", [False, True])
-def test_hierarchical_matches_aligner(is_local):
-    """Two-level checkpointed backward (l2_rows) is bit-identical to
-    the monolithic aligner: same path, stats and score.
+def test_windowed_backward_matches_aligner(is_local):
+    """The windowed backward (stride-V column checkpoints + left
+    boundary streams) is bit-identical to the monolithic aligner.
 
-    block_rows=128 with l2_rows=32 over ~300-row pairs exercises
-    multiple L1 blocks, nested forwards from checkpointed (non-row-0)
-    boundaries, sub-span exits, and the column truncation at both
-    levels.
+    block_rows=1023 gives V=1024; n ~ 2600 makes the walk enter
+    windows with jc > 0, exercising captured-column left boundaries
+    across multiple row blocks.
     """
     rng = np.random.default_rng(61)
     aligner = PairwiseAligner(SCORES, is_local=is_local, engine="scan")
-    for trial in range(3):
-        m = int(rng.integers(150, 400))
-        n = int(rng.integers(60, 400))
-        base = rng.choice(list("ACGT"), max(m, n) + 50)
-        a = "".join(base[:m])
-        bl = list(base[7 : n + 7])
-        for _ in range(8):
-            bl[int(rng.integers(0, n))] = str(rng.choice(list("ACGT")))
-        b = "".join(bl)
-        s1, s2 = Sequence("s1", a), Sequence("s2", b)
+    m, n = 2100, 2600
+    base = rng.choice(list("ACGT"), max(m, n) + 50)
+    a = "".join(base[:m])
+    bl = list(base[7 : n + 7])
+    for _ in range(20):
+        bl[int(rng.integers(0, n))] = str(rng.choice(list("ACGT")))
+    b = "".join(bl)
+    s1, s2 = Sequence("s1", a), Sequence("s2", b)
 
-        want = aligner.align(s1, s2)
-        got = align_checkpointed(
-            s1,
-            s2,
-            SCORES,
-            is_local=is_local,
-            block_rows=128,
-            interpret=True,
-            l2_rows=32,
-        )
-        assert got.score == want.score, (trial,)
-        assert got.alignment == want.alignment, (trial,)
-        assert (
-            got.matches,
-            got.mismatches,
-            got.opening_gaps,
-            got.gap_extensions,
-        ) == (
-            want.matches,
-            want.mismatches,
-            want.opening_gaps,
-            want.gap_extensions,
-        ), (trial,)
+    want = aligner.align(s1, s2)
+    got = align_checkpointed(
+        s1, s2, SCORES, is_local=is_local,
+        block_rows=1023, interpret=True,
+    )
+    assert got.score == want.score
+    assert got.alignment == want.alignment
+    assert (
+        got.matches, got.mismatches,
+        got.opening_gaps, got.gap_extensions,
+    ) == (
+        want.matches, want.mismatches,
+        want.opening_gaps, want.gap_extensions,
+    )
 
 
-def test_hierarchical_rejects_misaligned_levels():
-    s = Sequence("s", "ACGT" * 50)
-    with pytest.raises(ValueError, match="multiple of l2_rows"):
-        align_checkpointed(
-            s, s, SCORES, block_rows=100, interpret=True, l2_rows=32
-        )
+def test_windowed_backward_left_exit():
+    """A path with a horizontal run longer than the window stride
+    must exit LEFT and resume in a wider window, bit-identically."""
+    rng = np.random.default_rng(62)
+    m, n = 300, 2600  # global path walks ~2300 columns in one block
+    a = "".join(rng.choice(list("ACGT"), m))
+    b = a[:150] + "".join(rng.choice(list("ACGT"), n - m)) + a[150:]
+    s1, s2 = Sequence("s1", a), Sequence("s2", b)
+    aligner = PairwiseAligner(SCORES, is_local=False, engine="scan")
+    want = aligner.align(s1, s2)
+    got = align_checkpointed(
+        s1, s2, SCORES, is_local=False,
+        block_rows=1023, interpret=True,
+    )
+    assert got.score == want.score
+    assert got.alignment == want.alignment

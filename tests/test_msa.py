@@ -162,3 +162,50 @@ def test_msa_pallas_interpret_matches_scan():
     )
     assert got.rows == ref.rows
     assert got.center_index == ref.center_index
+
+
+def test_build_rows_matches_sequential_merge():
+    """The O(width) slot-count merge (round 4) is bit-identical to
+    the sequential two-pointer merge it replaced, on random op
+    fuzz."""
+    from genomics_rs_tpu.models.msa import (
+        _build_rows,
+        _gapped_pair,
+        _merge_center,
+    )
+
+    rng = np.random.default_rng(77)
+    for trial in range(30):
+        C = int(rng.integers(1, 25))
+        center = "".join(rng.choice(list("ACGT"), C))
+        K1 = int(rng.integers(1, 5))
+        others, ops_list = [], []
+        for _ in range(K1):
+            # A random valid op string: exactly C center-consuming
+            # ops (M/D) with random I runs sprinkled in.
+            ops = []
+            oi = 0
+            for p in range(C + 1):
+                for _ in range(int(rng.integers(0, 3))):
+                    ops.append("I")
+                    oi += 1
+                if p < C:
+                    op = "M" if rng.random() < 0.7 else "D"
+                    ops.append(op)
+                    if op == "M":
+                        oi += 1
+            others.append("".join(rng.choice(list("ACGT"), oi)))
+            ops_list.append("".join(ops))
+
+        master_new, rows_new = _build_rows(center, others, ops_list)
+
+        master_old = center
+        rows_old: list[str] = []
+        for other, ops in zip(others, ops_list):
+            gc, go = _gapped_pair(center, other, ops)
+            master_old, rows_old, padded = _merge_center(
+                master_old, rows_old, gc, go
+            )
+            rows_old.append(padded)
+        assert master_new == master_old, trial
+        assert rows_new == rows_old, trial
