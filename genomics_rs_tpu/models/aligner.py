@@ -61,6 +61,44 @@ def _fill(
             s1e, s2e, m, n, scores, is_local, emit_dirs=emit_dirs
         )
     elif engine == "pallas":
+        if packed_dirs or not emit_dirs:
+            # Production configs (packed dirs for the device walk, or
+            # score-only) run the lean row-block kernel as ONE block:
+            # ~1.7x the general tile kernel on fills-with-dirs (round
+            # 4; same packed layout, same walk, pinned vs scan by the
+            # aligner parity tests).
+            import jax.numpy as jnp
+
+            from genomics_rs_tpu.ops.gotoh_rowblock import (
+                gotoh_rowblock_pallas,
+            )
+            from genomics_rs_tpu.ops.gotoh_scan import FillResult
+            from genomics_rs_tpu.ops.gotoh_tile import (
+                global_boundary_top,
+            )
+
+            res = gotoh_rowblock_pallas(
+                s1e,
+                s2e,
+                global_boundary_top(0, s2e.shape[0], scores),
+                m,
+                n,
+                jnp.int32(0),
+                scores,
+                is_local,
+                emit_dirs=emit_dirs,
+                emit_bottom=False,
+                interpret=interpret,
+            )
+            if is_local:
+                score, si, sj = res.best
+            else:
+                score = res.score_at_mn
+                si = jnp.asarray(m, jnp.int32)
+                sj = jnp.asarray(n, jnp.int32)
+            return FillResult(
+                dirs=res.dirs, score=score, start_i=si, start_j=sj
+            )
         from genomics_rs_tpu.ops.gotoh_pallas import gotoh_fill_pallas
 
         return gotoh_fill_pallas(

@@ -244,6 +244,30 @@ def score_long(
     return at_mn, m, n
 
 
+@functools.partial(jax.jit, static_argnames=("Bt", "R", "V"))
+def _slice_window(tops, cols, blk, jc, Bt, R, V):
+    """(top slice (3, Bt+1), left column (3, R)) for one window.
+
+    One jitted dynamic-slice program per (Bt, R) bucket with TRACED
+    block/column starts: host-level `tops[blk][:, jc:...]` indexing
+    would compile a fresh XLA slice executable for every distinct
+    (blk, jc) constant — ~NB programs through the remote-compile
+    tunnel per alignment, which is where the first cut of this path
+    spent (wedged) its time.
+    """
+    blk = jnp.asarray(blk, jnp.int32)
+    jc = jnp.asarray(jc, jnp.int32)
+    top_w = jax.lax.dynamic_slice(
+        tops, (blk, jnp.int32(0), jc), (1, 3, Bt + 1)
+    )[0]
+    left = jax.lax.dynamic_slice(
+        cols,
+        (blk, jc // V, jnp.int32(0), jnp.int32(1)),
+        (1, 1, 3, R),
+    )[0, 0]
+    return top_w, left
+
+
 def _walk_span_windowed(
     s1e,
     s2e,
@@ -284,13 +308,11 @@ def _walk_span_windowed(
         # Width quantized to V so length-neighbouring windows share
         # the compiled kernel (at most ~3 variants per pair shape).
         Bt = min(Ln - jc, round_up(max(j - jc, 1), V))
-        left = None
-        if jc > 0:
-            left = cols[blk, jc // V, :, 1 : R + 1]
+        top_w, left = _slice_window(tops, cols, blk, jc, Bt, R, V)
         res = gotoh_rowblock_pallas(
             s1e[i0 : i0 + R],
             s2e[jc : jc + Bt],
-            tops[blk][:, jc : jc + Bt + 1],
+            top_w,
             np.int32(m),
             np.int32(Bt),
             np.int32(i0),
@@ -298,7 +320,7 @@ def _walk_span_windowed(
             is_local,
             emit_dirs=True,
             emit_bottom=False,
-            left=left,
+            left=left if jc > 0 else None,
             interpret=interpret,
         )
         blk_codes, i_f, j_f, done = device_walk(

@@ -45,6 +45,21 @@ class AlignmentChoice(enum.Enum):
     OPEN_DELETE = "OpenDelete"
 
 
+#: choice object by numeric code (classify_moves' vectorized path;
+#: same numbering as traceback_batch._CHOICE_BY_CODE).
+_CHOICE_ARR = np.array(
+    [
+        AlignmentChoice.MATCH,
+        AlignmentChoice.MISMATCH,
+        AlignmentChoice.INSERT,
+        AlignmentChoice.OPEN_INSERT,
+        AlignmentChoice.DELETE,
+        AlignmentChoice.OPEN_DELETE,
+    ],
+    dtype=object,
+)
+
+
 @dataclasses.dataclass
 class AlignedSequences:
     """Mirror of ``AlignedSequences`` (``algo.rs:135-146``).
@@ -106,6 +121,71 @@ def classify_moves(
     # reference also prints the cell max, which the 2-bit direction
     # codes no longer carry — documented deviation.
     dbg = log.isEnabledFor(logging.DEBUG)
+    if not dbg:
+        # Whole-path numpy classification (round 4): a chromosome-
+        # scale path is millions of moves — the per-move Python loop
+        # below (kept for the debug-trace parity path) costs seconds.
+        # Same semantics, pinned against the loop by tests/fuzz.
+        import numpy as np
+
+        codes_a = np.asarray(codes, dtype=np.uint8)
+        T = codes_a.shape[0]
+        is_sub = codes_a == DIR_SUB
+        is_ins = codes_a == DIR_INS
+        is_del = codes_a == DIR_DEL
+        if T and not bool((is_sub | is_ins | is_del).all()):
+            bad = codes_a[~(is_sub | is_ins | is_del)][0]
+            raise ValueError(f"Unexpected move code {int(bad)}")
+        di = np.where(is_ins, 0, 1)
+        dj = np.where(is_del, 0, 1)
+        # Position each move is taken AT (pre-move). Saturation never
+        # disagrees with the cumsum in a valid table (a clamped axis
+        # only receives codes that no longer move it); clip anyway so
+        # corrupt inputs can't index negatively.
+        i_at = np.maximum(i - np.cumsum(di) + di, 0)
+        j_at = np.maximum(j - np.cumsum(dj) + dj, 0)
+        # Reference is_match quirk: bytes AT (i, j) (algo.rs:354) with
+        # None == None past both ends (sentinel 0x100).
+        s1a = np.frombuffer(s1, np.uint8).astype(np.int32)
+        s2a = np.frombuffer(s2, np.uint8).astype(np.int32)
+        c1 = np.where(
+            i_at < len(s1a),
+            s1a[np.minimum(i_at, max(len(s1a) - 1, 0))]
+            if len(s1a)
+            else 0x100,
+            0x100,
+        )
+        c2 = np.where(
+            j_at < len(s2a),
+            s2a[np.minimum(j_at, max(len(s2a) - 1, 0))]
+            if len(s2a)
+            else 0x100,
+            0x100,
+        )
+        match = is_sub & (c1 == c2)
+        mismatch = is_sub & ~match
+        prev = np.empty_like(codes_a)
+        prev[0:1] = 255
+        prev[1:] = codes_a[:-1]
+        ins_open = is_ins & (prev != DIR_INS)
+        del_open = is_del & (prev != DIR_DEL)
+        out.matches = int(match.sum())
+        out.mismatches = int(mismatch.sum())
+        out.opening_gaps = int(ins_open.sum() + del_open.sum())
+        out.gap_extensions = int(
+            (is_ins & ~ins_open).sum() + (is_del & ~del_open).sum()
+        )
+        choice_code = np.zeros(T, np.uint8)
+        choice_code[mismatch] = 1
+        choice_code[is_ins & ~ins_open] = 2
+        choice_code[ins_open] = 3
+        choice_code[is_del & ~del_open] = 4
+        choice_code[del_open] = 5
+        ch_objs = _CHOICE_ARR[choice_code]
+        out.alignment = list(
+            zip(ch_objs.tolist(), i_at.tolist(), j_at.tolist())
+        )
+        return out
     last_choice = AlignmentChoice.MATCH
     for code in codes:
         code = int(code)

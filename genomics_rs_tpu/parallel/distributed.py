@@ -71,20 +71,34 @@ def init_distributed() -> tuple[int, int]:
     return jax.process_index(), jax.process_count()
 
 
-def snake_deal(costs, n_shares: int) -> list[list[int]]:
-    """Deal item indices into ``n_shares`` balanced shares.
+def balanced_deal(costs, n_shares: int) -> list[list[int]]:
+    """Deal item indices into ``n_shares`` balanced shares (LPT).
 
-    Items are sorted by descending cost and dealt boustrophedon
-    (0..P-1 then P-1..0, repeating), which bounds any share's total
-    cost within one max-item of optimal for typical corpora.
+    Longest-processing-time greedy: items sorted by descending cost,
+    each placed on the currently least-loaded share. Guarantees the
+    bottleneck share is within 4/3 of optimal (Graham), and measured
+    on the mixed 30 kb + 155 kb corpus it reaches the indivisible-
+    item bound exactly — round 3's boustrophedon ("snake") deal lost
+    35 efficiency points there because a snake assigns by POSITION,
+    not accumulated load, so the share holding the one giant pair
+    keeps receiving its positional quota (BENCH work_balance row).
+    Ties break on share index: deterministic across hosts.
     """
+    import heapq
+
     order = sorted(range(len(costs)), key=lambda k: -costs[k])
+    heap = [(0.0, h) for h in range(n_shares)]
+    heapq.heapify(heap)
     shares: list[list[int]] = [[] for _ in range(n_shares)]
-    for pos, k in enumerate(order):
-        cycle, off = divmod(pos, n_shares)
-        h = off if cycle % 2 == 0 else n_shares - 1 - off
+    for k in order:
+        load, h = heapq.heappop(heap)
         shares[h].append(k)
+        heapq.heappush(heap, (load + float(costs[k]), h))
     return shares
+
+
+#: Backwards-compatible name (round-3 API).
+snake_deal = balanced_deal
 
 
 def allpairs_multihost(

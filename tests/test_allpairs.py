@@ -1,6 +1,7 @@
 """All-pairs DP score matrix driver (scan engine on the CPU mesh)."""
 
 import numpy as np
+import pytest
 
 from genomics_rs_tpu.config import Scores
 from genomics_rs_tpu.models.aligner import PairwiseAligner
@@ -110,17 +111,22 @@ def test_allpairs_length_buckets_mixed_corpus():
             assert int(result.matrix[j, i]) == int(ref.score), (i, j)
 
 
-def test_snake_deal_balances_lengths():
-    """Length-balanced dealing: no share's cell total may exceed the
-    mean by more than the largest single item."""
-    from genomics_rs_tpu.parallel.distributed import snake_deal
+def test_balanced_deal_properties():
+    """LPT dealing: complete partition; no share exceeds the mean by
+    more than the largest single item; a single giant item reaches
+    the indivisible-item efficiency bound."""
+    from genomics_rs_tpu.parallel.distributed import balanced_deal
 
     rng = np.random.default_rng(7)
     costs = [float(c) for c in rng.integers(1, 1000, 37)] + [1e6]
-    shares = snake_deal(costs, 4)
+    shares = balanced_deal(costs, 4)
     assert sorted(k for s in shares for k in s) == list(range(38))
     totals = [sum(costs[k] for k in s) for s in shares]
     assert max(totals) - min(totals) <= max(costs)
+    # One indivisible giant: the bottleneck is exactly that share.
+    assert max(totals) == pytest.approx(
+        max(1e6, (sum(costs) - 1e6) / 3), rel=0.34
+    )
 
 
 def test_resumable_invalidates_on_content_change(tmp_path):

@@ -143,3 +143,35 @@ def test_windowed_backward_left_exit():
     )
     assert got.score == want.score
     assert got.alignment == want.alignment
+
+
+def test_classify_moves_vectorized_matches_loop():
+    """The vectorized classify_moves (round 4) is bit-identical to
+    the per-move loop (which still serves the DEBUG trace path)."""
+    import logging
+
+    from genomics_rs_tpu.ops.traceback import classify_moves
+
+    rng = np.random.default_rng(91)
+    tlog = logging.getLogger("genomics_rs_tpu.ops.traceback")
+    for trial in range(20):
+        m, n = int(rng.integers(0, 40)), int(rng.integers(0, 40))
+        s1 = Sequence("a", "".join(rng.choice(list("ACGT"), m)))
+        s2 = Sequence("b", "".join(rng.choice(list("ACGT"), n)))
+        T = int(rng.integers(0, m + n + 5))
+        codes = rng.integers(0, 3, T).astype(np.uint8)  # SUB/INS/DEL
+        fast = classify_moves(codes, m, n, 7, s1, s2)
+        old_level = tlog.level
+        tlog.setLevel(logging.DEBUG)  # forces the loop path
+        try:
+            slow = classify_moves(codes, m, n, 7, s1, s2)
+        finally:
+            tlog.setLevel(old_level)
+        assert fast.alignment == slow.alignment, trial
+        assert (
+            fast.matches, fast.mismatches,
+            fast.opening_gaps, fast.gap_extensions,
+        ) == (
+            slow.matches, slow.mismatches,
+            slow.opening_gaps, slow.gap_extensions,
+        ), trial
