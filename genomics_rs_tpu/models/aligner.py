@@ -166,12 +166,15 @@ class PairwiseAligner:
             # (R + 2V + 1) * V / 4 packed-dirs bytes REGARDLESS of n
             # (the window is bounded by the capture stride V = R+1
             # rounded to 1024), so the block height no longer depends
-            # on Ln. 32767 is the measured v5e sweet spot between
+            # on Ln. 65535 is the measured v5e sweet spot between
             # per-step lane throughput (rises with V) and total
-            # diagonal-step count (falls with V); shorter pairs
-            # shrink to the minimal lane vector.
+            # diagonal-step count (falls with V): chr12 warm 19.8 s
+            # at 32767, 17.5 s at 65535; 98303's refill dirs
+            # out-block (CHUNK/16 x V words, double-buffered)
+            # overflows the 16 MB VMEM. Shorter pairs shrink to the
+            # minimal lane vector.
             block_rows = min(
-                32767, max(round_up(m + 1, 1024) - 1, 1023)
+                65535, max(round_up(m + 1, 1024) - 1, 1023)
             )
             log.info(
                 "align: %dx%d exceeds dirs budget -> windowed "

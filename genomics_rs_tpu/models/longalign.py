@@ -363,7 +363,7 @@ def align_checkpointed(
     seq2: Sequence,
     scores: Scores,
     is_local: bool = False,
-    block_rows: int = 32767,
+    block_rows: int = 65535,
     interpret: bool = False,
 ) -> AlignedSequences:
     """Full global/local alignment with O((m/R + R) * V) device memory.

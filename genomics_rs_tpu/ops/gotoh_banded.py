@@ -79,6 +79,15 @@ from genomics_rs_tpu.ops.gotoh_scan import (
 RC = 256
 #: 2-bit codes per packed word (rows per int32).
 PACK = 16
+#: SSA unroll (rows per scratch round-trip). Env knob for sweeps;
+#: RC % BAND_UNROLL must be 0.
+import os as _os
+
+BAND_UNROLL = int(_os.environ.get("GENOMICS_TPU_UNROLL_BANDED", "16"))
+if BAND_UNROLL < 1 or RC % BAND_UNROLL:
+    raise ValueError(
+        f"GENOMICS_TPU_UNROLL_BANDED={BAND_UNROLL} must divide RC={RC}"
+    )
 
 
 def band_offset(i, m: int, n: int, V: int):
@@ -317,7 +326,7 @@ def _banded_call(
     smem_row = pl.BlockSpec(
         (1, RC), lambda g, s: (0, g), memory_space=pltpu.SMEM
     )
-    unroll = 2 if interpret else 16
+    unroll = 2 if interpret else BAND_UNROLL
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),

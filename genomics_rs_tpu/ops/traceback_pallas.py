@@ -49,6 +49,13 @@ PKW = 18
 MPW = 16
 #: hard cap on one call's move buffer (VMEM: cap/16 x 128 x 4 B).
 MAX_STEPS_CAP = 65536
+#: dependent moves per inner-loop iteration. The scalar-core chase is
+#: dominated by while-loop iteration overhead, not the ~15 ops per
+#: move — freeze-masked unrolling (walk_block's trick) amortizes it.
+#: Env knob for hardware sweeps.
+import os as _os
+
+WALK_UNROLL = int(_os.environ.get("GENOMICS_TPU_MOSAIC_WALK_UNROLL", "8"))
 
 
 def _kernel_walk(
@@ -102,12 +109,26 @@ def _kernel_walk(
                 & (k // 16 >= kb)
             )
 
-        def in_body(st2):
+        def in_sub(st2):
             li, j, pos, done, exited, acc = st2
             k = li + j
-            lane = li - lb
-            word = patch_ref[k // 16 - kb, lane // 128, lane % 128]
-            code = (word >> (2 * (k % 16))) & 3
+            # Freeze-masked substep (walk_block's unroll trick): once
+            # any halt condition holds, later unrolled substeps are
+            # identity — reads continue with clamped (valid) indices.
+            halted = (
+                (done != 0)
+                | (exited != 0)
+                | (pos >= max_steps)
+                | (li < lb)
+                | ((k >> 4) < kb)
+            )
+            # All divisors are powers of two: explicit shift/mask
+            # spellings — the scalar core's integer divide is
+            # many-cycle and this chain is the whole kernel.
+            lane = jnp.clip(li - lb, 0, 2 * 128 - 1)
+            row = jnp.clip((k >> 4) - kb, 0, PKW - 1)
+            word = patch_ref[row, lane >> 7, lane & 127]
+            code = (word >> (2 * (k & 15))) & 3
             ig = i0 + li
             is_stop = code == DIR_STOP
             di = jnp.where(code == DIR_INS, 0, 1)
@@ -116,39 +137,47 @@ def _kernel_walk(
             ig_new = jnp.maximum(ig - di, 0)
             j_new = jnp.maximum(j - dj, 0)
 
-            write = ~is_stop
-            sp = pos % MPW
-            acc = jnp.where(sp == 0, 0, acc) | jnp.where(
-                write, code << (2 * sp), 0
+            write = (~halted) & (~is_stop)
+            sp = pos & (MPW - 1)
+            acc = jnp.where(
+                write,
+                jnp.where(sp == 0, 0, acc) | (code << (2 * sp)),
+                acc,
             )
 
             @pl.when(write & (sp == MPW - 1))
             def _flush():
-                words_ref[pl.ds(pos // MPW, 1)] = jnp.full(
+                words_ref[pl.ds(pos >> 4, 1)] = jnp.full(
                     (1, 128), acc, dtype=jnp.int32
                 )
 
             pos = jnp.where(write, pos + 1, pos)
-            done = jnp.where(
-                is_stop | ((ig_new == 0) & (j_new == 0) & (j0 == 0)),
-                1,
-                done,
+            done_now = (~halted) & (
+                is_stop | ((ig_new == 0) & (j_new == 0) & (j0 == 0))
             )
-            ex_up = (done == 0) & (ig_new < i0)
-            ex_left = (
-                (done == 0) & (~ex_up) & (j_new == 0) & (j0 > 0)
-            )
+            done = jnp.where(done_now, 1, done)
+            live = (~halted) & (done == 0)
+            ex_up = live & (ig_new < i0)
+            ex_left = live & (~ex_up) & (j_new == 0) & (j0 > 0)
             exited = jnp.where(
                 ex_up, 1, jnp.where(ex_left, 2, exited)
             )
+            # Position updates on every non-halted substep (stop codes
+            # included) — matching walk_block exactly; after a stop
+            # done=1 makes the final cell unused upstream.
             return (
-                jnp.maximum(ig_new - i0, 0),
-                j_new,
+                jnp.where(halted, li, jnp.maximum(ig_new - i0, 0)),
+                jnp.where(halted, j, j_new),
                 pos,
                 done,
                 exited,
                 acc,
             )
+
+        def in_body(st2):
+            for _ in range(WALK_UNROLL):
+                st2 = in_sub(st2)
+            return st2
 
         return jax.lax.while_loop(in_cond, in_body, st)
 
