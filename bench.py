@@ -318,22 +318,24 @@ def run_full() -> dict:
     }
 
     # --- single pair WITH traceback bitmap -------------------------
-    from genomics_rs_tpu.ops.gotoh_pallas import gotoh_fill_pallas
+    from genomics_rs_tpu.models.aligner import _fill
 
     Lp = max(round_up(max(m, n), 128), 128)
     s1e = s1.encoded(pad_to=Lp, pad_value=PAD_S1)
     s2e = s2.encoded(pad_to=Lp, pad_value=PAD_S2)
 
-    # The aligner's actual path: PACKED words (no per-cell unpack),
-    # then the on-device walk ships home only the O(m+n) move list.
+    # The aligner's ACTUAL production path (round 4: the lean
+    # row-block kernel as one block, packed dirs), then the on-device
+    # walk ships home only the O(m+n) move list.
     def run_dirs():
-        res = gotoh_fill_pallas(
+        res = _fill(
             s1e,
             s2e,
             np.int32(m),
             np.int32(n),
             scores,
             False,
+            "pallas",
             packed_dirs=True,
         )
         np.asarray(res.score)
@@ -424,9 +426,15 @@ def run_full() -> dict:
         return len(out)
 
     _retry(run_reads_full, label="reads pipeline warmup")
-    t0 = time.perf_counter()
-    run_reads_full()
-    dt_full = time.perf_counter() - t0
+    # Median of 3: this row mixes device rounds with pipelined host
+    # classification and measured 1.6-3.7 s run to run — a single
+    # sample under- or over-reports by 2x.
+    times_rf = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_reads_full()
+        times_rf.append(time.perf_counter() - t0)
+    dt_full = float(np.median(times_rf))
     rows["reads_full_pipeline"] = {
         "reads": n_full,
         "read_len": L,
@@ -505,11 +513,27 @@ def run_full() -> dict:
         flip = {"A": "G", "C": "T", "G": "A", "T": "C"}
         rng_c = np.random.default_rng(33)
         n_call, clen = 100_000, 150
-        truth_pos = np.sort(
-            rng_c.choice(
-                np.arange(500, len(chrom) - 500), 50, replace=False
-            )
+        # Truth positions confined to UNIQUELY MAPPABLE loci (the
+        # centered read-length window occurs exactly once in chr12,
+        # verified with the FM-index) — the standard callable-region
+        # restriction: a SNP inside an exact two-copy repeat is
+        # information-theoretically ambiguous at this read length
+        # (the planted copy and its twin split the reads 50/50), and
+        # one sampled without the filter landed where NO read maps.
+        from genomics_rs_tpu.suffixtree.fmindex import FMIndex
+
+        fm_u = FMIndex.build(chrom.sequence)
+        cand = rng_c.choice(
+            np.arange(500, len(chrom) - 500), 400, replace=False
         )
+        half = clen // 2
+        wins = [
+            chrom.sequence[int(p) - half : int(p) + half] for p in cand
+        ]
+        uniq = fm_u.count_batch(wins, device=False) == 1
+        if uniq.sum() < 50:
+            raise AssertionError("not enough unique loci sampled")
+        truth_pos = np.sort(cand[uniq][:50])
         donor_l = np.frombuffer(
             chrom.sequence.encode("latin-1"), np.uint8
         ).copy()
@@ -539,10 +563,14 @@ def run_full() -> dict:
             creads.append(_Seq(f"c{i}", s, q))
 
         def run_call():
+            # min_mapq 0: ambiguity is handled by the MAPQ weight
+            # (ties weigh 0.5), not a hard gate — a hard gate zeroes
+            # the depth at borderline loci instead of discounting it.
             return call_reads(
                 creads, [chrom], scores,
                 min_depth=5, min_frac=0.6,
-                weighted=True, min_baseq=13, min_mapq=10,
+                weighted=True, min_baseq=13, min_mapq=0,
+                min_alt_conf=0.8,
                 index=m_index, with_paths=False,
             )
 

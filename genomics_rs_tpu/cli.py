@@ -193,6 +193,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "quality-weighted consensus)",
     )
     cl.add_argument(
+        "--min-alt-conf", type=float, default=0.0,
+        help="minimum mean weight of alt-supporting bases (weighted "
+        "mode): filters calls supported only by ambiguously-mapped "
+        "reads",
+    )
+    cl.add_argument(
         "--weighted", action="store_true",
         help="weight votes by Phred*MAPQ correctness probability "
         "instead of counting heads",
@@ -669,7 +675,7 @@ def main(argv: list[str] | None = None) -> int:
                 queries, refs, config.scores,
                 min_depth=args.min_depth, min_frac=args.min_frac,
                 min_baseq=args.min_baseq, min_mapq=args.min_mapq,
-                weighted=args.weighted,
+                weighted=args.weighted, min_alt_conf=args.min_alt_conf,
                 k=args.k, band=args.band, min_seeds=args.min_seeds,
                 both_strands=not args.single_strand,
                 engine=args.engine,

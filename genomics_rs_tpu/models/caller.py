@@ -99,10 +99,18 @@ def _phred_probs(qual: str) -> np.ndarray:
 
 def _mapq_factor(mapq: int) -> float:
     """MAPQ -> probability the mapping is correct. 255 means
-    'unavailable' in SAM — treated as certain."""
+    'unavailable' in SAM — treated as certain.
+
+    Floored at 0.5: the Phred identity 1-10^(-q/10) reads MAPQ 0 as
+    "certainly misplaced" (weight 0), but a low/zero seed-margin
+    mapping is at worst a COIN FLIP between a couple of candidate
+    loci — variants inside repeats would otherwise be structurally
+    uncallable because every covering read weighs 0 (the identity
+    crosses 0.5 at q=3, so the floor also keeps the curve monotone).
+    """
     if mapq >= 255:
         return 1.0
-    return float(1.0 - 10.0 ** (-mapq / 10.0))
+    return float(max(1.0 - 10.0 ** (-mapq / 10.0), 0.5))
 
 
 def _expand_records(
@@ -393,12 +401,21 @@ def call_pileup(
     min_depth: int = 8,
     min_frac: float = 0.7,
     weights: np.ndarray | None = None,
+    min_alt_conf: float = 0.0,
 ) -> list[VariantCall]:
     """Consensus calls from a pileup (vectorized scan, then merge).
 
     With ``weights`` (a :func:`pileup_q` weight matrix) the alt
     selection and the ``min_frac`` gate run on weighted evidence; the
     ``min_depth`` gate and the reported DP/AC stay integer coverage.
+
+    ``min_alt_conf`` (weighted mode): minimum MEAN weight of the
+    alt-supporting bases (weighted support / head count). A site whose
+    alt evidence comes entirely from ambiguously-placed reads (MAPQ
+    ties weigh 0.5) averages ~0.5-0.65; confidently-mapped high-
+    quality support averages ~1.0 — the gate separates repeat-shadow
+    artifacts from real variants without hard-dropping ambiguous
+    reads from the depth.
     """
     L = len(ref_seq)
     ref_codes = _CODE[
@@ -421,6 +438,10 @@ def call_pileup(
         & (alt_count > 0)
         & valid_ref
     )
+    if weights is not None and min_alt_conf > 0:
+        callable_ &= alt_evidence >= min_alt_conf * np.maximum(
+            alt_count, 1
+        )
     calls: list[VariantCall] = []
     for p in np.flatnonzero(callable_):
         code = int(alt_code[p])
@@ -532,6 +553,7 @@ def call_reads(
     min_baseq: int = 0,
     min_mapq: int = 0,
     weighted: bool = False,
+    min_alt_conf: float = 0.0,
     **map_kw,
 ) -> tuple[list[VariantCall], dict[str, np.ndarray]]:
     """map -> pileup -> call. Returns (calls, per-contig pileups).
@@ -580,6 +602,7 @@ def call_reads(
         contig_calls = call_pileup(
             counts, seq, rname,
             min_depth=min_depth, min_frac=min_frac, weights=wsum,
+            min_alt_conf=min_alt_conf,
         ) + call_insertions(
             insertions, counts, seq, rname,
             min_depth=min_depth, min_frac=min_frac,

@@ -429,3 +429,24 @@ def test_call_reads_weighted_end_to_end():
     )
     got = {(c.pos, c.alt) for c in calls}
     assert got == {(m + 1, flip[ref[m]])}
+
+
+def test_min_alt_conf_filters_ambiguous_support():
+    """A site whose alt support comes only from ambiguously-mapped
+    reads (mean weight ~0.5) is filtered by min_alt_conf; confident
+    support (mean ~1.0) passes."""
+    ref = "ACGTA"
+    counts = np.zeros((5, 5), np.int32)
+    weights = np.zeros((5, 5), np.float32)
+    # Position 1 (ref C): 10 alt 'T' votes, all weight 0.5.
+    counts[1, 3] = 10
+    weights[1, 3] = 5.0
+    # Position 3 (ref T): 10 alt 'A' votes, weight ~1.
+    counts[3, 0] = 10
+    weights[3, 0] = 9.9
+    base = call_pileup(counts, ref, "c", 5, 0.6, weights=weights)
+    assert {(c.pos, c.alt) for c in base} == {(2, "T"), (4, "A")}
+    conf = call_pileup(
+        counts, ref, "c", 5, 0.6, weights=weights, min_alt_conf=0.8
+    )
+    assert {(c.pos, c.alt) for c in conf} == {(4, "A")}
