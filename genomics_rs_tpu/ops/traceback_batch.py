@@ -65,7 +65,8 @@ NO_MOVE = 255
 
 
 @functools.partial(
-    jax.jit, static_argnames=("layout", "is_local", "max_steps")
+    jax.jit,
+    static_argnames=("layout", "is_local", "max_steps", "packed_moves"),
 )
 def walk_batch(
     codes: jax.Array,
@@ -75,6 +76,7 @@ def walk_batch(
     is_local: bool,
     layout: str,
     max_steps: int,
+    packed_moves: bool = False,
 ):
     """Walk B tracebacks in lockstep on device.
 
@@ -163,7 +165,35 @@ def walk_batch(
     (i_f, j_f, counts, done), moves = jax.lax.scan(
         step, init, None, length=max_steps
     )
+    if packed_moves:
+        # 4 codes per byte for the D2H transfer (the axon tunnel
+        # moves tens of MB/s — the move matrix dominated the read
+        # pipeline's harvest). True codes are 0..2; NO_MOVE packs to
+        # 3, which the host unpack/classify treats identically (it
+        # matches no move kind and sits beyond ``counts`` anyway).
+        T4 = -(-max_steps // 4) * 4
+        mp = jnp.pad(
+            moves, ((0, T4 - max_steps), (0, 0)),
+            constant_values=NO_MOVE,
+        )
+        mp = (mp & 3).reshape(T4 // 4, 4, B)
+        packed = (
+            mp[:, 0] | (mp[:, 1] << 2) | (mp[:, 2] << 4)
+            | (mp[:, 3] << 6)
+        )
+        return packed.T, counts, i_f, j_f, done
     return moves.T, counts, i_f, j_f, done
+
+
+def unpack_moves4(packed: np.ndarray, T: int) -> np.ndarray:
+    """Host unpack of ``walk_batch(packed_moves=True)`` output:
+    (B, ceil(T/4)) bytes -> (B, T) uint8 codes (0..3)."""
+    packed = np.asarray(packed)
+    B, P = packed.shape
+    out = np.empty((B, P, 4), np.uint8)
+    for s in range(4):
+        out[:, :, s] = (packed >> (2 * s)) & 3
+    return out.reshape(B, P * 4)[:, :T]
 
 
 #: CIGAR op characters by numeric run code (0 = padding, dropped).
@@ -246,6 +276,16 @@ def classify_batch(
     moves = np.asarray(moves)
     counts = np.asarray(counts)
     B, T = moves.shape
+    # Work on the live prefix only: the move buffer is padded to the
+    # worst-case path length (L1+L2+1) but real paths are ~read
+    # length — the whole-batch (B, T) ops were ~4x too wide in the
+    # mapper profile. Padding beyond counts.max() is NO_MOVE/masked,
+    # so truncation is exact.
+    if B and T:
+        T_eff = int(counts.max())
+        if T_eff < T:
+            moves = moves[:, : max(T_eff, 1)]
+            T = moves.shape[1]
     live = np.arange(T)[None, :] < counts[:, None]
 
     is_sub = (moves == DIR_SUB) & live
