@@ -401,9 +401,245 @@ def gotoh_banded(
 #: dependent walk steps per while-loop iteration (see
 #: ops/traceback_device.walk_block — same amortization). Env knob
 #: for hardware sweeps.
-import os as _os
-
 WALK_UNROLL = int(_os.environ.get("GENOMICS_TPU_WALK_UNROLL", "8"))
+
+# ---- Mosaic hardware-loop banded walker -----------------------------
+# The XLA while_loop walker below costs ~1.5 us/move; at chr12 scale
+# the ~2.16M-move chase is the banded path's biggest cost after the
+# fill. This is ops/traceback_pallas._kernel_walk re-derived for the
+# banded layout: words are ROW-packed (dirs[(i-1)//16, v], v = j -
+# off(i) - 1), so the SMEM window follows (row word, band lane) and a
+# second window of the per-row deltas rides along to track off(i)
+# incrementally.
+
+#: lanes per DMA window / kwords per window (walker constants shared
+#: with the full walker's geometry).
+_LW = 256
+_PKW = 18
+_MPW = 16
+_MAX_STEPS_CAP = 65536
+
+
+def _kernel_walk_banded(
+    scalars,  # SMEM int32[4]: m, n, off_m
+    dirs_ref,  # ANY (KW, V/128, 128) packed words (HBM)
+    deltas_ref,  # ANY (KW, 16): delta entering row i at [.//16, .%16]
+    words_ref,  # VMEM (NW, 128): packed move codes (column 0)
+    meta_ref,  # VMEM (8, 128): pos, i, j, done, oob (column 0)
+    patch_ref,  # SMEM (PKW, 2, 128): dirs window
+    dpatch_ref,  # SMEM (PKW, 16): deltas window
+    sem,
+    sem2,
+    *,
+    KW: int,
+    VG: int,
+    V: int,
+    max_steps: int,
+):
+    m = scalars[0]
+    off_m = scalars[2]
+
+    def outer_cond(st):
+        i, j, off, pos, done, oob, acc = st
+        return (done == 0) & (oob == 0) & (pos < max_steps)
+
+    def outer_body(st):
+        i, j, off, pos, done, oob, acc = st
+        row0 = jnp.maximum(i - 1, 0) >> 4
+        kb = jnp.maximum(row0 - (_PKW - 2), 0)
+        kb = jnp.minimum(kb, KW - _PKW)
+        v0 = jnp.clip(j - off - 1, 0, V - 1)
+        lbi = jnp.maximum(v0 >> 7, 1) - 1
+        lbi = jnp.minimum(lbi, VG - 2)
+        dma = pltpu.make_async_copy(
+            dirs_ref.at[pl.ds(kb, _PKW), pl.ds(lbi, 2), :],
+            patch_ref,
+            sem,
+        )
+        dma.start()
+        dma2 = pltpu.make_async_copy(
+            deltas_ref.at[pl.ds(kb, _PKW), :], dpatch_ref, sem2
+        )
+        dma2.start()
+        dma.wait()
+        dma2.wait()
+        lb = lbi * 128
+
+        def in_window(i, j, v):
+            row = (i - 1) >> 4
+            return (
+                (i == 0)
+                | (j == 0)
+                | (
+                    (row >= kb)
+                    & (row < kb + _PKW)
+                    & (v >= lb)
+                    & (v < lb + 2 * 128)
+                )
+            )
+
+        def in_cond(st2):
+            i, j, off, pos, done, oob, acc = st2
+            return (
+                (done == 0)
+                & (oob == 0)
+                & (pos < max_steps)
+                & in_window(i, j, j - off - 1)
+            )
+
+        def in_sub(st2):
+            i, j, off, pos, done, oob, acc = st2
+            v = j - off - 1
+            halted = (
+                (done != 0)
+                | (oob != 0)
+                | (pos >= max_steps)
+                | (~in_window(i, j, v))
+            )
+            row = jnp.clip(((i - 1) >> 4) - kb, 0, _PKW - 1)
+            lane = jnp.clip(v - lb, 0, 2 * 128 - 1)
+            word = patch_ref[row, lane >> 7, lane & 127]
+            code = (word >> (2 * ((i - 1) & 15))) & 3
+            code = jnp.where(
+                i == 0, DIR_INS, jnp.where(j == 0, DIR_DEL, code)
+            )
+            bad = (
+                (~halted)
+                & (i > 0)
+                & (j > 0)
+                & ((v < 0) | (v >= V) | (code == DIR_STOP))
+            )
+            di = jnp.where(code == DIR_INS, 0, 1)
+            dj = jnp.where(code == DIR_DEL, 0, 1)
+            i_new = jnp.maximum(i - di, 0)
+            j_new = jnp.maximum(j - dj, 0)
+            write = (~halted) & (~bad)
+            sp = pos & (_MPW - 1)
+            acc = jnp.where(
+                write,
+                jnp.where(sp == 0, 0, acc) | (code << (2 * sp)),
+                acc,
+            )
+
+            @pl.when(write & (sp == _MPW - 1))
+            def _flush():
+                words_ref[pl.ds(pos >> 4, 1)] = jnp.full(
+                    (1, 128), acc, dtype=jnp.int32
+                )
+
+            pos = jnp.where(write, pos + 1, pos)
+            done_now = write & (i_new == 0) & (j_new == 0)
+            keep = halted | bad
+            moved_up = (~keep) & (i_new < i)
+            q = jnp.clip((i - 1) - 16 * kb, 0, 16 * _PKW - 1)
+            off_new = off - dpatch_ref[q >> 4, q & 15]
+            return (
+                jnp.where(keep, i, i_new),
+                jnp.where(keep, j, j_new),
+                jnp.where(moved_up, off_new, off),
+                pos,
+                jnp.where(done_now, 1, done),
+                jnp.where(bad, 1, oob),
+                acc,
+            )
+
+        def in_body(st2):
+            for _ in range(WALK_UNROLL):
+                st2 = in_sub(st2)
+            return st2
+
+        return jax.lax.while_loop(in_cond, in_body, st)
+
+    init = (
+        m,
+        scalars[1],
+        off_m,
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.int32(0),
+    )
+    i, j, off, pos, done, oob, acc = jax.lax.while_loop(
+        outer_cond, outer_body, init
+    )
+
+    @pl.when(pos % _MPW != 0)
+    def _flush_partial():
+        words_ref[pl.ds(pos // _MPW, 1)] = jnp.full(
+            (1, 128), acc, dtype=jnp.int32
+        )
+
+    for row, val in enumerate((pos, i, j, done, oob)):
+        meta_ref[pl.ds(row, 1)] = jnp.full(
+            (1, 128), val, dtype=jnp.int32
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("V", "max_steps", "interpret")
+)
+def _walk_banded_pallas(
+    dirs, deltas2d, start_i, start_j, off0, V: int, max_steps: int,
+    interpret: bool = False,
+):
+    """One bounded Mosaic chase; returns (words, pos, i, j, done, oob).
+
+    ``deltas2d`` is the per-row slide stream viewed (KW, 16) so its
+    DMA windows ride the same word rows as the dirs window.
+    """
+    KW, Vd = dirs.shape
+    VG = Vd // 128
+    NW = -(-max_steps // _MPW)
+    scalars = jnp.stack(
+        [
+            jnp.asarray(start_i, jnp.int32),
+            jnp.asarray(start_j, jnp.int32),
+            jnp.asarray(off0, jnp.int32),
+            jnp.int32(0),
+        ]
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (NW, 128), lambda g, s: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (8, 128), lambda g, s: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((_PKW, 2, 128), jnp.int32),
+            pltpu.SMEM((_PKW, 16), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_walk_banded, KW=KW, VG=VG, V=V, max_steps=max_steps
+    )
+    words, meta = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((NW, 128), jnp.int32),
+            jax.ShapeDtypeStruct((8, 128), jnp.int32),
+        ),
+        interpret=interpret,
+    )(scalars, dirs.reshape(KW, VG, 128), deltas2d)
+    return (
+        words[:, 0],
+        meta[0, 0],
+        meta[1, 0],
+        meta[2, 0],
+        meta[3, 0] != 0,
+        meta[4, 0] != 0,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("m", "n", "V", "max_steps"))
@@ -489,15 +725,58 @@ def _walk_banded_jit(dirs, deltas, off_m: jax.Array, m: int, n: int,
 def walk_banded(dirs, m: int, n: int, V: int):
     """Chase the banded direction words from (m, n) to the origin;
     returns the move codes in walk order (uint8). Raises on a path
-    that leaves the band (corrupt words) or fails to terminate."""
-    max_steps = _round_up(m + n + 1, 8192)
+    that leaves the band (corrupt words) or fails to terminate.
+
+    On TPU the chase runs as a Mosaic scalar-core hardware loop with
+    the bitmap left in HBM (``_walk_banded_pallas``, the banded
+    sibling of ``ops/traceback_pallas``), resumed per move-buffer
+    fill; elsewhere as the XLA ``while_loop``.
+    """
     # deltas[i-1] = off(i) - off(i-1) for rows 1..m (host int64 math).
     rows = np.arange(0, m + 1, dtype=np.int64)
     offs = band_offset(rows, m, n, V)
-    deltas = jnp.asarray(np.diff(offs).astype(np.int32))
+    deltas_h = np.diff(offs).astype(np.int32)
+
+    KW, Vd = dirs.shape
+    if (
+        jax.default_backend() == "tpu"
+        and KW >= _PKW
+        and Vd >= 2 * 128
+    ):
+        from genomics_rs_tpu.ops.traceback_pallas import unpack_moves
+
+        cap = min(_round_up(m + n + 1, 8192), _MAX_STEPS_CAP)
+        dl = np.zeros(KW * 16, np.int32)
+        dl[: len(deltas_h)] = deltas_h
+        deltas2d = jnp.asarray(dl.reshape(KW, 16))
+        chunks = []
+        i, j = int(m), int(n)
+        off = int(offs[-1])
+        while True:
+            out = _walk_banded_pallas(
+                dirs, deltas2d, np.int32(i), np.int32(j),
+                np.int32(off), V=int(V), max_steps=cap,
+            )
+            words, pos, i_f, j_f, done, oob = jax.device_get(out)
+            if bool(oob):
+                raise RuntimeError(
+                    "banded traceback left the band or hit a stop "
+                    "code — corrupt direction data"
+                )
+            chunks.append(unpack_moves(words, int(pos)))
+            if bool(done):
+                return np.concatenate(chunks)
+            if (int(i_f), int(j_f)) == (i, j):
+                raise RuntimeError(
+                    f"banded traceback made no progress at ({i}, {j})"
+                )
+            i, j = int(i_f), int(j_f)
+            off = int(offs[i])
+
+    max_steps = _round_up(m + n + 1, 8192)
     moves, pos, done, oob = _walk_banded_jit(
         dirs,
-        deltas,
+        jnp.asarray(deltas_h),
         np.int32(offs[-1]),
         m=int(m),
         n=int(n),

@@ -105,3 +105,68 @@ def test_alt_scores_full_band():
     want = aligner.align(s1, s2)
     got = align_banded(s1, s2, alt, band=1024, interpret=True)
     _assert_same(got, want, "alt")
+
+
+def test_mosaic_banded_walker_matches_xla():
+    """The Mosaic banded walker (interpret mode) chases the same path
+    as the XLA while_loop walker, including buffer-fill resumes."""
+    import jax.numpy as jnp
+
+    from genomics_rs_tpu.ops.gotoh_banded import (
+        _walk_banded_jit,
+        _walk_banded_pallas,
+        band_offset,
+        gotoh_banded,
+    )
+    from genomics_rs_tpu.ops.traceback_pallas import unpack_moves
+
+    rng = np.random.default_rng(17)
+    m, n, V = 400, 380, 1024
+    a = "".join(rng.choice(list("ACGT"), m))
+    bl = list(a[:n])
+    for _ in range(12):
+        bl[int(rng.integers(0, n))] = str(rng.choice(list("ACGT")))
+    b = "".join(bl)
+    s1e = np.frombuffer(a.encode(), np.uint8)
+    s2e = np.frombuffer(b.encode(), np.uint8)
+    score, dirs = gotoh_banded(
+        s1e, s2e, m, n, SCORES, V, interpret=True
+    )
+
+    rows = np.arange(0, m + 1, dtype=np.int64)
+    offs = band_offset(rows, m, n, V)
+    deltas_h = np.diff(offs).astype(np.int32)
+    KW = np.asarray(dirs).shape[0]
+    dl = np.zeros(KW * 16, np.int32)
+    dl[: len(deltas_h)] = deltas_h
+    want_moves, want_pos, want_done, want_oob = map(
+        np.asarray,
+        _walk_banded_jit(
+            dirs, jnp.asarray(deltas_h), np.int32(offs[-1]),
+            m=m, n=n, V=V, max_steps=8192,
+        ),
+    )
+    assert bool(want_done) and not bool(want_oob)
+    want = want_moves[: int(want_pos)]
+
+    # Small cap forces at least one resume through the outer driver.
+    chunks, i, j, off = [], m, n, int(offs[-1])
+    for _ in range(64):
+        words, pos, i_f, j_f, done, oob = map(
+            np.asarray,
+            _walk_banded_pallas(
+                jnp.asarray(dirs), jnp.asarray(dl.reshape(KW, 16)),
+                np.int32(i), np.int32(j), np.int32(off),
+                V=V, max_steps=256, interpret=True,
+            ),
+        )
+        assert not bool(oob)
+        chunks.append(unpack_moves(words, int(pos)))
+        if bool(done):
+            break
+        i, j = int(i_f), int(j_f)
+        off = int(offs[i])
+    else:
+        raise AssertionError("mosaic walker did not finish")
+    got = np.concatenate(chunks)
+    assert np.array_equal(got, want)
