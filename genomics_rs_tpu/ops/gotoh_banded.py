@@ -423,17 +423,19 @@ _MAX_STEPS_CAP = 65536
 def _kernel_walk_banded(
     scalars,  # SMEM int32[4]: m, n, off_m
     dirs_ref,  # ANY (KW, V/128, 128) packed words (HBM)
-    deltas_ref,  # ANY (KW, 16): delta entering row i at [.//16, .%16]
+    deltas_ref,  # ANY (D, 128): delta entering row i at [.//128, .%128]
     words_ref,  # VMEM (NW, 128): packed move codes (column 0)
     meta_ref,  # VMEM (8, 128): pos, i, j, done, oob (column 0)
     patch_ref,  # SMEM (PKW, 2, 128): dirs window
-    dpatch_ref,  # SMEM (PKW, 16): deltas window
+    dpatch_ref,  # SMEM (4, 128): deltas window (128-lane rows — a
+    #   16-wide last dim violates the DMA tiling at scale)
     sem,
     sem2,
     *,
     KW: int,
     VG: int,
     V: int,
+    D: int,
     max_steps: int,
 ):
     m = scalars[0]
@@ -457,13 +459,17 @@ def _kernel_walk_banded(
             sem,
         )
         dma.start()
+        # Deltas for the window's rows [16*kb, 16*kb + 16*PKW) live in
+        # <= 4 consecutive 128-wide rows of the (D, 128) layout.
+        dkb = jnp.minimum((16 * kb) >> 7, D - 4)
         dma2 = pltpu.make_async_copy(
-            deltas_ref.at[pl.ds(kb, _PKW), :], dpatch_ref, sem2
+            deltas_ref.at[pl.ds(dkb, 4), :], dpatch_ref, sem2
         )
         dma2.start()
         dma.wait()
         dma2.wait()
         lb = lbi * 128
+        dbase = dkb * 128
 
         def in_window(i, j, v):
             row = (i - 1) >> 4
@@ -531,8 +537,8 @@ def _kernel_walk_banded(
             done_now = write & (i_new == 0) & (j_new == 0)
             keep = halted | bad
             moved_up = (~keep) & (i_new < i)
-            q = jnp.clip((i - 1) - 16 * kb, 0, 16 * _PKW - 1)
-            off_new = off - dpatch_ref[q >> 4, q & 15]
+            q = jnp.clip((i - 1) - dbase, 0, 4 * 128 - 1)
+            off_new = off - dpatch_ref[q >> 7, q & 127]
             return (
                 jnp.where(keep, i, i_new),
                 jnp.where(keep, j, j_new),
@@ -584,11 +590,13 @@ def _walk_banded_pallas(
 ):
     """One bounded Mosaic chase; returns (words, pos, i, j, done, oob).
 
-    ``deltas2d`` is the per-row slide stream viewed (KW, 16) so its
-    DMA windows ride the same word rows as the dirs window.
+    ``deltas2d`` is the per-row slide stream viewed (D, 128) (the
+    last dim must be tile-aligned for the DMA); its windows cover the
+    dirs window's rows.
     """
     KW, Vd = dirs.shape
     VG = Vd // 128
+    D = deltas2d.shape[0]
     NW = -(-max_steps // _MPW)
     scalars = jnp.stack(
         [
@@ -615,13 +623,14 @@ def _walk_banded_pallas(
         ),
         scratch_shapes=[
             pltpu.SMEM((_PKW, 2, 128), jnp.int32),
-            pltpu.SMEM((_PKW, 16), jnp.int32),
+            pltpu.SMEM((4, 128), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     kernel = functools.partial(
-        _kernel_walk_banded, KW=KW, VG=VG, V=V, max_steps=max_steps
+        _kernel_walk_banded, KW=KW, VG=VG, V=V, D=D,
+        max_steps=max_steps,
     )
     words, meta = pl.pallas_call(
         kernel,
@@ -746,9 +755,10 @@ def walk_banded(dirs, m: int, n: int, V: int):
         from genomics_rs_tpu.ops.traceback_pallas import unpack_moves
 
         cap = min(_round_up(m + n + 1, 8192), _MAX_STEPS_CAP)
-        dl = np.zeros(KW * 16, np.int32)
+        D = max(-(-(KW * 16) // 128), 4)
+        dl = np.zeros(D * 128, np.int32)
         dl[: len(deltas_h)] = deltas_h
-        deltas2d = jnp.asarray(dl.reshape(KW, 16))
+        deltas2d = jnp.asarray(dl.reshape(D, 128))
         chunks = []
         i, j = int(m), int(n)
         off = int(offs[-1])

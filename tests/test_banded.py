@@ -137,7 +137,8 @@ def test_mosaic_banded_walker_matches_xla():
     offs = band_offset(rows, m, n, V)
     deltas_h = np.diff(offs).astype(np.int32)
     KW = np.asarray(dirs).shape[0]
-    dl = np.zeros(KW * 16, np.int32)
+    D = max(-(-(KW * 16) // 128), 4)
+    dl = np.zeros(D * 128, np.int32)
     dl[: len(deltas_h)] = deltas_h
     want_moves, want_pos, want_done, want_oob = map(
         np.asarray,
@@ -155,7 +156,7 @@ def test_mosaic_banded_walker_matches_xla():
         words, pos, i_f, j_f, done, oob = map(
             np.asarray,
             _walk_banded_pallas(
-                jnp.asarray(dirs), jnp.asarray(dl.reshape(KW, 16)),
+                jnp.asarray(dirs), jnp.asarray(dl.reshape(D, 128)),
                 np.int32(i), np.int32(j), np.int32(off),
                 V=V, max_steps=256, interpret=True,
             ),
