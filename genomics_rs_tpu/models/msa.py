@@ -13,11 +13,14 @@ into a proper MSA the TPU way:
    similarity scores).
 2. **Star alignments** — every other sequence is globally aligned to
    the center. On the pallas engine the K-1 fills dispatch
-   back-to-back (async, shared compiled shape) and ALL their packed
+   back-to-back (async, shared compiled shape); their packed
    direction bitmaps are walked in ONE lockstep device dispatch
-   (``ops/traceback_batch.walk_batch``, layout "diag16") — round 4's
-   batching of what used to be K-1 sequential fill+walk round trips.
-   Long pairs fall back to the routed pairwise aligner per pair.
+   (``ops/traceback_batch.walk_batch``, layout "diag16") when the
+   stack is small, or per pair via the Mosaic hardware-loop walker
+   (``ops/traceback_device.device_walk``) when stacking would force
+   XLA to re-tile gigabytes — round 4's batching of what used to be
+   K-1 sequential checkpointed aligns. Pairs too long even for one
+   monolithic bitmap fall back to the routed pairwise aligner.
 3. **Merge** — "once a gap, always a gap": between two center chars
    (a "slot") the merged alignment carries the MAXIMUM of the gap
    runs any pairwise alignment put there, each row's inserted chars
@@ -178,6 +181,20 @@ def _merge_center(
 #: forward-op byte by walk move code (DIR_SUB/INS/DEL = 0/1/2).
 _OP_BY_CODE = np.frombuffer(b"MID?", dtype=np.uint8)
 
+#: largest per-pair packed bitmap the batched star stage will build
+#: monolithically (sub-batched to ~4 GB live); beyond this, pairs run
+#: through the routed aligner (checkpointed path) one at a time.
+STAR_PAIR_DIRS_BUDGET = 1 << 30
+
+
+#: largest STACKED bitmap the lockstep walk will take. The batched
+#: gather makes XLA re-tile the whole stack (pad B up to the sublane
+#: multiple + a layout copy, ~3x the stacked bytes live) — fine at
+#: read scale, fatal at 30 kb x 9 pairs (17.7 GB observed). Above
+#: this, each pair walks alone via the Mosaic hardware-loop walker,
+#: which leaves the bitmap in HBM untouched.
+LOCKSTEP_STACK_BUDGET = 512 << 20
+
 
 def _star_ops_batched(
     cseq: Sequence,
@@ -186,11 +203,14 @@ def _star_ops_batched(
     interpret: bool,
 ) -> list[str]:
     """Per-pair forward op strings (M/I/D) for center-vs-other global
-    alignments: K-1 async packed-dirs fills + ONE lockstep batched
-    device walk. Bit-identical to walking each pair alone (the walk
-    replicates ``walk_block``'s movement semantics)."""
+    alignments: K-1 async packed-dirs fills (one compiled shape), then
+    ONE lockstep batched device walk when the stacked bitmaps are
+    small, or per-pair Mosaic hardware-loop walks when they are not.
+    Bit-identical to walking each pair alone (both walkers replicate
+    ``walk_block``'s movement semantics)."""
     from genomics_rs_tpu.models.aligner import PAD_MULTIPLE, _fill
     from genomics_rs_tpu.ops.traceback_batch import NO_MOVE, walk_batch
+    from genomics_rs_tpu.ops.traceback_device import device_walk
     from genomics_rs_tpu.sequence import PAD_S1, PAD_S2, round_up
 
     import jax
@@ -207,31 +227,52 @@ def _star_ops_batched(
     # (each is (Kp/16, V) int32 ~ (Lm+Ln)*Lm/4 bytes).
     per_pair = (Lm + Ln + 1) * round_up(Lm + 1, 1024) // 4
     group = max(1, int((4 << 30) // max(per_pair, 1)))
+    max_steps = round_up(Lm + Ln + 1, 8192)
     ops: list[str] = []
     for g0 in range(0, len(others), group):
         chunk = others[g0 : g0 + group]
-        dirs = []
+        fills = []
         for o in chunk:
             s2e = o.encoded(pad_to=Ln, pad_value=PAD_S2)
-            res = _fill(
-                s1e, s2e, np.int32(m), np.int32(len(o)), scores,
-                False, "pallas", packed_dirs=True, interpret=interpret,
+            fills.append(
+                _fill(
+                    s1e, s2e, np.int32(m), np.int32(len(o)), scores,
+                    False, "pallas", packed_dirs=True,
+                    interpret=interpret,
+                )
             )
-            dirs.append(res.dirs)
-        codes = jnp.stack(dirs)
-        start_i = np.full(len(chunk), m, np.int32)
-        start_j = np.array([len(o) for o in chunk], np.int32)
-        moves, counts, i_f, j_f, done = jax.device_get(
-            walk_batch(
-                codes, start_i, start_j, scores, False,
-                layout="diag16", max_steps=Lm + Ln + 1,
+        if len(chunk) * per_pair <= LOCKSTEP_STACK_BUDGET:
+            codes = jnp.stack([r.dirs for r in fills])
+            start_i = np.full(len(chunk), m, np.int32)
+            start_j = np.array([len(o) for o in chunk], np.int32)
+            moves, counts, i_f, j_f, done = jax.device_get(
+                walk_batch(
+                    codes, start_i, start_j, scores, False,
+                    layout="diag16", max_steps=Lm + Ln + 1,
+                )
             )
-        )
-        if not done.all():
-            raise RuntimeError("batched star walk failed to terminate")
-        for b in range(len(chunk)):
-            cnt = int(counts[b])
-            mv = moves[b, :cnt][::-1]  # forward order
+            if not done.all():
+                raise RuntimeError(
+                    "batched star walk failed to terminate"
+                )
+            walked = [
+                moves[b, : int(counts[b])][::-1]
+                for b in range(len(chunk))
+            ]
+        else:
+            walked = []
+            for o, res in zip(chunk, fills):
+                codes1, i_f, j_f, done = device_walk(
+                    res.dirs, res.start_i, res.start_j, np.int32(0),
+                    max_steps=max_steps, interpret=interpret,
+                )
+                if not bool(done) or (int(i_f), int(j_f)) != (0, 0):
+                    raise RuntimeError(
+                        "star retrace left the table at "
+                        f"({int(i_f)}, {int(j_f)})"
+                    )
+                walked.append(np.asarray(codes1)[::-1])
+        for mv in walked:
             if (mv == NO_MOVE).any():
                 raise RuntimeError("batched star walk emitted a gap")
             ops.append(_OP_BY_CODE[mv].tobytes().decode())
@@ -348,7 +389,11 @@ def center_star_msa(
         scores, is_local=False, engine=resolved, interpret=interpret
     )
     # The batched path needs every pair's monolithic packed bitmap to
-    # be buildable (the per-pair budget the aligner itself uses).
+    # be buildable. Its budget is larger than the aligner's
+    # monolithic-route budget: the star stage explicitly sub-batches
+    # so only one GROUP of bitmaps is live (~4 GB), and the transient
+    # is freed before the merge — a 30 kb corpus (472 MB/pair) stays
+    # on the fast path instead of paying 9 checkpointed aligns.
     from genomics_rs_tpu.sequence import round_up as _ru
 
     Lm_est = max(_ru(len(cseq), 128), 128)
@@ -360,7 +405,7 @@ def center_star_msa(
         if (
             resolved == "pallas"
             and others
-            and est_dirs <= PairwiseAligner.DIRS_BYTE_BUDGET
+            and est_dirs <= STAR_PAIR_DIRS_BUDGET
         ):
             ops_list = _star_ops_batched(
                 cseq, others, scores, interpret
