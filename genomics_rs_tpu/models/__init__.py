@@ -1,6 +1,10 @@
 """High-level model-like APIs (aligners over the DP kernels)."""
 
-from genomics_rs_tpu.models.aligner import PairwiseAligner, align_pair
+from genomics_rs_tpu.models.aligner import (
+    PairwiseAligner,
+    align_batch,
+    align_pair,
+)
 from genomics_rs_tpu.models.banded import align_banded
 from genomics_rs_tpu.models.mapper import (
     KmerIndex,
@@ -24,6 +28,7 @@ from genomics_rs_tpu.models.reads import align_reads, write_sam
 
 __all__ = [
     "PairwiseAligner",
+    "align_batch",
     "align_pair",
     "align_banded",
     "align_reads",

@@ -299,6 +299,118 @@ class PairwiseAligner:
         return int(res.score)
 
 
+def align_batch(
+    pairs: list[tuple[Sequence, Sequence]],
+    scores: Scores,
+    is_local: bool = False,
+    engine: str = "auto",
+    interpret: bool = False,
+) -> list[AlignedSequences]:
+    """Full alignments (path + stats) for a batch of pairs.
+
+    The TPU-native batched counterpart of :meth:`PairwiseAligner.align`
+    (no reference analog — ``algo.rs`` aligns one pair per process
+    run): global-mode batches stream every pair's columns through ONE
+    continuous wavefront that also emits the packed direction words
+    (``ops/gotoh_stream.gotoh_stream_fill_dirs``), so the fill pays
+    neither the per-pair diagonal ramp (~2x at square pairs) nor
+    K separate dispatch latencies; each pair's bitmap slice is then
+    chased by the device walker. Falls back to the routed per-pair
+    aligner whenever the stream formulation doesn't apply (local
+    mode, single pair, non-TPU engines, extreme lengths). Output is
+    bit-identical to the per-pair path (pinned by tests and the
+    ``stream_dirs`` smoke row).
+
+    Pairs are padded to the batch maximum — pre-bucket by length for
+    very mixed batches (``parallel/allpairs.bucketize_pairs``).
+    """
+    from genomics_rs_tpu.ops.traceback import classify_moves
+    from genomics_rs_tpu.ops.traceback_device import device_walk
+    from genomics_rs_tpu.utils.devcache import device_put_cached
+
+    if engine == "auto":
+        engine = _default_engine()
+    aligner = PairwiseAligner(
+        scores, is_local=is_local, engine=engine, interpret=interpret
+    )
+    if engine != "pallas" or is_local or len(pairs) < 2:
+        return [aligner.align(a, b) for a, b in pairs]
+
+    Lm = max(
+        round_up(max(len(a) for a, _ in pairs), PAD_MULTIPLE),
+        PAD_MULTIPLE,
+    )
+    Ln = max(
+        round_up(max(len(b) for _, b in pairs), PAD_MULTIPLE),
+        PAD_MULTIPLE,
+    )
+    # The stream's packed words cost ~(L1/16)*V ints per segment
+    # (segments share the diagonal axis); group so one group's words
+    # stay well under HBM. Conservative monolithic-style estimate.
+    per_pair = (Lm + Ln + 1) * round_up(Lm + 1, 1024) // 8
+    group = max(2, int((4 << 30) // max(per_pair, 1)))
+    max_steps = round_up(Lm + Ln + 1, 8192)
+    out: list[AlignedSequences] = []
+    for g0 in range(0, len(pairs), group):
+        chunk = pairs[g0 : g0 + group]
+        stream = None
+        if len(chunk) >= 2:
+            from genomics_rs_tpu.ops.gotoh_stream import (
+                gotoh_stream_fill_dirs,
+            )
+
+            s1b = np.stack(
+                [
+                    a.encoded(pad_to=Lm, pad_value=PAD_S1)
+                    for a, _ in chunk
+                ]
+            )
+            s2b = np.stack(
+                [
+                    b.encoded(pad_to=Ln, pad_value=PAD_S2)
+                    for _, b in chunk
+                ]
+            )
+            ms = np.array([len(a) for a, _ in chunk], np.int32)
+            ns = np.array([len(b) for _, b in chunk], np.int32)
+            stream = gotoh_stream_fill_dirs(
+                device_put_cached(s1b),
+                device_put_cached(s2b),
+                ms,
+                ns,
+                scores,
+                interpret=interpret,
+            )
+        if stream is None:
+            out.extend(aligner.align(a, b) for a, b in chunk)
+            continue
+        for t, (a, b) in enumerate(chunk):
+            codes, i_f, j_f, done = device_walk(
+                stream.segment_dirs(t),
+                np.int32(len(a)),
+                np.int32(len(b)),
+                np.int32(0),
+                max_steps=max_steps,
+                interpret=interpret,
+            )
+            if not bool(done) or (int(i_f), int(j_f)) != (0, 0):
+                raise RuntimeError(
+                    "batched retrace left the table at "
+                    f"({int(i_f)}, {int(j_f)})"
+                )
+            out.append(
+                classify_moves(
+                    np.asarray(codes),
+                    len(a),
+                    len(b),
+                    int(np.asarray(stream.score)[t]),
+                    a,
+                    b,
+                )
+            )
+    return out
+
+
 def align_pair(
     container: SequenceContainer,
     scores: Scores,

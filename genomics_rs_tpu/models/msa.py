@@ -224,13 +224,55 @@ def _star_ops_batched(
     )
     s1e = cseq.encoded(pad_to=Lm, pad_value=PAD_S1)
     # Sub-batch so the stacked packed bitmaps stay well under HBM
-    # (each is (Kp/16, V) int32 ~ (Lm+Ln)*Lm/4 bytes).
+    # (each is (Kp/16, V) int32 ~ (Lm+Ln)*Lm/4 bytes; the streamed
+    # fill's shared-diagonal layout needs ~half that).
     per_pair = (Lm + Ln + 1) * round_up(Lm + 1, 1024) // 4
     group = max(1, int((4 << 30) // max(per_pair, 1)))
     max_steps = round_up(Lm + Ln + 1, 8192)
     ops: list[str] = []
     for g0 in range(0, len(others), group):
         chunk = others[g0 : g0 + group]
+        stream = None
+        if len(chunk) >= 2:
+            # One continuous wavefront for the whole group: the
+            # streamed dirs fill removes the per-pair diagonal ramp
+            # (~2x at square pairs) that the monolithic fills pay.
+            from genomics_rs_tpu.ops.gotoh_stream import (
+                gotoh_stream_fill_dirs,
+            )
+            from genomics_rs_tpu.utils.devcache import (
+                device_put_cached,
+            )
+
+            s1b = np.stack([s1e] * len(chunk))
+            s2b = np.stack(
+                [o.encoded(pad_to=Ln, pad_value=PAD_S2) for o in chunk]
+            )
+            msg = np.full(len(chunk), m, np.int32)
+            nsg = np.array([len(o) for o in chunk], np.int32)
+            stream = gotoh_stream_fill_dirs(
+                device_put_cached(s1b), device_put_cached(s2b),
+                msg, nsg, scores, interpret=interpret,
+            )
+        if stream is not None:
+            for t, o in enumerate(chunk):
+                codes1, i_f, j_f, done = device_walk(
+                    stream.segment_dirs(t), np.int32(m),
+                    np.int32(len(o)), np.int32(0),
+                    max_steps=max_steps, interpret=interpret,
+                )
+                if not bool(done) or (int(i_f), int(j_f)) != (0, 0):
+                    raise RuntimeError(
+                        "star retrace left the table at "
+                        f"({int(i_f)}, {int(j_f)})"
+                    )
+                mv = np.asarray(codes1)[::-1]
+                if (mv == NO_MOVE).any():
+                    raise RuntimeError(
+                        "batched star walk emitted a gap"
+                    )
+                ops.append(_OP_BY_CODE[mv].tobytes().decode())
+            continue
         fills = []
         for o in chunk:
             s2e = o.encoded(pad_to=Ln, pad_value=PAD_S2)

@@ -78,13 +78,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from genomics_rs_tpu.config import Scores
 from genomics_rs_tpu.ops.gotoh_pallas import (
+    PACK,
     ROWS,
     _round_up,
     _shift_down_flat,
     concrete_lengths_or_none,
     drift_rate_or_none,
 )
-from genomics_rs_tpu.ops.gotoh_scan import INT_MIN, NEG_INF
+from genomics_rs_tpu.ops.gotoh_scan import (
+    DIR_DEL,
+    DIR_INS,
+    DIR_STOP,
+    DIR_SUB,
+    INT_MIN,
+    NEG_INF,
+)
 
 #: diagonals per grid step (SMEM stream block width). Env-overridable
 #: (GENOMICS_TPU_CHUNK) for hardware sweeps; must stay a multiple of
@@ -149,6 +157,7 @@ def _kernel_stream(
     chunk: int,
     is_local: bool,
     unroll: int,
+    emit_dirs: bool = False,
 ):
     if is_local:
         (
@@ -189,6 +198,12 @@ def _kernel_stream(
             seam_ref,  # SMEM int32 (1, chunk): col-0 lane (-1) per step
             probe_ref,  # SMEM int32 (1, chunk): probe lane (-1) per step
             fin_out_ref,  # VMEM int32 (1, 8, 128) out: probe capture
+            *dtail,  # [dirs_out (chunk/16, 8, C)], scratch...
+        ) = rest
+        if emit_dirs:
+            dirs_out = dtail[0]
+            dtail = dtail[1:]
+        (
             s2j_ref,
             Ip,
             Pp,
@@ -197,7 +212,10 @@ def _kernel_stream(
             shM,
             s1cur,
             fin_s,
-        ) = rest
+            *dtail,
+        ) = dtail
+        if emit_dirs:
+            acc_s = dtail[0]  # packed-codes accumulator pane
     g_id = pl.program_id(0)
     sm = scalars[0]
     sx = scalars[1]
@@ -229,6 +247,8 @@ def _kernel_stream(
             # loads the real bounds (the pre-start window).
             mc_s[:] = jnp.full((ROWS, C), -1, dtype=jnp.int32)
             nc_s[:] = jnp.full((ROWS, C), -1, dtype=jnp.int32)
+        elif emit_dirs:
+            acc_s[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
 
     # The per-chunk accumulators are flushed and reset every chunk:
     # the probe capture (global) so a stale capture from pair t never
@@ -323,6 +343,42 @@ def _kernel_stream(
             bj0 = jnp.where(upd, c1, bj0)
             tail = (c1, bv0, bj0, mc0, nc0, cv0, cj0)
         else:
+            if emit_dirs:
+                # Packed direction codes, the rowblock kernel's exact
+                # chain and tie order SUB > INS > DEL > STOP
+                # (gotoh_rowblock._kernel_rows): row-0 cells are
+                # walked, so I/S get the row-0 stream fixes for the
+                # code comparisons (the recurrence itself only needs
+                # the Q/D fixes above). Cell (i, j) of segment s sits
+                # at step k = s*L1 + i + j, and L1 % PACK == 0, so
+                # the global word rows [s*L1/PACK, ...] are exactly
+                # the per-segment diag16 layout the device walkers
+                # consume (wrapper guard).
+                (acc0,) = loc
+                Mnew = jnp.maximum(Qnew, Dnew)
+                Id = jnp.where(row0_mask, topI_ref[0, t], Inew)
+                Sd = jnp.where(row0_mask, topSD_ref[0, t], Snew)
+                dcode = jnp.where(
+                    Mnew == Sd,
+                    DIR_SUB,
+                    jnp.where(
+                        Mnew == Id,
+                        DIR_INS,
+                        jnp.where(Mnew == Dnew, DIR_DEL, DIR_STOP),
+                    ),
+                )
+                sp = t % PACK
+                acc0 = jnp.where(sp == 0, 0, acc0) | (
+                    dcode << (2 * sp)
+                )
+
+                @pl.when(sp == PACK - 1)
+                def _flush_dirs():
+                    dirs_out[t // PACK] = acc0
+
+                tail = (acc0,)
+            else:
+                tail = ()
             # Probe capture: pr is the probed lane or -1. Under a
             # scalar pl.when the two vector ops only run on the one
             # step per segment that probes (55 of ~1.7M steps in the
@@ -333,10 +389,10 @@ def _kernel_stream(
             @pl.when(pr >= 0)
             def _probe():
                 fin_s[:] = jnp.where(
-                    iv == pr, jnp.maximum(Qnew, Dnew), fin_s[:]
+                    iv == pr,
+                    jnp.maximum(Qnew, Dnew),
+                    fin_s[:],
                 )
-
-            tail = ()
         return (
             s2j,
             Inew,
@@ -349,6 +405,8 @@ def _kernel_stream(
 
     if is_local:
         tail_refs = (cnt_ref, bv_s, bj_s, mc_s, nc_s, cv_s, cj_s)
+    elif emit_dirs:
+        tail_refs = (acc_s,)  # the packed-codes accumulator rides SSA
     else:
         tail_refs = ()  # fin_s is written in place under the probe when
     core_refs = (s2j_ref, Ip, Pp, Dp, Qp, shM, s1cur)
@@ -389,7 +447,8 @@ def _kernel_stream(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("P", "Lm", "Ln", "is_local", "interpret")
+    jax.jit,
+    static_argnames=("P", "Lm", "Ln", "is_local", "interpret", "emit_dirs"),
 )
 def _stream_call(
     s1eb: jax.Array,
@@ -402,9 +461,18 @@ def _stream_call(
     Ln: int,
     is_local: bool,
     interpret: bool,
+    emit_dirs: bool = False,
 ):
     V, C, L1, K, Kp = _plan_stream(Lm, Ln, P)
     neg = jnp.int32(NEG_INF)
+    if emit_dirs and (is_local or L1 % PACK or CHUNK % PACK):
+        # Local mode has no dirs consumer; the layout equivalence
+        # (segment slice == diag16) needs L1 and CHUNK to be PACK
+        # multiples (always true at the default CHUNK=256).
+        raise ValueError(
+            "emit_dirs needs global mode and PACK-aligned L1/CHUNK "
+            f"(L1={L1}, CHUNK={CHUNK})"
+        )
 
     # s1 panes, one per segment: flat index v holds s1[v-1] (0xFD at
     # v=0 and beyond Lm never matches any s2 char or sentinel).
@@ -484,6 +552,19 @@ def _stream_call(
     )
     out_arr = jax.ShapeDtypeStruct((G, ROWS, 128), jnp.int32)
     n_out = 3 if is_local else 1
+    out_specs: tuple = tuple([out_block] * n_out)
+    out_shapes: tuple = tuple([out_arr] * n_out)
+    if emit_dirs:
+        out_specs += (
+            pl.BlockSpec(
+                (CHUNK // PACK, ROWS, C),
+                lambda g, s: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        out_shapes += (
+            jax.ShapeDtypeStruct((Kp // PACK, ROWS, C), jnp.int32),
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),
@@ -506,9 +587,9 @@ def _stream_call(
             else []
         )
         + [smem_chunk] * 5,
-        out_specs=tuple([out_block] * n_out),
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)]
-        * (14 if is_local else 8),
+        * (14 if is_local else (9 if emit_dirs else 8)),
     )
     # Interpret mode (CPU tests) evaluates the traced body per
     # primitive: a 64-step SSA body is pure tracing/eval overhead
@@ -522,6 +603,7 @@ def _stream_call(
         chunk=CHUNK,
         is_local=is_local,
         unroll=unroll,
+        emit_dirs=emit_dirs,
     )
     operands = (
         (s1panes, cinit, inj, topI, topSD)
@@ -531,12 +613,15 @@ def _stream_call(
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=tuple([out_arr] * n_out),
+        out_shape=out_shapes,
         interpret=interpret,
     )(scalars, *operands, *extra_streams)
 
     if not is_local:
-        return jnp.max(outs[0][probe_ks // CHUNK], axis=(-2, -1))
+        score = jnp.max(outs[0][probe_ks // CHUNK], axis=(-2, -1))
+        if emit_dirs:
+            return score, outs[1].reshape(Kp // PACK, V)
+        return score
 
     # Re-assemble each segment's argmax from its flush window: lane i
     # flushes segment t at step (t+1)*L1 + i, i.e. chunks
@@ -628,3 +713,100 @@ def gotoh_scores_stream(
     if is_local:
         return out
     return out, jnp.asarray(ms, jnp.int32), jnp.asarray(ns, jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("KW",))
+def _slice_dirs(dirs, word0, KW: int):
+    """One compiled dynamic-slice for every segment (traced start,
+    static size) — per-constant host slicing would compile a fresh
+    executable per segment through the remote tunnel."""
+    return jax.lax.dynamic_slice(
+        dirs, (word0, jnp.int32(0)), (KW, dirs.shape[1])
+    )
+
+
+class StreamDirsResult:
+    """Scores + packed direction words of a streamed multi-pair fill.
+
+    ``dirs`` is the GLOBAL word array (Kp/16, V): the code of cell
+    (i, j) of segment t sits at word ((t*L1 + i + j) // 16, i), bit
+    2*((i+j) % 16) — because ``L1 % 16 == 0``, rows
+    ``[t*L1/16, t*L1/16 + KW)`` are exactly the per-pair diag16
+    layout (``gotoh_pallas.TileFillResult.dirs``) that
+    ``traceback_device.device_walk`` chases. Adjacent segments'
+    windows overlap by construction (a pair's m+n+1 diagonals exceed
+    the stride L1); each (step, lane) cell belongs to exactly one
+    segment, so the overlap rows carry the neighbour's lanes — cells
+    a walk of THIS segment never visits.
+    """
+
+    def __init__(self, score, dirs, ms, ns, L1: int, KW: int):
+        self.score = score
+        self.dirs = dirs
+        self.ms = np.asarray(ms)
+        self.ns = np.asarray(ns)
+        self.L1 = L1
+        self.KW = KW
+
+    def segment_dirs(self, t: int):
+        """Segment ``t``'s diag16 bitmap (device-side slice view)."""
+        return _slice_dirs(
+            self.dirs, jnp.int32(t * (self.L1 // PACK)), self.KW
+        )
+
+
+def gotoh_stream_fill_dirs(
+    s1eb,
+    s2eb,
+    ms,
+    ns,
+    scores: Scores,
+    interpret: bool = False,
+) -> StreamDirsResult | None:
+    """Streamed GLOBAL fill of a pair batch that also emits the packed
+    direction bitmaps — the alignment-returning counterpart of
+    :func:`gotoh_scores_stream` (round 4: the star/batched-align fills
+    used to pay the per-pair diagonal ramp in the monolithic kernel).
+
+    Returns ``None`` when the stream formulation doesn't apply (single
+    pair, traced lengths, probe-chunk collision, drift headroom) —
+    callers fall back to per-pair monolithic fills. Walk each
+    segment's bitmap with ``device_walk(res.segment_dirs(t),
+    ms[t], ns[t], 0, max_steps)``.
+    """
+    B, Lm = s1eb.shape
+    _, Ln = s2eb.shape
+    if B < 2:
+        return None
+    lengths = concrete_lengths_or_none(ms, ns)
+    drift_rate = drift_rate_or_none(scores)
+    if lengths is None or drift_rate is None:
+        return None
+    ms_np, ns_np = lengths
+    _, _, L1, _, _ = _plan_stream(Lm, Ln, B)
+    if L1 % PACK or CHUNK % PACK:
+        return None
+    if 2 * L1 * drift_rate >= 1 << 30:
+        return None
+    if np.any(ms_np < 1) or np.any(ns_np < 1):
+        return None
+    probe_chunks = (
+        ms_np + ns_np + np.arange(B, dtype=np.int64) * L1
+    ) // CHUNK
+    if len(np.unique(probe_chunks)) < B:
+        return None
+    score, dirs = _stream_call(
+        s1eb,
+        s2eb,
+        ms,
+        ns,
+        scores,
+        P=B,
+        Lm=Lm,
+        Ln=Ln,
+        is_local=False,
+        interpret=interpret,
+        emit_dirs=True,
+    )
+    KW = (Lm + Ln) // PACK + 1
+    return StreamDirsResult(score, dirs, ms_np, ns_np, L1, KW)

@@ -136,6 +136,16 @@ def _score_pairs_bucketed(
         s2b = np.stack([enc(pairs[k][1], Ln, PAD_S2) for k in idxs])
         ms = np.array([lens[pairs[k][0]] for k in idxs], dtype=np.int32)
         ns = np.array([lens[pairs[k][1]] for k in idxs], dtype=np.int32)
+        if mesh is None:
+            # Steady-state callers (msa's score pass, repeated
+            # align-matrix jobs) resubmit identical operand stacks:
+            # hand the kernels device-resident copies so the fill
+            # doesn't wait on a re-upload (utils/devcache).
+            from genomics_rs_tpu.utils.devcache import (
+                device_put_cached,
+            )
+
+            s1b, s2b = device_put_cached(s1b), device_put_cached(s2b)
         if mesh is not None and mesh.devices.size > 1:
             eng = mesh_bucket_engine(engine, Lm, Ln, is_local)
             if eng == "pallas":
@@ -231,7 +241,11 @@ def allpairs_scores(
     dealing — each process's devices are not globally addressable).
     """
     if engine == "auto":
-        engine = "pallas" if jax.default_backend() == "tpu" else "scan"
+        # Keep "auto" on TPU so score_pairs' per-bucket router still
+        # applies (round 4: resolving to "pallas" here silently pinned
+        # every bucket to the FLAT batch kernel — 3.3e10 cells/s where
+        # the streamed kernel does 7.5e10 on long-pair buckets).
+        engine = "auto" if jax.default_backend() == "tpu" else "scan"
     if mesh is None and (
         engine == "scan"
         or (jax.process_count() == 1 and len(jax.devices()) > 1)
@@ -295,7 +309,8 @@ def allpairs_scores_resumable(
     import json
 
     if engine == "auto":
-        engine = "pallas" if jax.default_backend() == "tpu" else "scan"
+        # "auto" stays "auto" on TPU (score_pairs routes per bucket).
+        engine = "auto" if jax.default_backend() == "tpu" else "scan"
 
     names = [s.name for s in container.sequences]
     num = len(names)

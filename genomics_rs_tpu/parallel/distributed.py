@@ -134,7 +134,8 @@ def allpairs_multihost(
     from jax.experimental import multihost_utils
 
     if engine == "auto":
-        engine = "pallas" if jax.default_backend() == "tpu" else "scan"
+        # "auto" stays "auto" on TPU (score_pairs routes per bucket).
+        engine = "auto" if jax.default_backend() == "tpu" else "scan"
 
     names = [s.name for s in container.sequences]
     num = len(names)

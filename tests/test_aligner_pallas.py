@@ -64,3 +64,49 @@ def test_pallas_packed_align_reference_case():
     s1 = Sequence("s1", "ACGGATAAAAAAAATC")
     s2 = Sequence("s2", "ACGGATAAAATC")
     _assert_same(pallas.align(s1, s2), scan.align(s1, s2))
+
+
+def test_align_batch_matches_per_pair():
+    """align_batch (streamed dirs fill + per-segment walks) must be
+    bit-identical to per-pair aligns, across mixed lengths and
+    boundary-heavy pairs."""
+    from genomics_rs_tpu.models.aligner import align_batch
+
+    rng = np.random.default_rng(31)
+    base = "".join(rng.choice(list("ACGT"), 180))
+    pairs_s = [
+        (base, base),
+        (base, base[100:]),
+        (base[:50], base),
+    ]
+    for _ in range(3):
+        a, b = _random_pair(rng, 60, 190)
+        pairs_s.append((a, b))
+    pairs = [
+        (Sequence("a", a), Sequence("b", b)) for a, b in pairs_s
+    ]
+    got = align_batch(
+        pairs, SCORES, is_local=False, engine="pallas", interpret=True
+    )
+    scan = PairwiseAligner(SCORES, is_local=False, engine="scan")
+    for (s1, s2), g in zip(pairs, got):
+        _assert_same(g, scan.align(s1, s2))
+
+
+def test_align_batch_local_and_single_fall_back():
+    from genomics_rs_tpu.models.aligner import align_batch
+
+    rng = np.random.default_rng(37)
+    a, b = _random_pair(rng, 60, 120)
+    pairs = [(Sequence("a", a), Sequence("b", b))]
+    scan = PairwiseAligner(SCORES, is_local=True, engine="scan")
+    got = align_batch(
+        pairs, SCORES, is_local=True, engine="pallas", interpret=True
+    )
+    _assert_same(got[0], scan.align(*pairs[0]))
+    # Single-pair global also routes per pair (no stream to amortize).
+    got_g = align_batch(
+        pairs, SCORES, is_local=False, engine="pallas", interpret=True
+    )
+    scan_g = PairwiseAligner(SCORES, is_local=False, engine="scan")
+    _assert_same(got_g[0], scan_g.align(*pairs[0]))

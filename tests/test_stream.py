@@ -228,3 +228,90 @@ def test_stream_fallback_paths():
         s1t, s2t, msx, nsx, SCORES, interpret=True
     )
     assert [int(x) for x in np.asarray(got2)] == want2
+
+
+def _mutated(rng, base, edits):
+    b = list(base)
+    for _ in range(edits):
+        p = int(rng.integers(0, len(b)))
+        op = int(rng.integers(0, 3))
+        if op == 0:
+            b[p] = rng.choice(list("ACGT"))
+        elif op == 1 and len(b) > 2:
+            del b[p]
+        else:
+            b.insert(p, rng.choice(list("ACGT")))
+    return "".join(b)
+
+
+def test_stream_dirs_walk_matches_scan():
+    """The streamed dirs fill + per-segment device walk + classify
+    pipeline must reproduce the scan engine's alignment exactly —
+    score, path, stats — including boundary-heavy walks (long leading
+    gaps up column 0 / along row 0) that read the seam-injected
+    boundary codes."""
+    from genomics_rs_tpu.models.aligner import PairwiseAligner
+    from genomics_rs_tpu.ops.gotoh_stream import gotoh_stream_fill_dirs
+    from genomics_rs_tpu.ops.traceback import classify_moves
+    from genomics_rs_tpu.ops.traceback_device import device_walk
+
+    rng = np.random.default_rng(23)
+    base = "".join(rng.choice(list("ACGT"), 200))
+    pairs = [
+        (base, _mutated(rng, base, 6)),
+        # Prefix deletion: the walk climbs column 0's boundary codes.
+        (base, base[120:]),
+        # Suffix insertion: the walk runs along row 0.
+        (base[:60], base),
+        (_mutated(rng, base, 20), _mutated(rng, base, 20)),
+    ]
+    Lm = Ln = 256
+    s1b = np.stack(
+        [
+            Sequence("a", a).encoded(pad_to=Lm, pad_value=PAD_S1)
+            for a, _ in pairs
+        ]
+    )
+    s2b = np.stack(
+        [
+            Sequence("b", b).encoded(pad_to=Ln, pad_value=PAD_S2)
+            for _, b in pairs
+        ]
+    )
+    ms = np.array([len(a) for a, _ in pairs], np.int32)
+    ns = np.array([len(b) for _, b in pairs], np.int32)
+    res = gotoh_stream_fill_dirs(s1b, s2b, ms, ns, SCORES, interpret=True)
+    assert res is not None
+    scan = PairwiseAligner(SCORES, is_local=False, engine="scan")
+    for t, (a, b) in enumerate(pairs):
+        s1, s2 = Sequence("s1", a), Sequence("s2", b)
+        want = scan.align(s1, s2)
+        assert int(np.asarray(res.score)[t]) == want.score
+        codes, i_f, j_f, done = device_walk(
+            res.segment_dirs(t),
+            np.int32(ms[t]),
+            np.int32(ns[t]),
+            np.int32(0),
+            max_steps=1024,
+            interpret=True,
+        )
+        assert bool(done) and (int(i_f), int(j_f)) == (0, 0)
+        got = classify_moves(
+            np.asarray(codes), int(ms[t]), int(ns[t]), want.score, s1, s2
+        )
+        assert got.alignment == want.alignment
+        assert got.matches == want.matches
+        assert got.mismatches == want.mismatches
+        assert got.opening_gaps == want.opening_gaps
+        assert got.gap_extensions == want.gap_extensions
+
+
+def test_stream_dirs_inapplicable_returns_none():
+    from genomics_rs_tpu.ops.gotoh_stream import gotoh_stream_fill_dirs
+
+    rng = np.random.default_rng(5)
+    s1b, s2b, ms, ns = _batch(rng, 2, 100, 150, 256, 256)
+    assert (
+        gotoh_stream_fill_dirs(s1b[:1], s2b[:1], ms[:1], ns[:1], SCORES)
+        is None
+    )
