@@ -412,6 +412,16 @@ def run_full() -> dict:
 
     _retry(run_bfull, label="batch align warmup")
     dt_be = _median_time(run_bfull, reps=3)
+
+    def run_bdirs_local():
+        res = gotoh_stream_fill_dirs(
+            sb1, sb2, mb, nb, scores, is_local=True
+        )
+        np.asarray(res.score)
+        return res
+
+    _retry(run_bdirs_local, label="batch dirs local warmup")
+    dt_bl = _median_time(run_bdirs_local, reps=5)
     rows["batch_align_dirs"] = {
         "pairs": len(bpairs),
         "cells": bcells,
@@ -419,6 +429,8 @@ def run_full() -> dict:
         "fill_cells_per_s": bcells / dt_bf,
         "end_to_end_s": dt_be,
         "aligns_per_s": len(bpairs) / dt_be,
+        "local_fill_ms": dt_bl * 1e3,
+        "local_fill_cells_per_s": bcells / dt_bl,
     }
 
     # --- short-read batch ------------------------------------------
@@ -1132,35 +1144,42 @@ def run_smoke() -> int:
     from genomics_rs_tpu.ops.traceback_device import device_walk
     from genomics_rs_tpu.sequence import Sequence
 
-    sres = _retry(
-        lambda: gotoh_stream_fill_dirs(s1b, s2b, ms, ns, scores),
-        label="smoke stream dirs",
-    )
-    sd_ok = sres is not None
-    if sd_ok:
-        mono = PairwiseAligner(scores, is_local=False)
+    for loc in (False, True):
+        sres = _retry(
+            lambda loc=loc: gotoh_stream_fill_dirs(
+                s1b, s2b, ms, ns, scores, is_local=loc
+            ),
+            label="smoke stream dirs",
+        )
+        if sres is None:
+            print(f"[smoke] stream_dirs local={loc}: inapplicable (SKIP)")
+            failures.append(("stream_dirs_geometry", loc, 0, None, None))
+            continue
+        mono = PairwiseAligner(scores, is_local=loc)
+        sci = np.asarray(sres.start_i)
+        scj = np.asarray(sres.start_j)
         for i in range(B):
             q = Sequence("q", bytes(s1b[i][: ms[i]]).decode())
             r = Sequence("r", bytes(s2b[i][: ns[i]]).decode())
             want_sd = mono.align(q, r)
             codes_sd, fi, fj, done_sd = device_walk(
                 sres.segment_dirs(i),
-                np.int32(ms[i]),
-                np.int32(ns[i]),
+                np.int32(sci[i]),
+                np.int32(scj[i]),
                 np.int32(0),
                 max_steps=8192,
             )
             got_sd = classify_moves(
                 np.asarray(codes_sd),
-                int(ms[i]),
-                int(ns[i]),
+                int(sci[i]),
+                int(scj[i]),
                 int(np.asarray(sres.score)[i]),
                 q,
                 r,
             )
             ok = (
                 bool(done_sd)
-                and (int(fi), int(fj)) == (0, 0)
+                and (loc or (int(fi), int(fj)) == (0, 0))
                 and got_sd.alignment == want_sd.alignment
                 and got_sd.score == want_sd.score
                 and (
@@ -1177,14 +1196,11 @@ def run_smoke() -> int:
                 )
             )
             print(
-                f"[smoke] stream_dirs pair{i}: "
+                f"[smoke] stream_dirs local={loc} pair{i}: "
                 f"{'ok' if ok else 'MISMATCH vs monolithic aligner'}"
             )
             if not ok:
-                failures.append(("stream_dirs", False, i, None, None))
-    else:
-        print("[smoke] stream_dirs: inapplicable geometry (SKIP)")
-        failures.append(("stream_dirs_geometry", False, 0, None, None))
+                failures.append(("stream_dirs", loc, i, None, None))
 
     # Lean forward row-block engine (score_long's rolling path),
     # multi-block (255-row blocks over a 384-row pair).

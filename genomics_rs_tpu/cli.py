@@ -267,6 +267,13 @@ def _build_parser() -> argparse.ArgumentParser:
     am.add_argument("-a", "--alignment-type", default="global")
     am.add_argument("--engine", default="auto", choices=["auto", "scan", "pallas"])
     am.add_argument("-o", "--output", default="alignment_scores.tsv")
+    am.add_argument(
+        "--alignments-out",
+        default=None,
+        help="also write every pair's FULL alignment (i < j) as a "
+        "2-sequence gapped FASTA in this directory — batched "
+        "streamed dirs fills + device walks (align_batch)",
+    )
     return p
 
 
@@ -800,6 +807,52 @@ def main(argv: list[str] | None = None) -> int:
         tsv = write_scores_tsv(result, args.output)
         print("Alignment score TSV:")
         print(tsv)
+        if args.alignments_out:
+            import re
+
+            from genomics_rs_tpu.models.aligner import align_batch
+            from genomics_rs_tpu.models.msa import (
+                _alignment_ops,
+                _gapped_pair,
+            )
+
+            os.makedirs(args.alignments_out, exist_ok=True)
+            seqs = container.sequences
+            idx = [
+                (i, j)
+                for j in range(len(seqs))
+                for i in range(len(seqs))
+                if i < j
+            ]
+            alns = align_batch(
+                [(seqs[i], seqs[j]) for i, j in idx],
+                config.scores,
+                is_local=is_local,
+                engine=args.engine,
+            )
+            for (i, j), aln in zip(idx, alns):
+                rowa, rowb = _gapped_pair(
+                    seqs[i].sequence,
+                    seqs[j].sequence,
+                    _alignment_ops(aln),
+                )
+                tag = re.sub(r"[^A-Za-z0-9._-]+", "_", seqs[i].name[:24])
+                tag2 = re.sub(r"[^A-Za-z0-9._-]+", "_", seqs[j].name[:24])
+                path = os.path.join(
+                    args.alignments_out, f"pair_{i}_{j}_{tag}_{tag2}.fasta"
+                )
+                with open(path, "w") as f:
+                    for name, row in (
+                        (seqs[i].name, rowa),
+                        (seqs[j].name, rowb),
+                    ):
+                        f.write(f">{name} score={aln.score}\n")
+                        for p0 in range(0, len(row), 60):
+                            f.write(row[p0 : p0 + 60] + "\n")
+            print(
+                f"wrote {len(alns)} pair alignments to "
+                f"{args.alignments_out}"
+            )
         return 0
 
     return 1

@@ -310,16 +310,17 @@ def align_batch(
 
     The TPU-native batched counterpart of :meth:`PairwiseAligner.align`
     (no reference analog — ``algo.rs`` aligns one pair per process
-    run): global-mode batches stream every pair's columns through ONE
-    continuous wavefront that also emits the packed direction words
+    run): batches stream every pair's columns through ONE continuous
+    wavefront that also emits the packed direction words
     (``ops/gotoh_stream.gotoh_stream_fill_dirs``), so the fill pays
     neither the per-pair diagonal ramp (~2x at square pairs) nor
     K separate dispatch latencies; each pair's bitmap slice is then
-    chased by the device walker. Falls back to the routed per-pair
-    aligner whenever the stream formulation doesn't apply (local
-    mode, single pair, non-TPU engines, extreme lengths). Output is
-    bit-identical to the per-pair path (pinned by tests and the
-    ``stream_dirs`` smoke row).
+    chased by the device walker — in local mode from the stream's
+    per-segment reference keep-last argmax start cell. Falls back to
+    the routed per-pair aligner whenever the stream formulation
+    doesn't apply (single pair, non-TPU engines, extreme lengths).
+    Output is bit-identical to the per-pair path (pinned by tests and
+    the ``stream_dirs`` smoke rows).
 
     Pairs are padded to the batch maximum — pre-bucket by length for
     very mixed batches (``parallel/allpairs.bucketize_pairs``).
@@ -333,7 +334,7 @@ def align_batch(
     aligner = PairwiseAligner(
         scores, is_local=is_local, engine=engine, interpret=interpret
     )
-    if engine != "pallas" or is_local or len(pairs) < 2:
+    if engine != "pallas" or len(pairs) < 2:
         return [aligner.align(a, b) for a, b in pairs]
 
     Lm = max(
@@ -379,21 +380,27 @@ def align_batch(
                 ms,
                 ns,
                 scores,
+                is_local=is_local,
                 interpret=interpret,
             )
         if stream is None:
             out.extend(aligner.align(a, b) for a, b in chunk)
             continue
+        sci = np.asarray(stream.start_i)
+        scj = np.asarray(stream.start_j)
+        scv = np.asarray(stream.score)
         for t, (a, b) in enumerate(chunk):
             codes, i_f, j_f, done = device_walk(
                 stream.segment_dirs(t),
-                np.int32(len(a)),
-                np.int32(len(b)),
+                np.int32(sci[t]),
+                np.int32(scj[t]),
                 np.int32(0),
                 max_steps=max_steps,
                 interpret=interpret,
             )
-            if not bool(done) or (int(i_f), int(j_f)) != (0, 0):
+            if not bool(done) or (
+                not is_local and (int(i_f), int(j_f)) != (0, 0)
+            ):
                 raise RuntimeError(
                     "batched retrace left the table at "
                     f"({int(i_f)}, {int(j_f)})"
@@ -401,9 +408,9 @@ def align_batch(
             out.append(
                 classify_moves(
                     np.asarray(codes),
-                    len(a),
-                    len(b),
-                    int(np.asarray(stream.score)[t]),
+                    int(sci[t]),
+                    int(scj[t]),
+                    int(scv[t]),
                     a,
                     b,
                 )

@@ -170,6 +170,12 @@ def _kernel_stream(
             val_out,  # VMEM (1, 8, 128) out: chunk flush best value
             lane_out,  # VMEM (1, 8, 128) out: per-sublane argmax lane
             j_out,  # VMEM (1, 8, 128) out: per-sublane argmax column
+            *dtail,  # [dirs_out (chunk/16, 8, C)], scratch...
+        ) = rest
+        if emit_dirs:
+            dirs_out = dtail[0]
+            dtail = dtail[1:]
+        (
             s2j_ref,
             Ip,
             Pp,
@@ -184,7 +190,10 @@ def _kernel_stream(
             nc_s,  # current segment's n, per lane
             cv_s,  # chunk flush accumulator: value
             cj_s,  # chunk flush accumulator: column
-        ) = rest
+            *dtail,
+        ) = dtail
+        if emit_dirs:
+            acc_s = dtail[0]  # packed-codes accumulator pane
     else:
         # Global mode carries NO per-lane counter: L1 > V means at
         # most one lane enters column 0 per step, and that lane's
@@ -247,7 +256,7 @@ def _kernel_stream(
             # loads the real bounds (the pre-start window).
             mc_s[:] = jnp.full((ROWS, C), -1, dtype=jnp.int32)
             nc_s[:] = jnp.full((ROWS, C), -1, dtype=jnp.int32)
-        elif emit_dirs:
+        if emit_dirs:
             acc_s[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
 
     # The per-chunk accumulators are flushed and reset every chunk:
@@ -288,7 +297,7 @@ def _kernel_stream(
         # entered segment's because chunks never straddle seams).
         s1c1 = jnp.where(col0, s1pane_ref[0], s1c0)
         if is_local:
-            bv0, bj0, mc0, nc0, cv0, cj0 = loc[1:]
+            bv0, bj0, mc0, nc0, cv0, cj0 = loc[1:7]
             # Flush the finished segment's per-lane best into the
             # chunk accumulator, reset the running best, and load the
             # entered segment's (m, n) bounds.
@@ -342,6 +351,34 @@ def _kernel_stream(
             bv0 = jnp.where(upd, val, bv0)
             bj0 = jnp.where(upd, c1, bj0)
             tail = (c1, bv0, bj0, mc0, nc0, cv0, cj0)
+            if emit_dirs:
+                # Local dirs: the rowblock kernel's exact chain vs the
+                # zero-clamped cell max (cmc) — a 0-max cell that ties
+                # none of S/I/D codes STOP, and a 0-max cell equal to
+                # sub still codes SUB (reference quirk §2.4-7: the
+                # termination check runs after the S/I/D arms).
+                acc0 = loc[7]
+                Id = jnp.where(row0_mask, topI_ref[0, t], Inew)
+                Sd = jnp.where(row0_mask, topSD_ref[0, t], Snew)
+                dcode = jnp.where(
+                    cmc == Sd,
+                    DIR_SUB,
+                    jnp.where(
+                        cmc == Id,
+                        DIR_INS,
+                        jnp.where(cmc == Dnew, DIR_DEL, DIR_STOP),
+                    ),
+                )
+                sp = t % PACK
+                acc0 = jnp.where(sp == 0, 0, acc0) | (
+                    dcode << (2 * sp)
+                )
+
+                @pl.when(sp == PACK - 1)
+                def _flush_dirs_l():
+                    dirs_out[t // PACK] = acc0
+
+                tail = tail + (acc0,)
         else:
             if emit_dirs:
                 # Packed direction codes, the rowblock kernel's exact
@@ -405,6 +442,8 @@ def _kernel_stream(
 
     if is_local:
         tail_refs = (cnt_ref, bv_s, bj_s, mc_s, nc_s, cv_s, cj_s)
+        if emit_dirs:
+            tail_refs += (acc_s,)
     elif emit_dirs:
         tail_refs = (acc_s,)  # the packed-codes accumulator rides SSA
     else:
@@ -465,12 +504,12 @@ def _stream_call(
 ):
     V, C, L1, K, Kp = _plan_stream(Lm, Ln, P)
     neg = jnp.int32(NEG_INF)
-    if emit_dirs and (is_local or L1 % PACK or CHUNK % PACK):
-        # Local mode has no dirs consumer; the layout equivalence
-        # (segment slice == diag16) needs L1 and CHUNK to be PACK
-        # multiples (always true at the default CHUNK=256).
+    if emit_dirs and (L1 % PACK or CHUNK % PACK):
+        # The layout equivalence (segment slice == diag16) needs L1
+        # and CHUNK to be PACK multiples (always true at the default
+        # CHUNK=256).
         raise ValueError(
-            "emit_dirs needs global mode and PACK-aligned L1/CHUNK "
+            "emit_dirs needs PACK-aligned L1/CHUNK "
             f"(L1={L1}, CHUNK={CHUNK})"
         )
 
@@ -589,7 +628,7 @@ def _stream_call(
         + [smem_chunk] * 5,
         out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)]
-        * (14 if is_local else (9 if emit_dirs else 8)),
+        * ((14 if is_local else 8) + (1 if emit_dirs else 0)),
     )
     # Interpret mode (CPU tests) evaluates the traced body per
     # primitive: a 64-step SSA body is pure tracing/eval overhead
@@ -631,7 +670,7 @@ def _stream_call(
     # keep-last reference tie-break is "largest lane, then largest
     # column among that lane's ties" (the kernel already kept the
     # last column per lane).
-    vals, lanes, cols = outs
+    vals, lanes, cols = outs[:3]
     W = V // CHUNK
     base = (jnp.arange(P, dtype=jnp.int32) + 1) * (L1 // CHUNK)
     win = base[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
@@ -644,6 +683,8 @@ def _stream_call(
     jbest = jnp.max(
         jnp.where(tied & (cl == lbest[:, None]), cj, -1), axis=1
     )
+    if emit_dirs:
+        return (vmax, lbest, jbest), outs[3].reshape(Kp // PACK, V)
     return vmax, lbest, jbest
 
 
@@ -740,13 +781,21 @@ class StreamDirsResult:
     a walk of THIS segment never visits.
     """
 
-    def __init__(self, score, dirs, ms, ns, L1: int, KW: int):
+    def __init__(
+        self, score, dirs, ms, ns, L1: int, KW: int,
+        start_i=None, start_j=None,
+    ):
         self.score = score
         self.dirs = dirs
         self.ms = np.asarray(ms)
         self.ns = np.asarray(ns)
         self.L1 = L1
         self.KW = KW
+        #: per-segment retrace start cells (segment-local coords):
+        #: (m, n) in global mode, the reference keep-last argmax in
+        #: local mode.
+        self.start_i = self.ms if start_i is None else start_i
+        self.start_j = self.ns if start_j is None else start_j
 
     def segment_dirs(self, t: int):
         """Segment ``t``'s diag16 bitmap (device-side slice view)."""
@@ -761,18 +810,21 @@ def gotoh_stream_fill_dirs(
     ms,
     ns,
     scores: Scores,
+    is_local: bool = False,
     interpret: bool = False,
 ) -> StreamDirsResult | None:
-    """Streamed GLOBAL fill of a pair batch that also emits the packed
+    """Streamed fill of a pair batch that also emits the packed
     direction bitmaps — the alignment-returning counterpart of
     :func:`gotoh_scores_stream` (round 4: the star/batched-align fills
     used to pay the per-pair diagonal ramp in the monolithic kernel).
+    Local mode additionally returns each segment's reference keep-last
+    argmax start cell (``start_i``/``start_j``).
 
     Returns ``None`` when the stream formulation doesn't apply (single
-    pair, traced lengths, probe-chunk collision, drift headroom) —
-    callers fall back to per-pair monolithic fills. Walk each
-    segment's bitmap with ``device_walk(res.segment_dirs(t),
-    ms[t], ns[t], 0, max_steps)``.
+    pair, traced lengths, global probe-chunk collision, drift
+    headroom) — callers fall back to per-pair monolithic fills. Walk
+    each segment's bitmap with ``device_walk(res.segment_dirs(t),
+    start_i[t], start_j[t], 0, max_steps)``.
     """
     B, Lm = s1eb.shape
     _, Ln = s2eb.shape
@@ -790,12 +842,13 @@ def gotoh_stream_fill_dirs(
         return None
     if np.any(ms_np < 1) or np.any(ns_np < 1):
         return None
-    probe_chunks = (
-        ms_np + ns_np + np.arange(B, dtype=np.int64) * L1
-    ) // CHUNK
-    if len(np.unique(probe_chunks)) < B:
-        return None
-    score, dirs = _stream_call(
+    if not is_local:
+        probe_chunks = (
+            ms_np + ns_np + np.arange(B, dtype=np.int64) * L1
+        ) // CHUNK
+        if len(np.unique(probe_chunks)) < B:
+            return None
+    out = _stream_call(
         s1eb,
         s2eb,
         ms,
@@ -804,9 +857,17 @@ def gotoh_stream_fill_dirs(
         P=B,
         Lm=Lm,
         Ln=Ln,
-        is_local=False,
+        is_local=is_local,
         interpret=interpret,
         emit_dirs=True,
     )
     KW = (Lm + Ln) // PACK + 1
+    if is_local:
+        (vmax, lbest, jbest), dirs = out
+        return StreamDirsResult(
+            vmax, dirs, ms_np, ns_np, L1, KW,
+            start_i=np.asarray(lbest),
+            start_j=np.asarray(jbest),
+        )
+    score, dirs = out
     return StreamDirsResult(score, dirs, ms_np, ns_np, L1, KW)

@@ -93,20 +93,38 @@ def test_align_batch_matches_per_pair():
         _assert_same(g, scan.align(s1, s2))
 
 
-def test_align_batch_local_and_single_fall_back():
+def test_align_batch_local_matches_per_pair():
+    """Local batches stream too: per-segment argmax start cells +
+    dirs walks must reproduce the scan engine exactly (incl. a
+    no-match pair whose walk STOPs immediately at a 0-max cell)."""
+    from genomics_rs_tpu.models.aligner import align_batch
+
+    rng = np.random.default_rng(41)
+    base = "".join(rng.choice(list("ACGT"), 160))
+    pairs_s = [(base, base[40:120])]
+    for _ in range(3):
+        pairs_s.append(_random_pair(rng, 60, 190))
+    pairs_s.append(("A" * 80, "T" * 90))  # local no-match: score 0
+    pairs = [
+        (Sequence("a", a), Sequence("b", b)) for a, b in pairs_s
+    ]
+    got = align_batch(
+        pairs, SCORES, is_local=True, engine="pallas", interpret=True
+    )
+    scan = PairwiseAligner(SCORES, is_local=True, engine="scan")
+    for (s1, s2), g in zip(pairs, got):
+        _assert_same(g, scan.align(s1, s2))
+
+
+def test_align_batch_single_falls_back():
     from genomics_rs_tpu.models.aligner import align_batch
 
     rng = np.random.default_rng(37)
     a, b = _random_pair(rng, 60, 120)
     pairs = [(Sequence("a", a), Sequence("b", b))]
-    scan = PairwiseAligner(SCORES, is_local=True, engine="scan")
-    got = align_batch(
-        pairs, SCORES, is_local=True, engine="pallas", interpret=True
-    )
-    _assert_same(got[0], scan.align(*pairs[0]))
-    # Single-pair global also routes per pair (no stream to amortize).
-    got_g = align_batch(
-        pairs, SCORES, is_local=False, engine="pallas", interpret=True
-    )
-    scan_g = PairwiseAligner(SCORES, is_local=False, engine="scan")
-    _assert_same(got_g[0], scan_g.align(*pairs[0]))
+    for loc in (False, True):
+        got = align_batch(
+            pairs, SCORES, is_local=loc, engine="pallas", interpret=True
+        )
+        scan = PairwiseAligner(SCORES, is_local=loc, engine="scan")
+        _assert_same(got[0], scan.align(*pairs[0]))

@@ -130,6 +130,37 @@ def test_cli_align_matrix(tmp_path):
     assert len(rows) == 3  # header + 2
 
 
+def test_cli_align_matrix_alignments_out(tmp_path):
+    d = tmp_path / "genomes"
+    d.mkdir()
+    (d / "a.fasta").write_text(">a\nACGTACGTAA\n")
+    (d / "b.fasta").write_text(">b\nACGTTACGTACGT\n")
+    (d / "c.fasta").write_text(">c\nACGTACATAA\n")
+    out = tmp_path / "scores.tsv"
+    adir = tmp_path / "alns"
+    r = _run(
+        [
+            "align-matrix", "-f", str(d), "--engine", "scan",
+            "-o", str(out), "--alignments-out", str(adir),
+        ],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr
+    files = sorted(adir.glob("pair_*.fasta"))
+    assert len(files) == 3  # 3 sequences -> 3 pairs (i < j)
+    for f in files:
+        lines = f.read_text().strip().splitlines()
+        names = [ln for ln in lines if ln.startswith(">")]
+        rows = [ln for ln in lines if not ln.startswith(">")]
+        assert len(names) == 2 and "score=" in names[0]
+        # Both gapped rows share a length and degap to the inputs.
+        half = len(rows) // 2
+        a, b = "".join(rows[:half]), "".join(rows[half:])
+        assert len(a) == len(b)
+        assert a.replace("-", "") in ("ACGTACGTAA", "ACGTTACGTACGT", "ACGTACATAA")
+        assert b.replace("-", "") in ("ACGTACGTAA", "ACGTTACGTACGT", "ACGTACATAA")
+
+
 def test_cli_missing_config(tmp_path, small_pair):
     r = subprocess.run(
         [
