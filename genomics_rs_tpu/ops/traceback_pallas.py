@@ -42,9 +42,15 @@ from genomics_rs_tpu.ops.gotoh_scan import DIR_DEL, DIR_INS, DIR_STOP
 #: the one below, so a fresh window always has >= 128 moves of
 #: downward room — except near lane 0, where the walk exits anyway).
 LW = 256
-#: kwords per DMA window: 128 moves span <= 256 diagonals = 16 words,
-#: plus the head's word and one of slack.
-PKW = 18
+#: kwords per DMA window. 16 words (+head+slack) guarantee >= 128
+#: moves of downward room; a v5e sweep of 10/18/34/66 over a 30 kb
+#: walk measured 1277/1143/1024/1086 ns/move — the chase is bound by
+#: the dependent load->decode->update chain per move (each move's
+#: word address depends on the previous move), not the window DMA,
+#: so a bigger window only trims the residual refresh cost. 34 is
+#: the measured optimum; blocks with fewer words route to the XLA
+#: walker (device_walk).
+PKW = 34
 #: moves per packed output word (matches the dirs PACK).
 MPW = 16
 #: hard cap on one call's move buffer (VMEM: cap/16 x 128 x 4 B).

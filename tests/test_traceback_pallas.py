@@ -53,7 +53,7 @@ def test_short_walks_parity():
     rng = np.random.default_rng(0)
     for trial in range(4):
         V = 256
-        KW = 32
+        KW = 48  # >= PKW (34): smaller blocks route to the XLA walker
         dirs = jax.numpy.asarray(
             rng.integers(0, 2**31, size=(KW, V), dtype=np.int32)
         )
