@@ -507,9 +507,11 @@ def map_reads(
     if both_strands:
         oriented = oriented + [q.reverse_complement() for q in oriented[:B]]
     L = max(max(len(q) for q in oriented), 1)
-    enc4 = _BASE[
-        np.stack([q.encoded(pad_to=L, pad_value=0xFE) for q in oriented])
-    ]
+    # One-pass batch encode (200k per-read encoded() calls cost ~1 s
+    # per 100k-read both-strand batch — the round-4 mapper profile).
+    from genomics_rs_tpu.models.reads import encode_batch
+
+    enc4 = _BASE[encode_batch(oriented, L, 0xFE)]
     lens = np.array([len(q) for q in oriented], np.int64)
     if seed_engine == "device":
         votes, wlo, whi, anchor, votes2 = _vote_windows_device(
