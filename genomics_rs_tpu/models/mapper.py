@@ -540,27 +540,37 @@ def map_reads(
         strands = ["+"] * B
 
     total = int(index.starts[-1])
+    # Whole-batch window math (the per-read loop paid a searchsorted
+    # + a handful of int conversions per read — ~1 s at 100k reads):
+    # the widened window can straddle a contig boundary; the anchor —
+    # a real hit position from the winning bins — names the
+    # supporting contig, and the window is clipped to it.
+    starts_a = np.asarray(index.starts, np.int64)
+    cids = (
+        np.searchsorted(
+            starts_a, np.clip(anchor, 0, None), "right"
+        ).astype(np.int64)
+        - 1
+    )
+    c0s = starts_a[cids]
+    c1s = starts_a[cids + 1]
+    ws_a = np.maximum(np.maximum(wlo - band, 0), c0s)
+    we_a = np.minimum(
+        np.minimum(whi + lens[: len(whi)] + band, total), c1s
+    )
+    keep = (votes >= min_seeds) & (we_a > ws_a)
     mapped_ix, win_seqs, win_starts, win_contig = [], [], [], []
-    for i in range(B):
-        if votes[i] < min_seeds:
-            continue
-        ws = max(int(wlo[i]) - band, 0)
-        we = min(int(whi[i]) + int(lens[i]) + band, total)
-        # The widened window can straddle a contig boundary; the
-        # anchor — a real hit position from the winning bins — names
-        # the supporting contig, and the window is clipped to it.
-        cid = index.contig_of(int(anchor[i]))
-        c0, c1 = int(index.starts[cid]), int(index.starts[cid + 1])
-        ws, we = max(ws, c0), min(we, c1)
-        if we <= ws:
-            continue
+    for i in np.flatnonzero(keep):
+        cid = int(cids[i])
+        c0 = int(c0s[i])
+        ws, we = int(ws_a[i]), int(we_a[i])
         contig = index.refs[cid]
         win_seqs.append(
             Sequence(contig.name, contig.sequence[ws - c0 : we - c0].upper())
         )
         win_starts.append(ws - c0)
         win_contig.append(contig)
-        mapped_ix.append(i)
+        mapped_ix.append(int(i))
 
     ext: dict[int, tuple] = {}
     if mapped_ix:
