@@ -412,8 +412,10 @@ WALK_UNROLL = int(_os.environ.get("GENOMICS_TPU_WALK_UNROLL", "8"))
 # second window of the per-row deltas rides along to track off(i)
 # incrementally.
 
-#: lanes per DMA window / kwords per window (walker constants shared
-#: with the full walker's geometry).
+#: lanes per DMA window / kwords per window. NOTE: the deltas window
+#: (dpatch, 4 x 128 rows) covers 16*_PKW band rows, so _PKW must stay
+#: <= 32; the full walker's sweep (traceback_pallas.PKW = 34) does
+#: not transfer here.
 _LW = 256
 _PKW = 18
 _MPW = 16
