@@ -1152,7 +1152,13 @@ def run_smoke() -> int:
             label="smoke stream dirs",
         )
         if sres is None:
-            print(f"[smoke] stream_dirs local={loc}: inapplicable (SKIP)")
+            # The fixed smoke geometry can never hit the wrapper's
+            # bail-outs (probe spacing >> CHUNK) — a None here means
+            # the stream path silently stopped applying: FAIL.
+            print(
+                f"[smoke] stream_dirs local={loc}: unexpectedly "
+                "inapplicable — FAIL"
+            )
             failures.append(("stream_dirs_geometry", loc, 0, None, None))
             continue
         mono = PairwiseAligner(scores, is_local=loc)

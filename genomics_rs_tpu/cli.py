@@ -815,6 +815,9 @@ def main(argv: list[str] | None = None) -> int:
                 _alignment_ops,
                 _gapped_pair,
             )
+            from genomics_rs_tpu.parallel.allpairs import (
+                bucketize_pairs,
+            )
 
             os.makedirs(args.alignments_out, exist_ok=True)
             seqs = container.sequences
@@ -824,29 +827,55 @@ def main(argv: list[str] | None = None) -> int:
                 for i in range(len(seqs))
                 if i < j
             ]
-            alns = align_batch(
-                [(seqs[i], seqs[j]) for i, j in idx],
-                config.scores,
-                is_local=is_local,
-                engine=args.engine,
-            )
-            for (i, j), aln in zip(idx, alns):
-                rowa, rowb = _gapped_pair(
-                    seqs[i].sequence,
-                    seqs[j].sequence,
-                    _alignment_ops(aln),
+            # Length-bucketed batches (mixed directories would pad
+            # every pair to the global max otherwise).
+            lens = [len(s) for s in seqs]
+            groups = bucketize_pairs(idx, lens)
+            alns: dict[tuple[int, int], object] = {}
+            for key in sorted(groups):
+                sub = [idx[k] for k in groups[key]]
+                res = align_batch(
+                    [(seqs[i], seqs[j]) for i, j in sub],
+                    config.scores,
+                    is_local=is_local,
+                    engine=args.engine,
                 )
+                alns.update(zip(sub, res))
+            for i, j in idx:
+                aln = alns[(i, j)]
+                ops = _alignment_ops(aln)
+                if is_local:
+                    # A local alignment covers a region, not the
+                    # whole pair: emit the gapped REGION with its
+                    # spans in the headers (the retrace start cell —
+                    # alignment[0] — is the region END).
+                    n1 = sum(1 for o in ops if o in "MD")
+                    n2 = sum(1 for o in ops if o in "MI")
+                    si = aln.alignment[0][1] if aln.alignment else 0
+                    sj = aln.alignment[0][2] if aln.alignment else 0
+                    sub1 = seqs[i].sequence[si - n1 : si]
+                    sub2 = seqs[j].sequence[sj - n2 : sj]
+                    rowa, rowb = _gapped_pair(sub1, sub2, ops)
+                    spans = (
+                        f" span={si - n1}-{si}",
+                        f" span={sj - n2}-{sj}",
+                    )
+                else:
+                    rowa, rowb = _gapped_pair(
+                        seqs[i].sequence, seqs[j].sequence, ops
+                    )
+                    spans = ("", "")
                 tag = re.sub(r"[^A-Za-z0-9._-]+", "_", seqs[i].name[:24])
                 tag2 = re.sub(r"[^A-Za-z0-9._-]+", "_", seqs[j].name[:24])
                 path = os.path.join(
                     args.alignments_out, f"pair_{i}_{j}_{tag}_{tag2}.fasta"
                 )
                 with open(path, "w") as f:
-                    for name, row in (
-                        (seqs[i].name, rowa),
-                        (seqs[j].name, rowb),
+                    for name, row, span in (
+                        (seqs[i].name, rowa, spans[0]),
+                        (seqs[j].name, rowb, spans[1]),
                     ):
-                        f.write(f">{name} score={aln.score}\n")
+                        f.write(f">{name} score={aln.score}{span}\n")
                         for p0 in range(0, len(row), 60):
                             f.write(row[p0 : p0 + 60] + "\n")
             print(

@@ -326,8 +326,6 @@ def align_batch(
     very mixed batches (``parallel/allpairs.bucketize_pairs``).
     """
     from genomics_rs_tpu.ops.traceback import classify_moves
-    from genomics_rs_tpu.ops.traceback_device import device_walk
-    from genomics_rs_tpu.utils.devcache import device_put_cached
 
     if engine == "auto":
         engine = _default_engine()
@@ -349,17 +347,19 @@ def align_batch(
     # (segments share the diagonal axis); group so one group's words
     # stay well under HBM. Conservative monolithic-style estimate.
     per_pair = (Lm + Ln + 1) * round_up(Lm + 1, 1024) // 8
-    group = max(2, int((4 << 30) // max(per_pair, 1)))
+    group = int((4 << 30) // max(per_pair, 1))
+    if group < 2:
+        # One pair's bitmap alone busts the budget: the per-pair
+        # aligner routes such pairs to the checkpointed linear-space
+        # path (its DIRS_BYTE_BUDGET gate) instead of asking the
+        # stream for a hundreds-of-GB dirs allocation.
+        return [aligner.align(a, b) for a, b in pairs]
     max_steps = round_up(Lm + Ln + 1, 8192)
     out: list[AlignedSequences] = []
     for g0 in range(0, len(pairs), group):
         chunk = pairs[g0 : g0 + group]
-        stream = None
+        walked = None
         if len(chunk) >= 2:
-            from genomics_rs_tpu.ops.gotoh_stream import (
-                gotoh_stream_fill_dirs,
-            )
-
             s1b = np.stack(
                 [
                     a.encoded(pad_to=Lm, pad_value=PAD_S1)
@@ -374,40 +374,18 @@ def align_batch(
             )
             ms = np.array([len(a) for a, _ in chunk], np.int32)
             ns = np.array([len(b) for _, b in chunk], np.int32)
-            stream = gotoh_stream_fill_dirs(
-                device_put_cached(s1b),
-                device_put_cached(s2b),
-                ms,
-                ns,
-                scores,
-                is_local=is_local,
-                interpret=interpret,
+            walked = stream_walk_group(
+                s1b, s2b, ms, ns, scores, is_local, interpret,
+                max_steps,
             )
-        if stream is None:
+        if walked is None:
             out.extend(aligner.align(a, b) for a, b in chunk)
             continue
-        sci = np.asarray(stream.start_i)
-        scj = np.asarray(stream.start_j)
-        scv = np.asarray(stream.score)
+        moves, scv, sci, scj = walked
         for t, (a, b) in enumerate(chunk):
-            codes, i_f, j_f, done = device_walk(
-                stream.segment_dirs(t),
-                np.int32(sci[t]),
-                np.int32(scj[t]),
-                np.int32(0),
-                max_steps=max_steps,
-                interpret=interpret,
-            )
-            if not bool(done) or (
-                not is_local and (int(i_f), int(j_f)) != (0, 0)
-            ):
-                raise RuntimeError(
-                    "batched retrace left the table at "
-                    f"({int(i_f)}, {int(j_f)})"
-                )
             out.append(
                 classify_moves(
-                    np.asarray(codes),
+                    moves[t],
                     int(sci[t]),
                     int(scj[t]),
                     int(scv[t]),
@@ -416,6 +394,61 @@ def align_batch(
                 )
             )
     return out
+
+
+def stream_walk_group(
+    s1b: np.ndarray,
+    s2b: np.ndarray,
+    ms: np.ndarray,
+    ns: np.ndarray,
+    scores: Scores,
+    is_local: bool,
+    interpret: bool,
+    max_steps: int,
+):
+    """One streamed dirs fill + per-segment device walks for a padded
+    group — the shared engine under :func:`align_batch` and the MSA
+    star stage. Returns ``(moves, score, start_i, start_j)`` with
+    ``moves[t]`` the traceback-order uint8 codes of pair ``t``, or
+    ``None`` when the stream formulation doesn't apply (the caller
+    falls back to per-pair fills)."""
+    from genomics_rs_tpu.ops.gotoh_stream import gotoh_stream_fill_dirs
+    from genomics_rs_tpu.ops.traceback_device import device_walk
+    from genomics_rs_tpu.utils.devcache import device_put_cached
+
+    stream = gotoh_stream_fill_dirs(
+        device_put_cached(s1b),
+        device_put_cached(s2b),
+        ms,
+        ns,
+        scores,
+        is_local=is_local,
+        interpret=interpret,
+    )
+    if stream is None:
+        return None
+    sci = np.asarray(stream.start_i)
+    scj = np.asarray(stream.start_j)
+    scv = np.asarray(stream.score)
+    moves: list[np.ndarray] = []
+    for t in range(len(ms)):
+        codes, i_f, j_f, done = device_walk(
+            stream.segment_dirs(t),
+            np.int32(sci[t]),
+            np.int32(scj[t]),
+            np.int32(0),
+            max_steps=max_steps,
+            interpret=interpret,
+        )
+        if not bool(done) or (
+            not is_local and (int(i_f), int(j_f)) != (0, 0)
+        ):
+            raise RuntimeError(
+                "batched retrace left the table at "
+                f"({int(i_f)}, {int(j_f)})"
+            )
+        moves.append(np.asarray(codes))
+    return moves, scv, sci, scj
 
 
 def align_pair(

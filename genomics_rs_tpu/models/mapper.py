@@ -546,19 +546,23 @@ def map_reads(
     # a real hit position from the winning bins — names the
     # supporting contig, and the window is clipped to it.
     starts_a = np.asarray(index.starts, np.int64)
+    # anchor == -1 (no in-cap seed hits) never yields a window — the
+    # clip below only keeps the contig gather in bounds for those
+    # rows; the keep mask drops them regardless of min_seeds.
     cids = (
         np.searchsorted(
             starts_a, np.clip(anchor, 0, None), "right"
         ).astype(np.int64)
         - 1
     )
+    cids = np.clip(cids, 0, max(len(starts_a) - 2, 0))
     c0s = starts_a[cids]
-    c1s = starts_a[cids + 1]
+    c1s = starts_a[np.minimum(cids + 1, len(starts_a) - 1)]
     ws_a = np.maximum(np.maximum(wlo - band, 0), c0s)
     we_a = np.minimum(
         np.minimum(whi + lens[: len(whi)] + band, total), c1s
     )
-    keep = (votes >= min_seeds) & (we_a > ws_a)
+    keep = (votes >= min_seeds) & (anchor >= 0) & (we_a > ws_a)
     mapped_ix, win_seqs, win_starts, win_contig = [], [], [], []
     for i in np.flatnonzero(keep):
         cid = int(cids[i])

@@ -232,16 +232,14 @@ def _star_ops_batched(
     ops: list[str] = []
     for g0 in range(0, len(others), group):
         chunk = others[g0 : g0 + group]
-        stream = None
+        walked = None
         if len(chunk) >= 2:
             # One continuous wavefront for the whole group: the
             # streamed dirs fill removes the per-pair diagonal ramp
-            # (~2x at square pairs) that the monolithic fills pay.
-            from genomics_rs_tpu.ops.gotoh_stream import (
-                gotoh_stream_fill_dirs,
-            )
-            from genomics_rs_tpu.utils.devcache import (
-                device_put_cached,
+            # (~2x at square pairs) that the monolithic fills pay
+            # (shared engine with align_batch).
+            from genomics_rs_tpu.models.aligner import (
+                stream_walk_group,
             )
 
             s1b = np.stack([s1e] * len(chunk))
@@ -250,23 +248,13 @@ def _star_ops_batched(
             )
             msg = np.full(len(chunk), m, np.int32)
             nsg = np.array([len(o) for o in chunk], np.int32)
-            stream = gotoh_stream_fill_dirs(
-                device_put_cached(s1b), device_put_cached(s2b),
-                msg, nsg, scores, interpret=interpret,
+            walked = stream_walk_group(
+                s1b, s2b, msg, nsg, scores, False, interpret,
+                max_steps,
             )
-        if stream is not None:
-            for t, o in enumerate(chunk):
-                codes1, i_f, j_f, done = device_walk(
-                    stream.segment_dirs(t), np.int32(m),
-                    np.int32(len(o)), np.int32(0),
-                    max_steps=max_steps, interpret=interpret,
-                )
-                if not bool(done) or (int(i_f), int(j_f)) != (0, 0):
-                    raise RuntimeError(
-                        "star retrace left the table at "
-                        f"({int(i_f)}, {int(j_f)})"
-                    )
-                mv = np.asarray(codes1)[::-1]
+        if walked is not None:
+            for mv_tb in walked[0]:
+                mv = mv_tb[::-1]  # forward order
                 if (mv == NO_MOVE).any():
                     raise RuntimeError(
                         "batched star walk emitted a gap"

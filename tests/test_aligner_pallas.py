@@ -128,3 +128,28 @@ def test_align_batch_single_falls_back():
         )
         scan = PairwiseAligner(SCORES, is_local=loc, engine="scan")
         _assert_same(got[0], scan.align(*pairs[0]))
+
+
+def test_align_batch_oversized_pairs_route_per_pair(monkeypatch):
+    """A pair whose dirs bitmap alone busts the group budget must NOT
+    reach the stream (whose wrapper has no size gate) — it routes to
+    the per-pair aligner, which has the checkpointed fallback."""
+    from genomics_rs_tpu.models import aligner as al
+
+    calls = {"n": 0}
+
+    def fake_align(self, a, b):
+        calls["n"] += 1
+        return "sentinel"
+
+    monkeypatch.setattr(al.PairwiseAligner, "align", fake_align)
+
+    def boom(*a, **k):
+        raise AssertionError("stream path must not be reached")
+
+    monkeypatch.setattr(al, "stream_walk_group", boom)
+    big = Sequence("x", "A" * 100_000)
+    out = al.align_batch(
+        [(big, big), (big, big)], SCORES, engine="pallas"
+    )
+    assert out == ["sentinel", "sentinel"] and calls["n"] == 2

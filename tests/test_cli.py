@@ -161,6 +161,35 @@ def test_cli_align_matrix_alignments_out(tmp_path):
         assert b.replace("-", "") in ("ACGTACGTAA", "ACGTTACGTACGT", "ACGTACATAA")
 
 
+def test_cli_align_matrix_alignments_out_local(tmp_path):
+    d = tmp_path / "genomes"
+    d.mkdir()
+    (d / "a.fasta").write_text(">a\nTTTTACGTACGTCCCC\n")
+    (d / "b.fasta").write_text(">b\nGGGGACGTACGTAAAA\n")
+    adir = tmp_path / "alns"
+    r = _run(
+        [
+            "align-matrix", "-f", str(d), "-a", "local",
+            "--engine", "scan", "-o", str(tmp_path / "s.tsv"),
+            "--alignments-out", str(adir),
+        ],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr
+    files = sorted(adir.glob("pair_*.fasta"))
+    assert len(files) == 1
+    lines = files[0].read_text().strip().splitlines()
+    heads = [ln for ln in lines if ln.startswith(">")]
+    rows = [ln for ln in lines if not ln.startswith(">")]
+    assert all("span=" in h for h in heads)
+    # The gapped region rows degap to substrings of the inputs.
+    half = len(rows) // 2
+    a, b = "".join(rows[:half]), "".join(rows[half:])
+    assert len(a) == len(b) and len(a) > 0
+    assert a.replace("-", "") in "TTTTACGTACGTCCCC"
+    assert b.replace("-", "") in "GGGGACGTACGTAAAA"
+
+
 def test_cli_missing_config(tmp_path, small_pair):
     r = subprocess.run(
         [
