@@ -1208,6 +1208,50 @@ def run_smoke() -> int:
             if not ok:
                 failures.append(("stream_dirs", loc, i, None, None))
 
+        # The one-dispatch batched walker must chase the same global
+        # stream bitmap to identical move lists (it replaces the
+        # per-segment device_walk dispatches in stream_walk_group).
+        from genomics_rs_tpu.ops.gotoh_stream import PACK as _PACK
+        from genomics_rs_tpu.ops.traceback_pallas import (
+            unpack_moves,
+            walk_many,
+        )
+
+        koffs = np.arange(B, dtype=np.int32) * (sres.L1 // _PACK)
+        wm_words, wm_counts, wm_if, wm_jf, wm_done = _retry(
+            lambda: walk_many(
+                sres.dirs,
+                sci.astype(np.int32),
+                scj.astype(np.int32),
+                koffs,
+                KW=sres.KW,
+                max_steps=8192,
+            ),
+            label="smoke walk_many",
+        )
+        for i in range(B):
+            ref_codes, ri, rj, rdone = device_walk(
+                sres.segment_dirs(i),
+                np.int32(sci[i]),
+                np.int32(scj[i]),
+                np.int32(0),
+                max_steps=8192,
+            )
+            got_codes = unpack_moves(
+                np.asarray(wm_words)[i], int(wm_counts[i])
+            )
+            ok = (
+                np.array_equal(got_codes, np.asarray(ref_codes))
+                and (int(wm_if[i]), int(wm_jf[i]), bool(wm_done[i]))
+                == (int(ri), int(rj), bool(rdone))
+            )
+            print(
+                f"[smoke] walk_many local={loc} pair{i}: "
+                f"{'ok' if ok else 'MISMATCH vs device_walk'}"
+            )
+            if not ok:
+                failures.append(("walk_many", loc, i, None, None))
+
     # Lean forward row-block engine (score_long's rolling path),
     # multi-block (255-row blocks over a 384-row pair).
     from genomics_rs_tpu.models.longalign import score_long

@@ -412,8 +412,15 @@ def stream_walk_group(
     ``moves[t]`` the traceback-order uint8 codes of pair ``t``, or
     ``None`` when the stream formulation doesn't apply (the caller
     falls back to per-pair fills)."""
+    from genomics_rs_tpu.ops.gotoh_stream import PACK as _PACK
     from genomics_rs_tpu.ops.gotoh_stream import gotoh_stream_fill_dirs
     from genomics_rs_tpu.ops.traceback_device import device_walk
+    from genomics_rs_tpu.ops.traceback_pallas import (
+        MAX_STEPS_CAP,
+        PKW,
+        unpack_moves,
+        walk_many,
+    )
     from genomics_rs_tpu.utils.devcache import device_put_cached
 
     stream = gotoh_stream_fill_dirs(
@@ -431,6 +438,36 @@ def stream_walk_group(
     scj = np.asarray(stream.start_j)
     scv = np.asarray(stream.score)
     moves: list[np.ndarray] = []
+    if stream.KW >= PKW and max_steps <= MAX_STEPS_CAP:
+        # ONE dispatch walks every segment (the per-walk fixed cost is
+        # the dispatch+sync round trip, not the chase): per-segment
+        # word-row offsets into the global stream bitmap replace the
+        # per-segment slice copies.
+        koffs = np.arange(len(ms), dtype=np.int32) * (
+            stream.L1 // _PACK
+        )
+        words, counts, i_fs, j_fs, dones = jax.device_get(
+            walk_many(
+                stream.dirs,
+                np.asarray(sci, np.int32),
+                np.asarray(scj, np.int32),
+                koffs,
+                KW=stream.KW,
+                max_steps=max_steps,
+                interpret=interpret,
+            )
+        )
+        for t in range(len(ms)):
+            if not bool(dones[t]) or (
+                not is_local
+                and (int(i_fs[t]), int(j_fs[t])) != (0, 0)
+            ):
+                raise RuntimeError(
+                    "batched retrace left the table at "
+                    f"({int(i_fs[t])}, {int(j_fs[t])})"
+                )
+            moves.append(unpack_moves(words[t], int(counts[t])))
+        return moves, scv, sci, scj
     for t in range(len(ms)):
         codes, i_f, j_f, done = device_walk(
             stream.segment_dirs(t),

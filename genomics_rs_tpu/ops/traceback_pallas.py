@@ -297,6 +297,231 @@ def walk_pallas(
     return words[:, 0], pos, i_final, j, done
 
 
+def _kernel_walk_many(
+    scalars,  # SMEM int32 (W, 4): start_li, start_j, koff, pad
+    dirs_ref,  # ANY (KW_total, V/128, 128): the GLOBAL stream words
+    words_ref,  # VMEM (1, NW, 128) out block: this walk's packed moves
+    meta_ref,  # VMEM (1, 8, 128) out block: pos, li, j, done, exited
+    patch_ref,  # SMEM (PKW, 2, 128) scratch: DMA'd window
+    sem,  # DMA semaphore
+    *,
+    KW: int,  # per-segment word count (kb clamp range)
+    VG: int,
+    max_steps: int,
+):
+    g = pl.program_id(0)
+    start_li = scalars[g, 0]
+    start_j = scalars[g, 1]
+    koff = scalars[g, 2]
+
+    def outer_cond(st):
+        li, j, pos, done, exited, acc = st
+        return (done == 0) & (exited == 0) & (pos < max_steps)
+
+    def outer_body(st):
+        li, j, pos, done, exited, acc = st
+        k0 = li + j
+        # kb in SEGMENT word coords; the global read offsets by koff
+        # (stays inside the segment's rows, which the wrapper proved
+        # in-bounds for the global array).
+        kb = jnp.maximum(k0 // 16 - (PKW - 2), 0)
+        kb = jnp.minimum(kb, KW - PKW)
+        lbi = jnp.maximum(li // 128 - 1, 0)
+        lbi = jnp.minimum(lbi, VG - 2)
+        dma = pltpu.make_async_copy(
+            dirs_ref.at[pl.ds(koff + kb, PKW), pl.ds(lbi, 2), :],
+            patch_ref,
+            sem,
+        )
+        dma.start()
+        dma.wait()
+        lb = lbi * 128
+
+        def in_cond(st2):
+            li, j, pos, done, exited, acc = st2
+            k = li + j
+            return (
+                (done == 0)
+                & (exited == 0)
+                & (pos < max_steps)
+                & (li >= lb)
+                & (k // 16 >= kb)
+            )
+
+        def in_sub(st2):
+            li, j, pos, done, exited, acc = st2
+            k = li + j
+            halted = (
+                (done != 0)
+                | (exited != 0)
+                | (pos >= max_steps)
+                | (li < lb)
+                | ((k >> 4) < kb)
+            )
+            lane = jnp.clip(li - lb, 0, 2 * 128 - 1)
+            row = jnp.clip((k >> 4) - kb, 0, PKW - 1)
+            word = patch_ref[row, lane >> 7, lane & 127]
+            code = (word >> (2 * (k & 15))) & 3
+            is_stop = code == DIR_STOP
+            di = jnp.where(code == DIR_INS, 0, 1)
+            dj = jnp.where(code == DIR_DEL, 0, 1)
+            li_new = jnp.maximum(li - di, 0)
+            j_new = jnp.maximum(j - dj, 0)
+
+            write = (~halted) & (~is_stop)
+            sp = pos & (MPW - 1)
+            acc = jnp.where(
+                write,
+                jnp.where(sp == 0, 0, acc) | (code << (2 * sp)),
+                acc,
+            )
+
+            @pl.when(write & (sp == MPW - 1))
+            def _flush():
+                words_ref[0, pl.ds(pos >> 4, 1)] = jnp.full(
+                    (1, 128), acc, dtype=jnp.int32
+                )
+
+            pos = jnp.where(write, pos + 1, pos)
+            done_now = (~halted) & (
+                is_stop | ((li_new == 0) & (j_new == 0))
+            )
+            done = jnp.where(done_now, 1, done)
+            return (
+                jnp.where(halted, li, li_new),
+                jnp.where(halted, j, j_new),
+                pos,
+                done,
+                exited,
+                acc,
+            )
+
+        def in_body(st2):
+            for _ in range(WALK_UNROLL):
+                st2 = in_sub(st2)
+            return st2
+
+        return jax.lax.while_loop(in_cond, in_body, st)
+
+    init = (
+        start_li,
+        start_j,
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.int32(0),
+    )
+    li, j, pos, done, exited, acc = jax.lax.while_loop(
+        outer_cond, outer_body, init
+    )
+
+    @pl.when(pos % MPW != 0)
+    def _flush_partial():
+        words_ref[0, pl.ds(pos // MPW, 1)] = jnp.full(
+            (1, 128), acc, dtype=jnp.int32
+        )
+
+    for row, val in enumerate((pos, li, j, done, exited)):
+        meta_ref[0, pl.ds(row, 1)] = jnp.full(
+            (1, 128), val, dtype=jnp.int32
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("KW", "max_steps", "interpret")
+)
+def walk_many(
+    dirs: jax.Array,
+    start_li: jax.Array,
+    start_j: jax.Array,
+    koffs: jax.Array,
+    KW: int,
+    max_steps: int,
+    interpret: bool = False,
+):
+    """Chase W independent full-bitmap walks in ONE kernel dispatch.
+
+    The per-call fixed cost of a device walk is the dispatch + sync
+    round trip (~26 ms through this environment's tunnel; the 30 kb
+    chase itself is ~2 ms) — a batch of segment walks (align_batch,
+    the MSA star stage) pays it once here instead of per pair. Walk
+    ``w`` runs ``_kernel_walk``'s exact chase over the word rows
+    ``[koffs[w], koffs[w] + KW)`` of the GLOBAL packed array (the
+    streamed fill's layout: per-segment diag16 views at PACK-aligned
+    offsets — no per-segment slice copies), from segment-local
+    ``(start_li[w], start_j[w])`` to the segment origin (i0 = j0 = 0;
+    full-width bitmaps only, so upward/left exits cannot occur).
+
+    Returns ``(words (W, NW), counts (W,), i_f (W,), j_f (W,),
+    done (W,))``; decode walk w with ``unpack_moves(words[w],
+    counts[w])``. ``max_steps`` must cover the longest possible path
+    (the wrapper's callers guarantee ``m + n + 1 <= max_steps``), so
+    a False ``done`` is a corrupt-bitmap bug, not a resume request.
+    """
+    if max_steps > MAX_STEPS_CAP:
+        raise ValueError(
+            f"max_steps {max_steps} > {MAX_STEPS_CAP}; use walk_full"
+        )
+    KW_total, V = dirs.shape
+    if V % 128 or V < 256:
+        raise ValueError(f"dirs lane count {V} not a multiple of 128 >= 256")
+    if KW < PKW:
+        raise ValueError(f"segment word count {KW} < DMA window {PKW}")
+    VG = V // 128
+    NW = -(-max_steps // MPW)
+    W = start_li.shape[0]
+    dirs3 = dirs.reshape(KW_total, VG, 128)
+    scalars = jnp.stack(
+        [
+            jnp.asarray(start_li, jnp.int32),
+            jnp.asarray(start_j, jnp.int32),
+            jnp.asarray(koffs, jnp.int32),
+            jnp.zeros(W, jnp.int32),
+        ],
+        axis=1,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(W,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec(
+                (1, NW, 128),
+                lambda g, s: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, 128),
+                lambda g, s: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((PKW, 2, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_walk_many, KW=KW, VG=VG, max_steps=max_steps
+    )
+    words, meta = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((W, NW, 128), jnp.int32),
+            jax.ShapeDtypeStruct((W, 8, 128), jnp.int32),
+        ),
+        interpret=interpret,
+    )(scalars, dirs3)
+    return (
+        words[:, :, 0],
+        meta[:, 0, 0],
+        meta[:, 1, 0],
+        meta[:, 2, 0],
+        meta[:, 3, 0] != 0,
+    )
+
+
 def unpack_moves(words: np.ndarray, count: int) -> np.ndarray:
     """Decode ``count`` 2-bit move codes from packed words (host)."""
     words = np.asarray(words).astype(np.uint32)

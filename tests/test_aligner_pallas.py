@@ -153,3 +153,42 @@ def test_align_batch_oversized_pairs_route_per_pair(monkeypatch):
         [(big, big), (big, big)], SCORES, engine="pallas"
     )
     assert out == ["sentinel", "sentinel"] and calls["n"] == 2
+
+
+@pytest.mark.parametrize("is_local", [False, True])
+def test_align_batch_long_pairs_one_dispatch_walk(is_local):
+    """Pairs long enough for the one-dispatch walk_many path (segment
+    word count >= the DMA window) must stay bit-identical to scan."""
+    from genomics_rs_tpu.models.aligner import align_batch
+
+    rng = np.random.default_rng(53)
+    base = "".join(rng.choice(list("ACGT"), 380))
+    pairs_s = [
+        (base, _mutated_long(rng, base, 10)),
+        (base, base[120:]),
+        (_mutated_long(rng, base, 25), _mutated_long(rng, base, 25)),
+    ]
+    pairs = [
+        (Sequence("a", a), Sequence("b", b)) for a, b in pairs_s
+    ]
+    got = align_batch(
+        pairs, SCORES, is_local=is_local, engine="pallas",
+        interpret=True,
+    )
+    scan = PairwiseAligner(SCORES, is_local=is_local, engine="scan")
+    for (s1, s2), g in zip(pairs, got):
+        _assert_same(g, scan.align(s1, s2))
+
+
+def _mutated_long(rng, base, edits):
+    b = list(base)
+    for _ in range(edits):
+        p = int(rng.integers(0, len(b)))
+        op = int(rng.integers(0, 3))
+        if op == 0:
+            b[p] = rng.choice(list("ACGT"))
+        elif op == 1 and len(b) > 2:
+            del b[p]
+        else:
+            b.insert(p, rng.choice(list("ACGT")))
+    return "".join(b)
