@@ -194,9 +194,9 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     cl.add_argument(
         "--min-alt-conf", type=float, default=0.0,
-        help="minimum mean weight of alt-supporting bases (weighted "
-        "mode): filters calls supported only by ambiguously-mapped "
-        "reads",
+        help="minimum mean weight of alt-supporting bases: filters "
+        "calls supported only by ambiguously-mapped reads (implies "
+        "the quality-weighted pileup)",
     )
     cl.add_argument(
         "--weighted", action="store_true",

@@ -227,8 +227,19 @@ def _expand_records(
                     bucket = insertions.setdefault(anchor, {})
                     bucket[ins] = bucket.get(ins, 0) + 1
                     if collect_weights:
+                        # Weight the event like the per-base votes it
+                        # competes against (baseq x MAPQ): the anchor
+                        # depth sums base-quality products, so a
+                        # MAPQ-only event weight would let LOW base
+                        # qualities inflate the insertion fraction
+                        # past min_frac (inverted evidence).
+                        wi = wm
+                        if probs is not None and n:
+                            wi = wm * float(
+                                np.mean(probs[q : q + n])
+                            )
                         wbucket = ins_w.setdefault(anchor, {})
-                        wbucket[ins] = wbucket.get(ins, 0.0) + float(wm)
+                        wbucket[ins] = wbucket.get(ins, 0.0) + float(wi)
                 q += n
             elif op == "S":  # read-only
                 q += n
@@ -560,7 +571,9 @@ def call_reads(
 
     ``map_kw`` flows to :func:`models.mapper.map_reads` (band,
     min_seeds, engine, ...). ``weighted`` (or a nonzero
-    ``min_baseq``/``min_mapq``) switches to the quality-aware path:
+    ``min_baseq``/``min_mapq``/``min_alt_conf`` — the confidence gate
+    is defined on weighted evidence, so asking for it implies the
+    quality pileup) switches to the quality-aware path:
     per-base/mapping gates, then Phred*MAPQ-weighted consensus
     (:func:`pileup_q`).
     """
@@ -585,7 +598,12 @@ def call_reads(
             by_contig.setdefault(rec["rname"], []).append(rec)
     calls: list[VariantCall] = []
     pileups: dict[str, np.ndarray] = {}
-    use_q = weighted or min_baseq > 0 or min_mapq > 0
+    # min_alt_conf gates on the weighted evidence, so asking for it
+    # must turn the quality pileup on — otherwise the flag would be a
+    # silent no-op (counting mode has no weights to gate).
+    use_q = (
+        weighted or min_baseq > 0 or min_mapq > 0 or min_alt_conf > 0
+    )
     for rname in sorted(by_contig):
         seq = contig_seq[rname]
         if use_q:

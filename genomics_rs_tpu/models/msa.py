@@ -281,9 +281,19 @@ def _star_ops_batched(
                     layout="diag16", max_steps=Lm + Ln + 1,
                 )
             )
-            if not done.all():
+            # A stop code mid-table also sets done — a GLOBAL walk
+            # must specifically reach (0, 0) (same check as the
+            # per-pair branch; a corrupt fill should fail here, not
+            # as a confusing consume-count assertion in _build_rows).
+            if not done.all() or (i_f != 0).any() or (j_f != 0).any():
+                bad = int(
+                    np.flatnonzero(
+                        ~done | (i_f != 0) | (j_f != 0)
+                    )[0]
+                )
                 raise RuntimeError(
-                    "batched star walk failed to terminate"
+                    "batched star walk left the table at "
+                    f"({int(i_f[bad])}, {int(j_f[bad])})"
                 )
             walked = [
                 moves[b, : int(counts[b])][::-1]

@@ -412,11 +412,10 @@ WALK_UNROLL = int(_os.environ.get("GENOMICS_TPU_WALK_UNROLL", "8"))
 # second window of the per-row deltas rides along to track off(i)
 # incrementally.
 
-#: lanes per DMA window / kwords per window. NOTE: the deltas window
-#: (dpatch, 4 x 128 rows) covers 16*_PKW band rows, so _PKW must stay
-#: <= 32; the full walker's sweep (traceback_pallas.PKW = 34) does
-#: not transfer here.
-_LW = 256
+#: kwords per DMA window (the lane window is spelled 2 * 128 at its
+#: use sites). NOTE: the deltas window (dpatch, 4 x 128 rows) covers
+#: 16*_PKW band rows, so _PKW must stay <= 32; the full walker's
+#: sweep (traceback_pallas.PKW = 34) does not transfer here.
 _PKW = 18
 _MPW = 16
 _MAX_STEPS_CAP = 65536
@@ -449,6 +448,22 @@ def _kernel_walk_banded(
 
     def outer_body(st):
         i, j, off, pos, done, oob, acc = st
+        # A state already outside the band (v out of [0, V) with both
+        # coords interior) can never re-enter ANY window: flag oob
+        # here instead of re-windowing forever — the in-window `bad`
+        # check is suppressed by `halted` for such states, so without
+        # this the kernel would spin with pos frozen (corrupt-bitmap
+        # walks must surface as the wrapper's oob error, not a wedged
+        # scalar core).
+        v_cur = j - off - 1
+        oob = jnp.where(
+            (done == 0)
+            & (i > 0)
+            & (j > 0)
+            & ((v_cur < 0) | (v_cur >= V)),
+            1,
+            oob,
+        )
         row0 = jnp.maximum(i - 1, 0) >> 4
         kb = jnp.maximum(row0 - (_PKW - 2), 0)
         kb = jnp.minimum(kb, KW - _PKW)
@@ -556,7 +571,9 @@ def _kernel_walk_banded(
                 st2 = in_sub(st2)
             return st2
 
-        return jax.lax.while_loop(in_cond, in_body, st)
+        return jax.lax.while_loop(
+            in_cond, in_body, (i, j, off, pos, done, oob, acc)
+        )
 
     init = (
         m,

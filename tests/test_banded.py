@@ -171,3 +171,25 @@ def test_mosaic_banded_walker_matches_xla():
         raise AssertionError("mosaic walker did not finish")
     got = np.concatenate(chunks)
     assert np.array_equal(got, want)
+
+
+def test_mosaic_banded_walker_flags_out_of_band():
+    """A corrupt bitmap that walks the head out of the band must set
+    oob (the wrapper raises) — not spin: states outside [0, V) can
+    never re-enter a DMA window, and the in-window bad check is
+    suppressed for them (round-4 review). A regression here hangs
+    this test visibly rather than passing silently."""
+    import numpy as np
+
+    from genomics_rs_tpu.ops.gotoh_banded import _walk_banded_pallas
+
+    KW, V = 18, 256
+    # Every packed code = INS (0b01 repeated): j decreases while off
+    # stays, driving v = j - off - 1 negative within a few moves.
+    dirs = np.full((KW, V), 0x55555555, np.int32)
+    deltas2d = np.zeros((4, 128), np.int32)
+    words, pos, i_f, j_f, done, oob = _walk_banded_pallas(
+        dirs, deltas2d, np.int32(100), np.int32(50), np.int32(40),
+        V=V, max_steps=1024, interpret=True,
+    )
+    assert bool(oob) and not bool(done)

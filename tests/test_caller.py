@@ -450,3 +450,72 @@ def test_min_alt_conf_filters_ambiguous_support():
         counts, ref, "c", 5, 0.6, weights=weights, min_alt_conf=0.8
     )
     assert {(c.pos, c.alt) for c in conf} == {(4, "A")}
+
+
+def test_min_alt_conf_alone_enables_quality_pileup():
+    """--min-alt-conf without --weighted must not be a silent no-op:
+    it implies the quality pileup (the gate is defined on weighted
+    evidence)."""
+    import numpy as np
+
+    from genomics_rs_tpu.models import caller as cal
+
+    seen = {}
+    orig = cal.pileup_q
+
+    def spy(*a, **k):
+        seen["called"] = True
+        return orig(*a, **k)
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    ref = Sequence("r", "".join(rng.choice(list("ACGT"), 200)))
+    reads = [
+        Sequence(f"q{i}", ref.sequence[20:100], quality="I" * 80)
+        for i in range(10)
+    ]
+    import unittest.mock as mock
+
+    with mock.patch.object(cal, "pileup_q", side_effect=spy):
+        cal.call_reads(
+            reads, [ref], SCORES, min_depth=2, min_alt_conf=0.5,
+            device_pileup=False, engine="scan", k=11, min_seeds=1,
+        )
+    assert seen.get("called"), "min_alt_conf alone must run pileup_q"
+
+
+def test_weighted_insertion_support_scales_with_base_quality():
+    """Insertion events weigh like the per-base votes they compete
+    against (baseq x MAPQ): low-quality flanking bases must not make
+    an insertion EASIER to call (round-4 review)."""
+    from genomics_rs_tpu.models.caller import call_insertions, pileup_q
+
+    ref_len = 20
+    # 8 reads at q2 cover the anchor; 3 of them (mapq 60) carry an
+    # insertion at q2. Weighted support must stay proportional to
+    # the (low) base quality, so 3/8 reads cannot clear min_frac=0.7.
+    recs = []
+    for i in range(8):
+        has_ins = i < 3
+        cigar = "5M2I5M" if has_ins else "10M"
+        seq = "ACGTA" + ("GG" if has_ins else "") + "CGTAC"
+        recs.append(
+            {
+                "mapped": True,
+                "pos": 3,
+                "seq": seq,
+                "qual": "#" * len(seq),  # phred 2
+                "cigar": cigar,
+                "mapq": 60,
+            }
+        )
+    counts, wsum, insertions, ins_w = pileup_q(recs, ref_len, device=False)
+    calls = call_insertions(
+        insertions, counts, "A" * ref_len, "c", min_depth=2,
+        min_frac=0.7, ins_w=ins_w, weights=wsum,
+    )
+    assert calls == [], (
+        "3/8-read insertion called because low base quality deflated "
+        f"the depth: {calls}"
+    )
