@@ -184,3 +184,48 @@ def test_walk_batch_vs_host_walker_score_grid(is_local):
                 want.score, want.matches, want.mismatches,
                 want.gap_extensions, want.opening_gaps,
             ), (sc.as_tuple(), b)
+
+
+@pytest.mark.parametrize("is_local", [False, True])
+def test_align_batch_vs_scan_score_grid(is_local):
+    """The streamed-dirs batched pipeline (fill + walk + classify)
+    across the scoring grid — paths/stats must match the per-pair
+    scan engine at every edge-case parameterization."""
+    from genomics_rs_tpu.models.aligner import PairwiseAligner, align_batch
+
+    rng = np.random.default_rng(61 + int(is_local))
+    for sc in SCORE_GRID:
+        pairs = []
+        base = "".join(rng.choice(list("ACGT"), 56))
+        pairs.append((Sequence("a", base), Sequence("b", base[20:])))
+        for _ in range(2):
+            m = int(rng.integers(8, 60))
+            n = int(rng.integers(8, 60))
+            pairs.append(
+                (
+                    Sequence("a", "".join(rng.choice(list("ACGT"), m))),
+                    Sequence("b", "".join(rng.choice(list("ACGT"), n))),
+                )
+            )
+        got = align_batch(
+            pairs, sc, is_local=is_local, engine="pallas",
+            interpret=True,
+        )
+        scan = PairwiseAligner(sc, is_local=is_local, engine="scan")
+        for (s1, s2), g in zip(pairs, got):
+            w = scan.align(s1, s2)
+            assert (
+                g.score,
+                g.alignment,
+                g.matches,
+                g.mismatches,
+                g.opening_gaps,
+                g.gap_extensions,
+            ) == (
+                w.score,
+                w.alignment,
+                w.matches,
+                w.mismatches,
+                w.opening_gaps,
+                w.gap_extensions,
+            ), (sc.as_tuple(), s1.sequence, s2.sequence)
