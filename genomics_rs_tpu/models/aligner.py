@@ -343,18 +343,14 @@ def align_batch(
         round_up(max(len(b) for _, b in pairs), PAD_MULTIPLE),
         PAD_MULTIPLE,
     )
-    # The stream's packed words cost ~(L1/16)*V ints per segment
-    # (segments share the diagonal axis); group so one group's words
-    # stay well under HBM. Conservative monolithic-style estimate.
-    per_pair = (Lm + Ln + 1) * round_up(Lm + 1, 1024) // 8
-    group = int((4 << 30) // max(per_pair, 1))
+    max_steps = round_up(Lm + Ln + 1, 8192)
+    group = _stream_group_pairs(Lm, Ln, max_steps)
     if group < 2:
-        # One pair's bitmap alone busts the budget: the per-pair
+        # One pair's footprint alone busts the budget: the per-pair
         # aligner routes such pairs to the checkpointed linear-space
         # path (its DIRS_BYTE_BUDGET gate) instead of asking the
         # stream for a hundreds-of-GB dirs allocation.
         return [aligner.align(a, b) for a, b in pairs]
-    max_steps = round_up(Lm + Ln + 1, 8192)
     out: list[AlignedSequences] = []
     for g0 in range(0, len(pairs), group):
         chunk = pairs[g0 : g0 + group]
@@ -394,6 +390,26 @@ def align_batch(
                 )
             )
     return out
+
+
+def _stream_group_pairs(Lm: int, Ln: int, max_steps: int) -> int:
+    """Pairs per streamed-dirs group so one group's device footprint
+    stays around 4 GB. Counts what is actually allocated: the global
+    packed-word array costs ~L1*V/4 bytes PER SEGMENT (L1 is floored
+    at V+CHUNK, so short pairs cost far more than their cell count
+    suggests) and walk_many's move buffer costs ceil(max_steps/16)
+    rows of 512 B per walk (max_steps is rounded up for jit-cache
+    sharing — 32x the path length at 512 bp). The round-4 review
+    caught the old (Lm+Ln+1)*V/8 estimate under-counting both by an
+    order of magnitude for short-pair buckets (a 32k-pair group would
+    have OOMed a 16 GB chip). Returns < 2 when even one pair busts
+    the budget (callers fall back to the per-pair aligner)."""
+    from genomics_rs_tpu.ops.gotoh_stream import _plan_stream
+
+    V, _, L1, _, _ = _plan_stream(Lm, Ln, 2)
+    per_stream = L1 * V // 4
+    per_walk = -(-max_steps // 16) * 128 * 4
+    return int((4 << 30) // max(per_stream + per_walk, 1))
 
 
 def stream_walk_group(

@@ -41,7 +41,11 @@ pileup can weigh votes instead of counting heads:
   alt fraction while the depth gate stays on integer coverage.
 
 Counting mode (all weights 1, no gates) remains the default for the
-plain ``pileup``/``call_pileup`` API and is bit-identical to round 3.
+plain ``pileup``/``call_pileup`` API. One documented deviation from
+round 3 in BOTH modes: an I run at the LEADING edge of an alignment
+(no reference-consuming op before it) is dropped rather than anchored
+at a reference base the read does not cover (ADVICE r3 — the old
+anchor gave the event a depth made entirely of other reads).
 """
 
 from __future__ import annotations
@@ -520,6 +524,14 @@ def call_insertions(
     as SNPs. ``VariantCall.ref`` is the anchor base and ``alt`` the
     anchor + inserted run — already in VCF shape.
     """
+    if (ins_w is None) != (weights is None):
+        # The weighted support (ins_w) only makes sense against the
+        # weighted depth (weights) — one without the other would
+        # either crash or silently mix evidence scales.
+        raise ValueError(
+            "call_insertions needs ins_w and weights together "
+            "(both from pileup_q) or neither"
+        )
     calls: list[VariantCall] = []
     for anchor in sorted(insertions):
         bucket = insertions[anchor]

@@ -58,12 +58,6 @@ from genomics_rs_tpu.sequence import PAD_S1, PAD_S2, Sequence, round_up
 
 log = logging.getLogger(__name__)
 
-#: Largest single backward-pass dirs refill, bytes. The windowed
-#: backward bounds a refill at (R + 2V + 1) * V / 4 packed-dirs bytes
-#: by construction; this cap only gates the block-height choice.
-REFILL_BYTES_CAP = (9 << 30) // 2
-
-
 
 def _forward_blocks(
     s1e,

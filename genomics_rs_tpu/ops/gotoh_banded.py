@@ -413,9 +413,12 @@ WALK_UNROLL = int(_os.environ.get("GENOMICS_TPU_WALK_UNROLL", "8"))
 # incrementally.
 
 #: kwords per DMA window (the lane window is spelled 2 * 128 at its
-#: use sites). NOTE: the deltas window (dpatch, 4 x 128 rows) covers
-#: 16*_PKW band rows, so _PKW must stay <= 32; the full walker's
-#: sweep (traceback_pallas.PKW = 34) does not transfer here.
+#: use sites). NOTE: the deltas window (dpatch, 4 x 128 rows = 512
+#: entries) must cover rows [16*dkb, ...]; dbase can sit up to 112
+#: rows below the dirs window start (the >>7 floor), so the deltas
+#: index reaches 112 + 16*_PKW - 1 and _PKW must stay <= 25 — the
+#: full walker's sweep (traceback_pallas.PKW = 34) does NOT transfer
+#: here.
 _PKW = 18
 _MPW = 16
 _MAX_STEPS_CAP = 65536

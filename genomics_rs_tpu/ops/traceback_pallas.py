@@ -64,25 +64,31 @@ import os as _os
 WALK_UNROLL = int(_os.environ.get("GENOMICS_TPU_MOSAIC_WALK_UNROLL", "8"))
 
 
-def _kernel_walk(
-    scalars,  # SMEM int32[4]: start_li, start_j, i0, j0
-    dirs_ref,  # ANY (KW, V/128, 128): packed direction words (HBM)
-    words_ref,  # VMEM (NW, 128): packed move codes (column 0)
-    meta_ref,  # VMEM (8, 128): pos, li, j, done, exited (column 0)
-    patch_ref,  # SMEM (PKW, 2, 128) scratch: DMA'd window
-    sem,  # DMA semaphore
-    *,
+def _run_chase(
+    dirs_ref,
+    patch_ref,
+    sem,
+    words_store,  # fn(word_row, acc): flush one packed move word
+    start_li,
+    start_j,
+    i0,
+    j0,
+    koff,  # word-row offset of this chase's bitmap in dirs_ref
     KW: int,
-    VG: int,  # lane groups (V / 128)
+    VG: int,
     max_steps: int,
+    allow_exits: bool,
 ):
-    start_li = scalars[0]
-    start_j = scalars[1]
-    i0 = scalars[2]
-    # Global column of bitmap column 0 (windowed refill; 0 = full
-    # width). Columns are window-local; landing on local column 0
-    # with j0 > 0 is a LEFT exit (code 2), not the global origin.
-    j0 = scalars[3]
+    """The shared windowed move chase (reference retrace semantics).
+
+    Both walker kernels wrap this one body: the single-walk kernel
+    with traced ``i0``/``j0`` and exits enabled (windowed refills can
+    leave the block upward or left), the batched ``walk_many`` kernel
+    with ``i0 = j0 = 0``, per-walk ``koff`` into the global stream
+    array, and exits statically impossible. ``kb`` stays in SEGMENT
+    word coordinates; only the DMA read offsets by ``koff``. Returns
+    the final (li, j, pos, done, exited, acc) state.
+    """
 
     def outer_cond(st):
         li, j, pos, done, exited, acc = st
@@ -96,7 +102,7 @@ def _kernel_walk(
         lbi = jnp.maximum(li // 128 - 1, 0)
         lbi = jnp.minimum(lbi, VG - 2)
         dma = pltpu.make_async_copy(
-            dirs_ref.at[pl.ds(kb, PKW), pl.ds(lbi, 2), :],
+            dirs_ref.at[pl.ds(koff + kb, PKW), pl.ds(lbi, 2), :],
             patch_ref,
             sem,
         )
@@ -153,21 +159,20 @@ def _kernel_walk(
 
             @pl.when(write & (sp == MPW - 1))
             def _flush():
-                words_ref[pl.ds(pos >> 4, 1)] = jnp.full(
-                    (1, 128), acc, dtype=jnp.int32
-                )
+                words_store(pos >> 4, acc)
 
             pos = jnp.where(write, pos + 1, pos)
             done_now = (~halted) & (
                 is_stop | ((ig_new == 0) & (j_new == 0) & (j0 == 0))
             )
             done = jnp.where(done_now, 1, done)
-            live = (~halted) & (done == 0)
-            ex_up = live & (ig_new < i0)
-            ex_left = live & (~ex_up) & (j_new == 0) & (j0 > 0)
-            exited = jnp.where(
-                ex_up, 1, jnp.where(ex_left, 2, exited)
-            )
+            if allow_exits:
+                live = (~halted) & (done == 0)
+                ex_up = live & (ig_new < i0)
+                ex_left = live & (~ex_up) & (j_new == 0) & (j0 > 0)
+                exited = jnp.where(
+                    ex_up, 1, jnp.where(ex_left, 2, exited)
+                )
             # Position updates on every non-halted substep (stop codes
             # included) — matching walk_block exactly; after a stop
             # done=1 makes the final cell unused upstream.
@@ -195,8 +200,41 @@ def _kernel_walk(
         jnp.int32(0),
         jnp.int32(0),
     )
-    li, j, pos, done, exited, acc = jax.lax.while_loop(
-        outer_cond, outer_body, init
+    return jax.lax.while_loop(outer_cond, outer_body, init)
+
+
+def _kernel_walk(
+    scalars,  # SMEM int32[4]: start_li, start_j, i0, j0
+    dirs_ref,  # ANY (KW, V/128, 128): packed direction words (HBM)
+    words_ref,  # VMEM (NW, 128): packed move codes (column 0)
+    meta_ref,  # VMEM (8, 128): pos, li, j, done, exited (column 0)
+    patch_ref,  # SMEM (PKW, 2, 128) scratch: DMA'd window
+    sem,  # DMA semaphore
+    *,
+    KW: int,
+    VG: int,  # lane groups (V / 128)
+    max_steps: int,
+):
+    # j0: global column of bitmap column 0 (windowed refill; 0 = full
+    # width). Columns are window-local; landing on local column 0
+    # with j0 > 0 is a LEFT exit (code 2), not the global origin.
+    def words_store(w, acc):
+        words_ref[pl.ds(w, 1)] = jnp.full((1, 128), acc, jnp.int32)
+
+    li, j, pos, done, exited, acc = _run_chase(
+        dirs_ref,
+        patch_ref,
+        sem,
+        words_store,
+        scalars[0],
+        scalars[1],
+        scalars[2],
+        scalars[3],
+        jnp.int32(0),
+        KW=KW,
+        VG=VG,
+        max_steps=max_steps,
+        allow_exits=True,
     )
 
     # A partial final word still lands.
@@ -310,109 +348,28 @@ def _kernel_walk_many(
     max_steps: int,
 ):
     g = pl.program_id(0)
-    start_li = scalars[g, 0]
-    start_j = scalars[g, 1]
-    koff = scalars[g, 2]
 
-    def outer_cond(st):
-        li, j, pos, done, exited, acc = st
-        return (done == 0) & (exited == 0) & (pos < max_steps)
+    # kb stays in SEGMENT word coords; the global read offsets by
+    # koff (in-bounds for the global array — wrapper's proof). With
+    # i0 = j0 = 0 over a full-width bitmap, upward/left exits are
+    # statically impossible.
+    def words_store(w, acc):
+        words_ref[0, pl.ds(w, 1)] = jnp.full((1, 128), acc, jnp.int32)
 
-    def outer_body(st):
-        li, j, pos, done, exited, acc = st
-        k0 = li + j
-        # kb in SEGMENT word coords; the global read offsets by koff
-        # (stays inside the segment's rows, which the wrapper proved
-        # in-bounds for the global array).
-        kb = jnp.maximum(k0 // 16 - (PKW - 2), 0)
-        kb = jnp.minimum(kb, KW - PKW)
-        lbi = jnp.maximum(li // 128 - 1, 0)
-        lbi = jnp.minimum(lbi, VG - 2)
-        dma = pltpu.make_async_copy(
-            dirs_ref.at[pl.ds(koff + kb, PKW), pl.ds(lbi, 2), :],
-            patch_ref,
-            sem,
-        )
-        dma.start()
-        dma.wait()
-        lb = lbi * 128
-
-        def in_cond(st2):
-            li, j, pos, done, exited, acc = st2
-            k = li + j
-            return (
-                (done == 0)
-                & (exited == 0)
-                & (pos < max_steps)
-                & (li >= lb)
-                & (k // 16 >= kb)
-            )
-
-        def in_sub(st2):
-            li, j, pos, done, exited, acc = st2
-            k = li + j
-            halted = (
-                (done != 0)
-                | (exited != 0)
-                | (pos >= max_steps)
-                | (li < lb)
-                | ((k >> 4) < kb)
-            )
-            lane = jnp.clip(li - lb, 0, 2 * 128 - 1)
-            row = jnp.clip((k >> 4) - kb, 0, PKW - 1)
-            word = patch_ref[row, lane >> 7, lane & 127]
-            code = (word >> (2 * (k & 15))) & 3
-            is_stop = code == DIR_STOP
-            di = jnp.where(code == DIR_INS, 0, 1)
-            dj = jnp.where(code == DIR_DEL, 0, 1)
-            li_new = jnp.maximum(li - di, 0)
-            j_new = jnp.maximum(j - dj, 0)
-
-            write = (~halted) & (~is_stop)
-            sp = pos & (MPW - 1)
-            acc = jnp.where(
-                write,
-                jnp.where(sp == 0, 0, acc) | (code << (2 * sp)),
-                acc,
-            )
-
-            @pl.when(write & (sp == MPW - 1))
-            def _flush():
-                words_ref[0, pl.ds(pos >> 4, 1)] = jnp.full(
-                    (1, 128), acc, dtype=jnp.int32
-                )
-
-            pos = jnp.where(write, pos + 1, pos)
-            done_now = (~halted) & (
-                is_stop | ((li_new == 0) & (j_new == 0))
-            )
-            done = jnp.where(done_now, 1, done)
-            return (
-                jnp.where(halted, li, li_new),
-                jnp.where(halted, j, j_new),
-                pos,
-                done,
-                exited,
-                acc,
-            )
-
-        def in_body(st2):
-            for _ in range(WALK_UNROLL):
-                st2 = in_sub(st2)
-            return st2
-
-        return jax.lax.while_loop(in_cond, in_body, st)
-
-    init = (
-        start_li,
-        start_j,
+    li, j, pos, done, exited, acc = _run_chase(
+        dirs_ref,
+        patch_ref,
+        sem,
+        words_store,
+        scalars[g, 0],
+        scalars[g, 1],
         jnp.int32(0),
         jnp.int32(0),
-        jnp.int32(0),
-        jnp.int32(0),
-    )
-    li, j, pos, done, exited, acc = jax.lax.while_loop(
-        outer_cond, outer_body, init
+        scalars[g, 2],
+        KW=KW,
+        VG=VG,
+        max_steps=max_steps,
+        allow_exits=False,
     )
 
     @pl.when(pos % MPW != 0)

@@ -192,3 +192,21 @@ def _mutated_long(rng, base, edits):
         else:
             b.insert(p, rng.choice(list("ACGT")))
     return "".join(b)
+
+
+def test_stream_group_sizing_bounds_footprint():
+    """Group sizing must count the stream's ACTUAL allocations: the
+    L1-floored packed words and walk_many's rounded move buffers —
+    short-pair buckets OOMed under the old cell-count estimate."""
+    from genomics_rs_tpu.models.aligner import _stream_group_pairs
+    from genomics_rs_tpu.ops.gotoh_stream import _plan_stream
+
+    for Lm, Ln in ((512, 512), (2048, 2048), (30208, 30208)):
+        ms = ((Lm + Ln + 1) + 8191) // 8192 * 8192
+        g = _stream_group_pairs(Lm, Ln, ms)
+        V, _, L1, _, _ = _plan_stream(Lm, Ln, 2)
+        footprint = g * (L1 * V // 4 + (-(-ms // 16)) * 512)
+        assert footprint <= (4 << 30) + (1 << 28), (Lm, g, footprint)
+        assert g >= 2, (Lm, g)
+    # chr12-scale single pairs bust the budget -> per-pair route.
+    assert _stream_group_pairs(1078272, 1078272, 2162688) < 2
