@@ -27,15 +27,32 @@ class Scores:
     The total penalty of a gap of length L is ``h + L*g`` (both are
     usually negative), matching the reference recurrence
     (``/root/reference/src/alignment/algo.rs:231-247``).
+
+    ``s_transition`` is a TPU-framework extension (the reference knows
+    only match/mismatch, ``src/config.rs:6-18``): when set, DNA
+    transitions (A<->G, C<->T) score ``s_transition`` and all other
+    mismatches keep ``s_mismatch`` (Kimura-style two-class scoring).
+    ``None`` (the default) is bit-exact reference behaviour — and a
+    *structurally* different pytree, so jit compiles the classic
+    kernels unchanged.
     """
 
     s_match: int = 1
     s_mismatch: int = -2
     g: int = -1  # gap extension
     h: int = -5  # gap open
+    s_transition: int | None = None
 
-    def as_tuple(self) -> tuple[int, int, int, int]:
-        return (self.s_match, self.s_mismatch, self.g, self.h)
+    def as_tuple(self) -> tuple:
+        """Hashable round-trippable form: ``Scores(*t)`` rebuilds it.
+
+        Length 4 when classic (keeps every existing static-arg cache
+        key stable), 5 with a transition score.
+        """
+        base = (self.s_match, self.s_mismatch, self.g, self.h)
+        if self.s_transition is None:
+            return base
+        return base + (self.s_transition,)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,6 +83,10 @@ def get_config(filepath: str = "config.toml") -> Config:
             s_mismatch=int(s["s_mismatch"]),
             g=int(s["g"]),
             h=int(s["h"]),
+            # Optional extension key; absent in reference configs.
+            s_transition=(
+                int(s["s_transition"]) if "s_transition" in s else None
+            ),
         )
     except (KeyError, TypeError, ValueError):
         print(f"Could not parse config file: {filepath}", file=sys.stderr)

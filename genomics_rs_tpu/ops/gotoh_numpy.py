@@ -13,15 +13,25 @@ from __future__ import annotations
 import numpy as np
 
 from genomics_rs_tpu.config import Scores
+from genomics_rs_tpu.ops.subst import kimura_active, sub_score_np
 
 I64_MIN = np.iinfo(np.int64).min
 
 
 def gotoh_tables_numpy(
-    a: str, b: str, scores: Scores, is_local: bool
+    a: str, b: str, scores: Scores, is_local: bool, matrix=None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Return (I, S, D) int64 matrices of shape (len(a)+1, len(b)+1)."""
+    """Return (I, S, D) int64 matrices of shape (len(a)+1, len(b)+1).
+
+    ``matrix`` (a ``SubstMatrix``) overrides the per-pair substitution
+    scores entirely; otherwise ``scores.s_transition`` selects the
+    two-score or kimura form (ops/subst.py).
+    """
     sm, sx, g, h = scores.s_match, scores.s_mismatch, scores.g, scores.h
+    st = scores.s_transition if kimura_active(scores) else None
+    lut = matrix.byte_lut() if matrix is not None else None
+    ab = np.frombuffer(a.encode("ascii"), dtype=np.uint8)
+    bb = np.frombuffer(b.encode("ascii"), dtype=np.uint8)
     neg = I64_MIN + abs(g + h)
     m, n = len(a), len(b)
     I = np.full((m + 1, n + 1), neg, dtype=np.int64)
@@ -34,10 +44,13 @@ def gotoh_tables_numpy(
         I[0, j] = h + j * g
     floor = [0] if is_local else []
     for i in range(1, m + 1):
-        ai = a[i - 1]
+        ai = ab[i - 1]
+        if lut is not None:
+            subs = lut[ai, bb]
+        else:
+            subs = sub_score_np(ai, bb, sm, sx, st)
         for j in range(1, n + 1):
             I[i, j] = max(I[i, j - 1] + g, S[i, j - 1] + h + g, D[i, j - 1] + h + g, *floor)
             D[i, j] = max(I[i - 1, j] + h + g, S[i - 1, j] + h + g, D[i - 1, j] + g, *floor)
-            sub = sm if ai == b[j - 1] else sx
-            S[i, j] = sub + max(I[i - 1, j - 1], S[i - 1, j - 1], D[i - 1, j - 1], *floor)
+            S[i, j] = subs[j - 1] + max(I[i - 1, j - 1], S[i - 1, j - 1], D[i - 1, j - 1], *floor)
     return I, S, D

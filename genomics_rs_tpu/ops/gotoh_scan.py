@@ -41,6 +41,12 @@ import jax
 import jax.numpy as jnp
 
 from genomics_rs_tpu.config import Scores
+from genomics_rs_tpu.ops.subst import (
+    encode_chars,
+    kimura_active,
+    sentinel,
+    sub_score,
+)
 
 #: "-infinity" for int32 score lanes; adding g/h/s_mismatch keeps it
 #: far above INT32_MIN (no overflow) and far below any real score.
@@ -109,6 +115,7 @@ def gotoh_fill_scan(
     is_local: bool,
     emit_dirs: bool = True,
     vma_axes: tuple[str, ...] = (),
+    subst_lut: jax.Array | None = None,
 ) -> FillResult:
     """Fill the (m+1)x(n+1) Gotoh table by anti-diagonals.
 
@@ -125,7 +132,15 @@ def gotoh_fill_scan(
         ``FillResult.dirs`` is then a (0, 0) placeholder.
       vma_axes: mesh axes this fill varies over when called inside a
         ``shard_map`` (see :func:`vary`); empty outside one.
+      subst_lut: optional (256, 256) int32 byte-pair score table
+        (``SubstMatrix.byte_lut()``) — full-matrix scoring (protein);
+        overrides the match/mismatch/transition form entirely.
     """
+    if subst_lut is not None and kimura_active(scores):
+        raise ValueError(
+            "subst_lut and scores.s_transition are mutually exclusive "
+            "(a full matrix already fixes every pair's score)"
+        )
     Lm = s1e.shape[0]
     Ln = s2e.shape[0]
     Mp = Lm + 1  # table rows
@@ -136,15 +151,21 @@ def gotoh_fill_scan(
     sx = jnp.int32(scores.s_mismatch)
     g = jnp.int32(scores.g)
     h = jnp.int32(scores.h)
+    st = (
+        jnp.int32(scores.s_transition) if kimura_active(scores) else None
+    )
     neg = jnp.int32(NEG_INF)
     int_min = jnp.iinfo(jnp.int32).min
 
     iv = jnp.arange(Mp, dtype=jnp.int32)
     # s1m[i] = s1[i-1] (the base consumed entering row i); index 0 unused.
     s1m = jnp.concatenate(
-        [jnp.full((1,), 0xFD, dtype=jnp.int32), s1e.astype(jnp.int32)]
+        [
+            jnp.full((1,), sentinel(0xFD, scores), dtype=jnp.int32),
+            encode_chars(s1e, scores),
+        ]
     )
-    s2i = s2e.astype(jnp.int32)
+    s2i = encode_chars(s2e, scores)
 
     m = jnp.asarray(m, jnp.int32)
     n = jnp.asarray(n, jnp.int32)
@@ -173,7 +194,14 @@ def gotoh_fill_scan(
         # S(i,j): substitution; zero-lane applies *before* adding the
         # match score (reference quirk — algo.rs:245-248).
         s2j = jnp.take(s2i, jnp.clip(k - 1 - iv, 0, Ln - 1))
-        sub = jnp.where(s1m == s2j, sm, sx)
+        if subst_lut is not None:
+            # Full-matrix scoring: one flat gather per lane (oracle
+            # path only; chars stay raw bytes here).
+            sub = jnp.take(
+                subst_lut.reshape(-1), s1m * 256 + s2j
+            )
+        else:
+            sub = sub_score(s1m, s2j, sm, sx, st)
         Snew = sub + jnp.maximum(
             jnp.maximum(Id, Sd), jnp.maximum(Dd, zero_lane)
         )
