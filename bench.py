@@ -317,6 +317,66 @@ def run_full() -> dict:
         "cells_per_s": local_cells / dt,
     }
 
+    # --- kimura transition scoring, same corpus (global stream) ----
+    # The substitution extension's measured cost vs the classic
+    # headline (same batch, same kernel; +2 vector ops/cell).
+    kim_scores = Scores(
+        SCORE_ARGS["s_match"],
+        SCORE_ARGS["s_mismatch"],
+        SCORE_ARGS["g"],
+        SCORE_ARGS["h"],
+        s_transition=-1,
+    )
+
+    def run_kim():
+        out = gotoh_scores_stream(s1c, s2c, mc, nc, kim_scores, False)
+        np.asarray(out[0])
+        return out
+
+    _retry(run_kim, label="kimura stream warmup")
+    dt = _median_time(run_kim)
+    rows["headline_kimura"] = {
+        "pairs": len(pairs_l),
+        "cells": local_cells,
+        "ms": dt * 1e3,
+        "cells_per_s": local_cells / dt,
+    }
+
+    # --- protein batch under BLOSUM62 (full-matrix engine) ---------
+    from genomics_rs_tpu.ops.gotoh_matrix import gotoh_scores_matrix
+    from genomics_rs_tpu.ops.subst import blosum62
+
+    b62 = blosum62()
+    prng = np.random.default_rng(17)
+    aa20 = np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", dtype=np.uint8)
+    PB, PL = 1024, 384
+    pms = prng.integers(PL // 2, PL + 1, PB).astype(np.int32)
+    pns = prng.integers(PL // 2, PL + 1, PB).astype(np.int32)
+    p1 = np.full((PB, PL), PAD_S1, np.uint8)
+    p2 = np.full((PB, PL), PAD_S2, np.uint8)
+    for i in range(PB):
+        p1[i, : pms[i]] = aa20[prng.integers(0, 20, pms[i])]
+        p2[i, : pns[i]] = aa20[prng.integers(0, 20, pns[i])]
+    prot_cells = float(np.sum((pms + 1.0) * (pns + 1.0)))
+    p1d, p2d = jax.device_put(p1), jax.device_put(p2)
+
+    def run_prot():
+        out = gotoh_scores_matrix(
+            p1d, p2d, pms, pns, b62, g=scores.g, h=scores.h
+        )
+        np.asarray(out[0])
+        return out
+
+    _retry(run_prot, label="protein matrix warmup")
+    dt = _median_time(run_prot)
+    rows["protein_blosum_batch"] = {
+        "pairs": PB,
+        "aa_len": PL,
+        "cells": prot_cells,
+        "ms": dt * 1e3,
+        "cells_per_s": prot_cells / dt,
+    }
+
     # --- single pair WITH traceback bitmap -------------------------
     from genomics_rs_tpu.models.aligner import _fill
 
@@ -985,6 +1045,8 @@ def run_full() -> dict:
 #: errored out carry an "error" key instead and are reported).
 FULL_SCHEMA = {
     "headline": {"cells_per_s", "vs_baseline", "roofline"},
+    "headline_kimura": {"cells_per_s"},
+    "protein_blosum_batch": {"cells_per_s"},
     "local_batch_stream": {"cells_per_s"},
     "single_pair_with_dirs": {"cells_per_s", "fill_plus_walk_ms"},
     "batch_align_dirs": {"fill_cells_per_s", "aligns_per_s"},
@@ -1133,6 +1195,99 @@ def run_smoke() -> int:
             label="smoke stream8",
         )
         check("stream8_batch", got, loc)
+
+    # Kimura transition scoring (substitution extension): every
+    # routed engine's kimura variant vs the C++ LUT oracle on chip.
+    from genomics_rs_tpu.ops.subst import kimura_byte_lut
+    from genomics_rs_tpu.suffixtree.native import gotoh_score_cpu_subst
+
+    kim = Scores(
+        SCORE_ARGS["s_match"],
+        SCORE_ARGS["s_mismatch"],
+        SCORE_ARGS["g"],
+        SCORE_ARGS["h"],
+        s_transition=-1,
+    )
+    kim_lut = kimura_byte_lut(kim)
+    want_kim = {}
+    for loc in (False, True):
+        want_kim[loc] = [
+            gotoh_score_cpu_subst(
+                bytes(s1b[i][: ms[i]]),
+                bytes(s2b[i][: ns[i]]),
+                kim_lut,
+                kim.g,
+                kim.h,
+                loc,
+            )
+            for i in range(B)
+        ]
+
+    def check_kim(name, got, loc):
+        for i in range(B):
+            w = want_kim[loc][i]
+            g = (int(got[0][i]), int(got[1][i]), int(got[2][i]))
+            ok = g == w
+            status = "ok" if ok else f"MISMATCH got {g} want {w}"
+            print(f"[smoke] {name} local={loc} pair{i}: {status}")
+            if not ok:
+                failures.append((name, loc, i, g, w))
+
+    for loc in (False, True):
+        got = _retry(
+            lambda loc=loc: gotoh_scores_pallas_batch(
+                s1b, s2b, ms, ns, kim, loc
+            ),
+            label="smoke kimura flat",
+        )
+        check_kim("kimura_flat", got, loc)
+        got = _retry(
+            lambda loc=loc: gotoh_scores_stream(
+                s1b, s2b, ms, ns, kim, loc
+            ),
+            label="smoke kimura stream",
+        )
+        check_kim("kimura_stream", got, loc)
+
+    # Full-matrix (protein) batch engine: BLOSUM62 scores on chip vs
+    # the C++ LUT oracle (MXU subs planes + sheared wavefront scan).
+    from genomics_rs_tpu.ops.gotoh_matrix import gotoh_scores_matrix
+    from genomics_rs_tpu.ops.subst import blosum62
+
+    b62 = blosum62()
+    b62_lut = b62.byte_lut()
+    aa20 = np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", dtype=np.uint8)
+    p1 = np.full((B, Lm), PAD_S1, np.uint8)
+    p2 = np.full((B, Ln), PAD_S2, np.uint8)
+    for i in range(B):
+        p1[i, : ms[i]] = aa20[rng.integers(0, 20, ms[i])]
+        p2[i, : ns[i]] = aa20[rng.integers(0, 20, ns[i])]
+    for loc in (False, True):
+        want_m = [
+            gotoh_score_cpu_subst(
+                bytes(p1[i][: ms[i]]),
+                bytes(p2[i][: ns[i]]),
+                b62_lut,
+                kim.g,
+                kim.h,
+                loc,
+            )
+            for i in range(B)
+        ]
+        got = _retry(
+            lambda loc=loc: gotoh_scores_matrix(
+                p1, p2, ms, ns, b62, g=kim.g, h=kim.h, is_local=loc
+            ),
+            label="smoke matrix",
+        )
+        for i in range(B):
+            w = want_m[i]
+            gv = (int(got[0][i]), int(got[1][i]), int(got[2][i]))
+            ok = gv == w if loc else gv[0] == w[0]
+            status = "ok" if ok else f"MISMATCH got {gv} want {w}"
+            print(f"[smoke] matrix_blosum local={loc} pair{i}: {status}")
+            if not ok:
+                failures.append(("matrix_blosum", loc, i, gv, w))
 
     # Streamed dirs fill (round 4): one continuous wavefront emitting
     # packed direction words; per-segment slices walked by the device

@@ -21,6 +21,12 @@ sequence IO and the suffix tree are importable without the CLI.
 """
 
 from genomics_rs_tpu.config import Config, Scores, get_config
+from genomics_rs_tpu.ops.subst import (
+    SubstMatrix,
+    blosum62,
+    get_matrix,
+    load_matrix_file,
+)
 from genomics_rs_tpu.sequence import Sequence, SequenceContainer
 
 __all__ = [
@@ -29,6 +35,10 @@ __all__ = [
     "get_config",
     "Sequence",
     "SequenceContainer",
+    "SubstMatrix",
+    "blosum62",
+    "get_matrix",
+    "load_matrix_file",
 ]
 
 __version__ = "0.1.0"

@@ -47,6 +47,13 @@ def _build_parser() -> argparse.ArgumentParser:
     a.add_argument("-f", "--fasta-path", required=True)
     a.add_argument("--engine", default="auto", choices=["auto", "scan", "pallas"])
     a.add_argument(
+        "--matrix",
+        default=None,
+        help="full substitution matrix: a built-in name (BLOSUM62) or "
+        "an NCBI-format file — protein alignment; gap costs still "
+        "come from the config's g/h",
+    )
+    a.add_argument(
         "--band",
         type=int,
         default=0,
@@ -274,6 +281,13 @@ def _build_parser() -> argparse.ArgumentParser:
         "2-sequence gapped FASTA in this directory — batched "
         "streamed dirs fills + device walks (align_batch)",
     )
+    am.add_argument(
+        "--matrix",
+        default=None,
+        help="score under a full substitution matrix (built-in name "
+        "like BLOSUM62 or an NCBI-format file): protein all-vs-all; "
+        "gap costs still come from the config's g/h",
+    )
     return p
 
 
@@ -303,6 +317,8 @@ def main(argv: list[str] | None = None) -> int:
         log.info("Mismatch: %d", sc.s_mismatch)
         log.info("Gap: %d", sc.g)
         log.info("Opening Gap: %d", sc.h)
+        if sc.s_transition is not None:
+            log.info("Transition: %d", sc.s_transition)
         is_local = args.alignment_type in ("local", "1")
         log.info("Alignment Type: %s", args.alignment_type)
 
@@ -313,6 +329,23 @@ def main(argv: list[str] | None = None) -> int:
         from genomics_rs_tpu.models.aligner import align_pair
 
         from genomics_rs_tpu.utils.profiling import trace
+
+        matrix = None
+        if args.matrix:
+            from genomics_rs_tpu.ops.subst import get_matrix
+
+            matrix = get_matrix(args.matrix)
+            log.info(
+                "Substitution matrix: %s (%d chars)",
+                matrix.name or args.matrix,
+                len(matrix.alphabet),
+            )
+            if args.band:
+                print(
+                    "--matrix and --band are mutually exclusive",
+                    file=sys.stderr,
+                )
+                return 2
 
         if args.band:
             if is_local:
@@ -337,9 +370,13 @@ def main(argv: list[str] | None = None) -> int:
         else:
             with trace("align"):
                 aligned = align_pair(
-                    container, sc, is_local=is_local, engine=args.engine
+                    container,
+                    sc,
+                    is_local=is_local,
+                    engine=args.engine,
+                    matrix=matrix,
                 )
-        print_alignment_tables(aligned, sc, is_local)
+        print_alignment_tables(aligned, sc, is_local, matrix=matrix)
         print(format_aligned_sequences(aligned))
         return 0
 
@@ -797,9 +834,39 @@ def main(argv: list[str] | None = None) -> int:
         container = load_fasta_dir(args.fasta_dir)
         log.info("Number of sequences: %d", len(container.sequences))
         is_local = args.alignment_type in ("local", "1")
-        result = allpairs_scores(
-            container, config.scores, is_local=is_local, engine=args.engine
-        )
+        if args.matrix:
+            from genomics_rs_tpu.ops.subst import get_matrix
+            from genomics_rs_tpu.parallel.allpairs import (
+                allpairs_matrix_scores,
+            )
+
+            if args.alignments_out:
+                print(
+                    "--matrix does not support --alignments-out yet "
+                    "(matrix scoring is score-only)",
+                    file=sys.stderr,
+                )
+                return 2
+            mx = get_matrix(args.matrix)
+            log.info(
+                "Substitution matrix: %s (%d chars)",
+                mx.name or args.matrix,
+                len(mx.alphabet),
+            )
+            result = allpairs_matrix_scores(
+                container,
+                mx,
+                g=config.scores.g,
+                h=config.scores.h,
+                is_local=is_local,
+            )
+        else:
+            result = allpairs_scores(
+                container,
+                config.scores,
+                is_local=is_local,
+                engine=args.engine,
+            )
         print(
             f"{len(result.names)} sequences, {result.cells:.3g} DP cells "
             f"in {result.elapsed_s:.2f}s ({result.cells_per_s:.3g} cells/s)"

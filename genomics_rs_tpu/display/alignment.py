@@ -142,7 +142,9 @@ def format_scores_table(table: np.ndarray) -> str:
     return "\n".join(lines)
 
 
-def print_alignment_tables(a: AlignedSequences, scores: Scores, is_local: bool) -> None:
+def print_alignment_tables(
+    a: AlignedSequences, scores: Scores, is_local: bool, matrix=None
+) -> None:
     """Full small-input diagnostics: path matrix + I/S/D score tables."""
     from genomics_rs_tpu.ops.gotoh_numpy import gotoh_tables_numpy
 
@@ -150,7 +152,9 @@ def print_alignment_tables(a: AlignedSequences, scores: Scores, is_local: bool) 
     if vis is None:
         return
     print(vis)
-    I, S, D = gotoh_tables_numpy(a.s1.sequence, a.s2.sequence, scores, is_local)
+    I, S, D = gotoh_tables_numpy(
+        a.s1.sequence, a.s2.sequence, scores, is_local, matrix=matrix
+    )
     print("Delete Scores")
     print(format_scores_table(D))
     print("Insert Scores")

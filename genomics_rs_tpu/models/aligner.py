@@ -55,12 +55,26 @@ def _fill(
     emit_dirs: bool = True,
     packed_dirs: bool = False,
     interpret: bool = False,
+    subst_lut=None,
 ):
     if engine == "scan":
         return gotoh_fill_scan(
-            s1e, s2e, m, n, scores, is_local, emit_dirs=emit_dirs
+            s1e,
+            s2e,
+            m,
+            n,
+            scores,
+            is_local,
+            emit_dirs=emit_dirs,
+            subst_lut=subst_lut,
         )
     elif engine == "pallas":
+        if subst_lut is not None:
+            raise ValueError(
+                "full substitution matrices run on the scan engine "
+                "(the aligner routes there automatically when "
+                "matrix= is set)"
+            )
         if packed_dirs or not emit_dirs:
             # Production configs (packed dirs for the device walk, or
             # score-only) run the lean row-block kernel as ONE block:
@@ -123,10 +137,17 @@ class PairwiseAligner:
     """Global (Needleman-Wunsch) / local (Smith-Waterman) affine-gap aligner.
 
     Args:
-      scores: scoring parameters.
+      scores: scoring parameters (``scores.s_transition`` turns on
+        kimura transition scoring in every engine).
       is_local: local vs global alignment.
       engine: "scan" (portable lax.scan), "pallas" (TPU kernel) or
         "auto" (pallas on TPU backends, scan elsewhere).
+      matrix: optional full substitution matrix (``SubstMatrix``,
+        e.g. ``get_matrix("BLOSUM62")``) for protein alignment — a
+        TPU-framework extension (the reference scores two values only,
+        ``algo.rs:245-248``). Matrix scoring runs on the scan engine
+        (protein-scale sequences; mutually exclusive with
+        ``s_transition``).
     """
 
     def __init__(
@@ -135,12 +156,27 @@ class PairwiseAligner:
         is_local: bool = False,
         engine: str = "auto",
         interpret: bool = False,
+        matrix=None,
     ):
         self.scores = scores
         self.is_local = is_local
         self.engine = _default_engine() if engine == "auto" else engine
         #: run Pallas kernels in interpret mode (CPU test hook only).
         self.interpret = interpret
+        self.matrix = matrix
+        self._lut = None
+        if matrix is not None:
+            if getattr(scores, "s_transition", None) is not None:
+                raise ValueError(
+                    "matrix and scores.s_transition are mutually "
+                    "exclusive"
+                )
+            # Full-matrix scoring has no wavefront-kernel formulation
+            # yet; the scan engine runs the same fill on-device.
+            self.engine = "scan"
+            self._lut = np.ascontiguousarray(
+                matrix.byte_lut(), dtype=np.int32
+            )
 
     #: Largest monolithic PACKED direction bitmap before routing to
     #: the checkpointed linear-space path (bytes; the pallas path
@@ -214,6 +250,7 @@ class PairwiseAligner:
                 self.engine,
                 packed_dirs=packed,
                 interpret=self.interpret,
+                subst_lut=self._lut,
             )
             jax.block_until_ready(res.score)
         with spinner(
@@ -295,6 +332,7 @@ class PairwiseAligner:
             self.is_local,
             self.engine,
             emit_dirs=False,
+            subst_lut=self._lut,
         )
         return int(res.score)
 
@@ -509,6 +547,7 @@ def align_pair(
     scores: Scores,
     is_local: bool = False,
     engine: str = "auto",
+    matrix=None,
 ) -> AlignedSequences:
     """Align the first two sequences of a container.
 
@@ -518,5 +557,7 @@ def align_pair(
     """
     if len(container.sequences) > 2:
         log.warning("More than two sequences found. Only the first two will be used.")
-    aligner = PairwiseAligner(scores, is_local=is_local, engine=engine)
+    aligner = PairwiseAligner(
+        scores, is_local=is_local, engine=engine, matrix=matrix
+    )
     return aligner.align(container.sequences[0], container.sequences[1])

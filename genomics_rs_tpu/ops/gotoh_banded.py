@@ -65,6 +65,12 @@ from genomics_rs_tpu.ops.gotoh_pallas import (
     _round_up,
     _shift_down_flat,
 )
+from genomics_rs_tpu.ops.subst import (
+    encode_chars,
+    kimura_active,
+    sentinel,
+    sub_score,
+)
 from genomics_rs_tpu.ops.gotoh_scan import (
     DIR_DEL,
     DIR_INS,
@@ -130,6 +136,7 @@ def _kernel_banded(
     C: int,
     chunk: int,
     unroll: int,
+    kimura: bool = False,
 ):
     g_id = pl.program_id(0)
     sm = scalars[0]
@@ -138,6 +145,7 @@ def _kernel_banded(
     hh = scalars[3]
     m = scalars[4]
     v_mn = scalars[6]
+    st = scalars[7] if kimura else None
     hg = hh + gg
 
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 0)
@@ -199,7 +207,7 @@ def _kernel_banded(
         )
         s2w1 = jnp.where(is1, s2_up, s2w0)
 
-        sub = jnp.where(s1c_ref[0, t] == s2w1, sm, sx)
+        sub = sub_score(s1c_ref[0, t], s2w1, sm, sx, st)
         Sn = sub + M_al
         P = jnp.maximum(Sn, Dn)
         seed = _shift_down_flat(
@@ -279,15 +287,15 @@ def _banded_call(
         )
 
     s1_idx = np.minimum(rows - 1, s1e.shape[0] - 1).astype(np.int32)
-    s1c = jnp.take(jnp.asarray(s1e, jnp.int32), jnp.asarray(s1_idx))[
-        None, :
-    ]
+    s1c = jnp.take(
+        encode_chars(jnp.asarray(s1e), scores), jnp.asarray(s1_idx)
+    )[None, :]
     # Char entering the window on the right when delta == 1:
     # column off(i) + V, i.e. s2e[off(i) + V - 1].
     in_idx = np.minimum(off + V - 1, s2e.shape[0] - 1).astype(np.int32)
-    s2in = jnp.take(jnp.asarray(s2e, jnp.int32), jnp.asarray(in_idx))[
-        None, :
-    ]
+    s2in = jnp.take(
+        encode_chars(jnp.asarray(s2e), scores), jnp.asarray(in_idx)
+    )[None, :]
     # Left fills: real col-0 boundary values while the window still
     # touches column 0, -inf once the band has moved past it. (jnp:
     # the scores ride through the jit as traced scalars.)
@@ -300,11 +308,11 @@ def _banded_call(
     )[None, :]
     fillN = jnp.where(at0, hh + rj * gg + hh + gg, neg)[None, :]
 
-    s2init = jnp.full((V,), 0xFF, dtype=jnp.int32)
+    s2init = jnp.full((V,), sentinel(0xFF, scores), dtype=jnp.int32)
     take_n = min(V, len(s2e))
     s2init = jax.lax.dynamic_update_slice(
         s2init,
-        jnp.asarray(s2e[:take_n], jnp.int32),
+        encode_chars(jnp.asarray(s2e[:take_n]), scores),
         (jnp.int32(0),),
     ).reshape(ROWS, C)
 
@@ -318,7 +326,10 @@ def _banded_call(
             jnp.int32(m),
             jnp.int32(n),
             jnp.int32(v_mn),
-            jnp.int32(0),
+            # st rides the spare slot in kimura variants.
+            jnp.int32(
+                scores.s_transition if kimura_active(scores) else 0
+            ),
         ]
     )
 
@@ -353,7 +364,11 @@ def _banded_call(
         scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)] * 5,
     )
     kernel = functools.partial(
-        _kernel_banded, C=C, chunk=RC, unroll=unroll
+        _kernel_banded,
+        C=C,
+        chunk=RC,
+        unroll=unroll,
+        kimura=kimura_active(scores),
     )
     dirs, fin = pl.pallas_call(
         kernel,

@@ -54,6 +54,12 @@ from genomics_rs_tpu.ops.gotoh_scan import (
     NEG_INF,
     FillResult,
 )
+from genomics_rs_tpu.ops.subst import (
+    encode_chars,
+    kimura_active,
+    sentinel,
+    sub_score,
+)
 
 #: sublane count of the flat diagonal layout.
 ROWS = 8
@@ -70,11 +76,13 @@ def drift_rate_or_none(scores) -> int | None:
     headroom bound lives in one place.
     """
     try:
+        st = getattr(scores, "s_transition", None)
         return (
             abs(int(scores.g))
             + abs(int(scores.h))
             + abs(int(scores.s_mismatch))
             + abs(int(scores.s_match))
+            + (abs(int(st)) if st is not None else 0)
             + 1
         )
     except jax.errors.ConcretizationTypeError:
@@ -147,7 +155,7 @@ def _shift_down_flat(x, incoming, row_idx, col_idx, C):
 
 
 def _kernel_tile(
-    scalars,  # SMEM int32[8]: m, n, sm, sx, g, h, i0, j0 (global coords)
+    scalars,  # SMEM int32[8(+1)]: m, n, sm, sx, g, h, i0, j0 [, st] (global coords)
     s1m_ref,  # VMEM int32 (8, C): s1m[l] = s1_block[l-1]
     s2i_ref,  # SMEM int32 (1, chunk): s2inj chunk
     top_ref,  # SMEM int32 (3, chunk): I/S/D of tile row 0 at col k
@@ -160,6 +168,7 @@ def _kernel_tile(
     emit_dirs: bool,
     emit_bottom: bool,
     emit_right: bool = False,
+    kimura: bool = False,
 ):
     """Streamed-boundary wavefront tile fill.
 
@@ -218,6 +227,7 @@ def _kernel_tile(
     hh = scalars[5]
     i0 = scalars[6]
     j0 = scalars[7]
+    st = scalars[8] if kimura else None
     hg = hh + gg
 
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 0)
@@ -270,7 +280,7 @@ def _kernel_tile(
                 Dnew = jnp.maximum(
                     jnp.maximum(shQ + hg, shD + gg), zero_lane
                 )
-                sub = jnp.where(s1m_ref[:] == s2j, sm, sx)
+                sub = sub_score(s1m_ref[:], s2j, sm, sx, st)
                 Snew = sub + jnp.maximum(shM[:], zero_lane)
             else:
                 # The invalid mask below re-clamps dead lanes to neg
@@ -278,7 +288,7 @@ def _kernel_tile(
                 # no-ops in global mode — dropped.
                 Inew = jnp.maximum(Ip[:] + gg, Sp[:] + hg)
                 Dnew = jnp.maximum(shQ + hg, shD + gg)
-                sub = jnp.where(s1m_ref[:] == s2j, sm, sx)
+                sub = sub_score(s1m_ref[:], s2j, sm, sx, st)
                 Snew = sub + shM[:]
 
             # Boundary injection from the streams; lane conditions
@@ -473,17 +483,19 @@ def gotoh_tile_pallas(
         (s1_block, s2e, top, left), vma_axes
     )
 
-    s1m = vary(jnp.full((V,), 0xFD, dtype=jnp.int32), vma_axes)
+    s1m = vary(
+        jnp.full((V,), sentinel(0xFD, scores), dtype=jnp.int32), vma_axes
+    )
     s1m = jax.lax.dynamic_update_slice(
-        s1m, s1_block.astype(jnp.int32), (jnp.int32(1),)
+        s1m, encode_chars(s1_block, scores), (jnp.int32(1),)
     )
     s1m2d = s1m.reshape(ROWS, C)
 
     ks = jnp.arange(shapes.Kp, dtype=jnp.int32)
     s2inj = jnp.take(
-        s2e.astype(jnp.int32), vary(jnp.clip(ks - 1, 0, B - 1), vma_axes)
+        encode_chars(s2e, scores), vary(jnp.clip(ks - 1, 0, B - 1), vma_axes)
     )
-    s2inj = jnp.where(ks - 1 >= B, 0xFF, s2inj)[None, :]
+    s2inj = jnp.where(ks - 1 >= B, sentinel(0xFF, scores), s2inj)[None, :]
 
     neg = jnp.int32(NEG_INF)
     # Stream layouts: top consumed at step k (k <= B), left[k-1] at
@@ -501,6 +513,7 @@ def gotoh_tile_pallas(
         left_stream, left.astype(jnp.int32), (jnp.int32(0), jnp.int32(1))
     )
 
+    kim = kimura_active(scores)
     scalars = jnp.stack(
         vary(
             [
@@ -512,7 +525,8 @@ def gotoh_tile_pallas(
                 jnp.int32(scores.h),
                 jnp.asarray(i0, jnp.int32),
                 jnp.asarray(j0, jnp.int32),
-            ],
+            ]
+            + ([jnp.int32(scores.s_transition)] if kim else []),
             vma_axes,
         )
     )
@@ -579,6 +593,7 @@ def gotoh_tile_pallas(
         emit_dirs=emit_dirs,
         emit_bottom=emit_bottom,
         emit_right=emit_right,
+        kimura=kim,
     )
     outs = list(
         pl.pallas_call(
@@ -627,7 +642,7 @@ def gotoh_tile_pallas(
 
 
 def _kernel_tile_batch(
-    scalars,  # SMEM int32 (B, 8): m, n, sm, sx, g, h, i0, pad per pair
+    scalars,  # SMEM int32 (B, 8): m, n, sm, sx, g, h, i0, st|pad per pair
     s1m_ref,  # VMEM int32 (1, 8, C) block: this pair's block rows
     s2i_ref,  # SMEM int32 (1, 1, chunk): this pair's s2inj chunk
     top_ref,  # SMEM int32 (1, 3, chunk): this pair's top-row stream
@@ -636,6 +651,7 @@ def _kernel_tile_batch(
     B_cols: int,
     R_rows: int,
     is_local: bool,
+    kimura: bool = False,
 ):
     """Batched full-width row-block fill: grid (pairs, diag-chunks).
 
@@ -677,6 +693,7 @@ def _kernel_tile_batch(
     gg = scalars[b_id, 4]
     hh = scalars[b_id, 5]
     i0 = scalars[b_id, 6]
+    st = scalars[b_id, 7] if kimura else None
     hg = hh + gg
 
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 0)
@@ -728,14 +745,14 @@ def _kernel_tile_batch(
                 Dnew = jnp.maximum(
                     jnp.maximum(shQ + hg, shD + gg), zero_lane
                 )
-                sub = jnp.where(s1m_ref[0] == s2j, sm, sx)
+                sub = sub_score(s1m_ref[0], s2j, sm, sx, st)
                 Snew = sub + jnp.maximum(shM[:], zero_lane)
             else:
                 # invalid re-clamps dead lanes every step, so the
                 # NEG_INF re-clamps are no-ops in global mode.
                 Inew = jnp.maximum(Ip[:] + gg, Sp[:] + hg)
                 Dnew = jnp.maximum(shQ + hg, shD + gg)
-                sub = jnp.where(s1m_ref[0] == s2j, sm, sx)
+                sub = sub_score(s1m_ref[0], s2j, sm, sx, st)
                 Snew = sub + shM[:]
 
             # Boundaries: top row streamed; left col = global col-0
@@ -850,8 +867,8 @@ def gotoh_scores_blocked(
     ns = jnp.asarray(ns, jnp.int32)
 
     # Per-pair, per-block s1m panes: (NB, B, 8, C).
-    s1m = jnp.full((B, NB, V), 0xFD, dtype=jnp.int32)
-    blocks = s1eb.astype(jnp.int32).reshape(B, NB, R)
+    s1m = jnp.full((B, NB, V), sentinel(0xFD, scores), dtype=jnp.int32)
+    blocks = encode_chars(s1eb, scores).reshape(B, NB, R)
     s1m = jax.lax.dynamic_update_slice(
         s1m, blocks, (jnp.int32(0), jnp.int32(0), jnp.int32(1))
     )
@@ -860,9 +877,11 @@ def gotoh_scores_blocked(
     ks = jnp.arange(shapes.Kp, dtype=jnp.int32)
     idx = jnp.clip(ks - 1, 0, Ln - 1)
     s2inj = jnp.take_along_axis(
-        s2eb.astype(jnp.int32), jnp.broadcast_to(idx, (B, shapes.Kp)), axis=1
+        encode_chars(s2eb, scores), jnp.broadcast_to(idx, (B, shapes.Kp)), axis=1
     )
-    s2inj = jnp.where(ks - 1 >= Ln, 0xFF, s2inj)[:, None, :]
+    s2inj = jnp.where(
+        ks - 1 >= Ln, sentinel(0xFF, scores), s2inj
+    )[:, None, :]
 
     from genomics_rs_tpu.ops.gotoh_tile import global_boundary_top
 
@@ -906,12 +925,14 @@ def gotoh_scores_blocked(
         scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)]
         * (9 if is_local else 7),
     )
+    kim = kimura_active(scores)
     kernel = functools.partial(
         _kernel_tile_batch,
         shapes=shapes,
         B_cols=Ln,
         R_rows=R,
         is_local=is_local,
+        kimura=kim,
     )
 
     def block_step(top, xs):
@@ -931,7 +952,10 @@ def gotoh_scores_blocked(
                 jnp.full((B,), scores.g, jnp.int32),
                 jnp.full((B,), scores.h, jnp.int32),
                 jnp.full((B,), 1, jnp.int32) * i0,
-                jnp.zeros((B,), jnp.int32),
+                # st rides the spare column in kimura variants.
+                jnp.full(
+                    (B,), scores.s_transition if kim else 0, jnp.int32
+                ),
             ],
             axis=1,
         )
@@ -990,7 +1014,7 @@ def gotoh_scores_blocked(
 
 
 def _kernel_batch(
-    scalars,  # SMEM int32 (B, 8): per-pair m, n, sm, sx, g, h, pad, pad
+    scalars,  # SMEM int32 (B, 8): per-pair m, n, sm, sx, g, h, st|pad, pad
     s1m_ref,  # VMEM int32 (1, 8, C) block: this pair's s1m
     s2i_ref,  # SMEM int32 (1, 1, chunk) block: this pair's s2inj chunk
     bv_ref,  # int32 (1, 8, C) out block
@@ -1000,6 +1024,7 @@ def _kernel_batch(
     *,
     shapes: _Shapes,
     is_local: bool,
+    kimura: bool = False,
 ):
     """Batched score-only wavefront: grid (pairs, diag-chunks).
 
@@ -1047,6 +1072,7 @@ def _kernel_batch(
     sx = scalars[b_id, 3]
     gg = scalars[b_id, 4]
     hh = scalars[b_id, 5]
+    st = scalars[b_id, 6] if kimura else None
     hg = hh + gg
 
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 0)
@@ -1087,12 +1113,12 @@ def _kernel_batch(
         if is_local:
             Inew = jnp.maximum(jnp.maximum(I0 + gg, P0 + hg), zero_lane)
             Dnew = jnp.maximum(jnp.maximum(shQ + hg, shD + gg), zero_lane)
-            sub = jnp.where(s1m_ref[0] == s2j, sm, sx)
+            sub = sub_score(s1m_ref[0], s2j, sm, sx, st)
             Snew = sub + jnp.maximum(M0, zero_lane)
         else:
             Inew = jnp.maximum(I0 + gg, P0 + hg)
             Dnew = jnp.maximum(shQ + hg, shD + gg)
-            sub = jnp.where(s1m_ref[0] == s2j, sm, sx)
+            sub = sub_score(s1m_ref[0], s2j, sm, sx, st)
             Snew = sub + M0
 
         # Boundary injection. Lane conditions factor into two
@@ -1225,19 +1251,22 @@ def gotoh_scores_pallas_batch(
     ms = jnp.asarray(ms, jnp.int32)
     ns = jnp.asarray(ns, jnp.int32)
 
-    s1m = jnp.full((B, V), 0xFD, dtype=jnp.int32)
+    s1m = jnp.full((B, V), sentinel(0xFD, scores), dtype=jnp.int32)
     s1m = jax.lax.dynamic_update_slice(
-        s1m, s1eb.astype(jnp.int32), (jnp.int32(0), jnp.int32(1))
+        s1m, encode_chars(s1eb, scores), (jnp.int32(0), jnp.int32(1))
     )
     s1m3d = s1m.reshape(B, ROWS, C)
 
     ks = jnp.arange(shapes.Kp, dtype=jnp.int32)
     idx = jnp.clip(ks - 1, 0, Ln - 1)
     s2inj = jnp.take_along_axis(
-        s2eb.astype(jnp.int32), jnp.broadcast_to(idx, (B, shapes.Kp)), axis=1
+        encode_chars(s2eb, scores), jnp.broadcast_to(idx, (B, shapes.Kp)), axis=1
     )
-    s2inj = jnp.where(ks - 1 >= Ln, 0xFF, s2inj)[:, None, :]
+    s2inj = jnp.where(
+        ks - 1 >= Ln, sentinel(0xFF, scores), s2inj
+    )[:, None, :]
 
+    kim = kimura_active(scores)
     scalars = jnp.stack(
         [
             ms,
@@ -1246,7 +1275,8 @@ def gotoh_scores_pallas_batch(
             jnp.full((B,), scores.s_mismatch, jnp.int32),
             jnp.full((B,), scores.g, jnp.int32),
             jnp.full((B,), scores.h, jnp.int32),
-            jnp.zeros((B,), jnp.int32),
+            # st rides the spare column in kimura variants.
+            jnp.full((B,), scores.s_transition if kim else 0, jnp.int32),
             jnp.zeros((B,), jnp.int32),
         ],
         axis=1,
@@ -1273,7 +1303,7 @@ def gotoh_scores_pallas_batch(
         scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)] * 10,
     )
     kernel = functools.partial(
-        _kernel_batch, shapes=shapes, is_local=is_local
+        _kernel_batch, shapes=shapes, is_local=is_local, kimura=kim
     )
     out_vma = frozenset(vma_axes) if vma_axes else None
     bv, bk, fin = pl.pallas_call(

@@ -53,6 +53,12 @@ from genomics_rs_tpu.ops.gotoh_pallas import (
     _round_up,
     _shift_down_flat,
 )
+from genomics_rs_tpu.ops.subst import (
+    encode_chars,
+    kimura_active,
+    sentinel,
+    sub_score,
+)
 from genomics_rs_tpu.ops.gotoh_scan import (
     DIR_DEL,
     DIR_INS,
@@ -99,7 +105,7 @@ if CHUNK < PACK or CHUNK % PACK:
 
 
 def _kernel_rows(
-    scalars,  # SMEM int32[8]: m, n, sm, sx, g, h, i0, pad
+    scalars,  # SMEM int32[8]: m, n, sm, sx, g, h, i0, st|pad
     s1m_ref,  # VMEM int32 (8, C): s1m[v] = s1_block[v-1]
     s2i_ref,  # SMEM int32 (1, chunk): injected s2 chars
     top_ref,  # SMEM int32 (3, chunk): row-0 I/S/D stream
@@ -114,6 +120,7 @@ def _kernel_rows(
     has_left: bool,
     emit_cols: bool,
     unroll: int,
+    kimura: bool = False,
 ):
     idx = 0
     if has_left:
@@ -152,6 +159,7 @@ def _kernel_rows(
     gg = scalars[4]
     hh = scalars[5]
     i0 = scalars[6]
+    st = scalars[7] if kimura else None
     hg = hh + gg
     mi0 = m - i0  # tile-local probe lane (may be out of [0, R])
 
@@ -207,7 +215,7 @@ def _kernel_rows(
         Dnew = _shift_down_flat(A0, neg, row_idx, col_idx, C)
         SMnew = _shift_down_flat(M0, neg, row_idx, col_idx, C)
 
-        sub = jnp.where(s1m_ref[:] == s2j, sm, sx)
+        sub = sub_score(s1m_ref[:], s2j, sm, sx, st)
         if is_local:
             Inew = jnp.maximum(jnp.maximum(I0 + gg, P0 + hg), zero)
         else:
@@ -450,15 +458,15 @@ def gotoh_rowblock_pallas(
             f"({CHUNK})"
         )
 
-    s1m = jnp.full((V,), 0xFD, dtype=jnp.int32)
+    s1m = jnp.full((V,), sentinel(0xFD, scores), dtype=jnp.int32)
     s1m = jax.lax.dynamic_update_slice(
-        s1m, s1_block.astype(jnp.int32), (jnp.int32(1),)
+        s1m, encode_chars(s1_block, scores), (jnp.int32(1),)
     )
     s1m2d = s1m.reshape(ROWS, C)
 
     ks = jnp.arange(Kp, dtype=jnp.int32)
-    s2inj = jnp.take(s2e.astype(jnp.int32), jnp.clip(ks - 1, 0, B - 1))
-    s2inj = jnp.where(ks - 1 >= B, 0xFF, s2inj)[None, :]
+    s2inj = jnp.take(encode_chars(s2e, scores), jnp.clip(ks - 1, 0, B - 1))
+    s2inj = jnp.where(ks - 1 >= B, sentinel(0xFF, scores), s2inj)[None, :]
 
     neg = jnp.int32(NEG_INF)
     top_stream = jnp.full((3, Kp), neg, dtype=jnp.int32)
@@ -476,6 +484,7 @@ def gotoh_rowblock_pallas(
             (jnp.int32(0), jnp.int32(1)),
         )
 
+    kim = kimura_active(scores)
     scalars = jnp.stack(
         [
             jnp.asarray(m, jnp.int32),
@@ -485,7 +494,8 @@ def gotoh_rowblock_pallas(
             jnp.int32(scores.g),
             jnp.int32(scores.h),
             jnp.asarray(i0, jnp.int32),
-            jnp.int32(0),
+            # st rides the spare slot in kimura variants.
+            jnp.int32(scores.s_transition if kim else 0),
         ]
     )
 
@@ -575,6 +585,7 @@ def gotoh_rowblock_pallas(
         has_left=left is not None,
         emit_cols=emit_cols,
         unroll=unroll,
+        kimura=kim,
     )
     outs = pl.pallas_call(
         kernel,

@@ -49,6 +49,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from genomics_rs_tpu.config import Scores
+from genomics_rs_tpu.ops.subst import (
+    encode_chars,
+    kimura_active,
+    sentinel,
+    sub_score,
+)
 from genomics_rs_tpu.ops.gotoh_scan import INT_MIN, NEG_INF
 
 ROWS = 8  # pairs per register pane (one per sublane row)
@@ -79,6 +85,7 @@ def _kernel_seg(
     chunk: int,
     C: int,
     is_local: bool,
+    kimura: bool = False,
 ):
     b_id = pl.program_id(0)
     g_id = pl.program_id(1)
@@ -88,6 +95,7 @@ def _kernel_seg(
     sx = scalars[base, 3]
     gg = scalars[base, 4]
     hh = scalars[base, 5]
+    st = scalars[base, 6] if kimura else None
     hg = hh + gg
 
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 1)
@@ -147,7 +155,7 @@ def _kernel_seg(
                 Dnew = jnp.maximum(
                     jnp.maximum(shQ + hg, shD + gg), zero_lane
                 )
-                sub = jnp.where(s1m_ref[0] == s2j, sm, sx)
+                sub = sub_score(s1m_ref[0], s2j, sm, sx, st)
                 Snew = sub + jnp.maximum(shM[:], zero_lane)
             else:
                 # Padded lanes drift unclamped; they only feed other
@@ -157,7 +165,7 @@ def _kernel_seg(
                 # the wrapper.
                 Inew = jnp.maximum(Ip[:] + gg, Sp[:] + hg)
                 Dnew = jnp.maximum(shQ + hg, shD + gg)
-                sub = jnp.where(s1m_ref[0] == s2j, sm, sx)
+                sub = sub_score(s1m_ref[0], s2j, sm, sx, st)
                 Snew = sub + shM[:]
 
             # Boundaries (lane l = DP row i of its pair; j = k - l).
@@ -241,12 +249,14 @@ def gotoh_scores_segmented(
     Kp = _round_up(K, chunk)
 
     # int32 drift headroom guard (see kernel comment).
+    kim = kimura_active(scores)
     try:
         drift_rate = (
             abs(int(scores.g))
             + abs(int(scores.h))
             + abs(int(scores.s_mismatch))
             + abs(int(scores.s_match))
+            + (abs(int(scores.s_transition)) if kim else 0)
             + 1
         )
     except jax.errors.ConcretizationTypeError:
@@ -278,9 +288,9 @@ def gotoh_scores_segmented(
     Bg = Bp // ROWS
 
     # s1m panes: (Bg, 8, C) with s1m[., g, l] = s1[l-1], lane 0 = 0xFD.
-    s1m = jnp.full((Bp, C), 0xFD, dtype=jnp.int32)
+    s1m = jnp.full((Bp, C), sentinel(0xFD, scores), dtype=jnp.int32)
     s1m = jax.lax.dynamic_update_slice(
-        s1m, s1eb.astype(jnp.int32), (jnp.int32(0), jnp.int32(1))
+        s1m, encode_chars(s1eb, scores), (jnp.int32(0), jnp.int32(1))
     )
     s1m = s1m.reshape(Bg, ROWS, C)
 
@@ -288,9 +298,11 @@ def gotoh_scores_segmented(
     ks = jnp.arange(Kp, dtype=jnp.int32)
     idx = jnp.clip(ks - 1, 0, Ln - 1)
     s2inj = jnp.take_along_axis(
-        s2eb.astype(jnp.int32), jnp.broadcast_to(idx, (Bp, Kp)), axis=1
+        encode_chars(s2eb, scores), jnp.broadcast_to(idx, (Bp, Kp)), axis=1
     )
-    s2inj = jnp.where(ks - 1 >= Ln, 0xFF, s2inj).reshape(Bg, ROWS, Kp)
+    s2inj = jnp.where(
+        ks - 1 >= Ln, sentinel(0xFF, scores), s2inj
+    ).reshape(Bg, ROWS, Kp)
 
     scalars = jnp.stack(
         [
@@ -300,7 +312,8 @@ def gotoh_scores_segmented(
             jnp.full((Bp,), scores.s_mismatch, jnp.int32),
             jnp.full((Bp,), scores.g, jnp.int32),
             jnp.full((Bp,), scores.h, jnp.int32),
-            jnp.zeros((Bp,), jnp.int32),
+            # st rides the spare column in kimura variants.
+            jnp.full((Bp,), scores.s_transition if kim else 0, jnp.int32),
             jnp.zeros((Bp,), jnp.int32),
         ],
         axis=1,
@@ -328,7 +341,7 @@ def gotoh_scores_segmented(
         scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)] * 9,
     )
     kernel = functools.partial(
-        _kernel_seg, K=K, chunk=chunk, C=C, is_local=is_local
+        _kernel_seg, K=K, chunk=chunk, C=C, is_local=is_local, kimura=kim
     )
     # vma: under shard_map+check_vma the out avals must declare their
     # varying manual axes (every other op auto-promotes).

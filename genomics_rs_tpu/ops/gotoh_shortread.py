@@ -33,6 +33,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from genomics_rs_tpu.config import Scores
+from genomics_rs_tpu.ops.subst import (
+    encode_chars,
+    kimura_active,
+    sentinel,
+    sub_score,
+)
 from genomics_rs_tpu.ops.gotoh_scan import (
     DIR_DEL,
     DIR_INS,
@@ -60,6 +66,7 @@ def _rowscan_body(
     L2: int,
     is_local: bool,
     RC: int | None = None,
+    kimura: bool = False,
 ):
     if RC is not None:
         codes_ref, (rI, rS, rD, fin_s, bv_s, bi_s) = rest[0], rest[1:]
@@ -69,6 +76,7 @@ def _rowscan_body(
     sx = scalars[1]
     gg = scalars[2]
     hh = scalars[3]
+    st = scalars[4] if kimura else None
     hg = hh + gg
     neg = jnp.int32(NEG_INF)
     int_min = jnp.int32(INT_MIN)
@@ -123,7 +131,7 @@ def _rowscan_body(
         )
         # S(i, j) = sub + max(M(i-1, j-1) [,0]).
         s1c = s1_ref[0, i - row_lo]  # (8, 128); block-local row index
-        sub = jnp.where(s1c == s2v, sm, sx)
+        sub = sub_score(s1c, s2v, sm, sx, st)
         Sn = sub + jnp.maximum(Mp_sh, zero_lane)
 
         # I(i, j) = max(I(i, j-1) + g, max(S, D)(i, j-1) + h + g [,0]):
@@ -222,18 +230,20 @@ def gotoh_scores_shortread(
             )
         return x.reshape(n_panes, 8, 128)
 
-    s1p = to_panes(s1b, 0xFE)
-    s2p = to_panes(s2b, 0xFF)
+    s1p = to_panes(encode_chars(jnp.asarray(s1b), scores), sentinel(0xFE, scores))
+    s2p = to_panes(encode_chars(jnp.asarray(s2b), scores), sentinel(0xFF, scores))
     mp = to_panes(ms, 1)
     np_ = to_panes(ns, 1)
 
+    kim = kimura_active(scores)
     scalars = jnp.stack(
         [
             jnp.int32(scores.s_match),
             jnp.int32(scores.s_mismatch),
             jnp.int32(scores.g),
             jnp.int32(scores.h),
-            jnp.int32(0),
+            # st rides a spare slot in kimura variants.
+            jnp.int32(scores.s_transition if kim else 0),
             jnp.int32(0),
             jnp.int32(0),
             jnp.int32(0),
@@ -301,7 +311,7 @@ def gotoh_scores_shortread(
         scratch_shapes=[pltpu.VMEM((L2, 8, 128), jnp.int32)] * 6,
     )
     kernel = functools.partial(
-        _rowscan_body, L1=L1, L2=L2, is_local=is_local, RC=RC
+        _rowscan_body, L1=L1, L2=L2, is_local=is_local, RC=RC, kimura=kim
     )
     outs = pl.pallas_call(
         kernel,

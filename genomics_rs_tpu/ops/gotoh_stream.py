@@ -93,6 +93,12 @@ from genomics_rs_tpu.ops.gotoh_scan import (
     INT_MIN,
     NEG_INF,
 )
+from genomics_rs_tpu.ops.subst import (
+    encode_chars,
+    kimura_active,
+    sentinel,
+    sub_score,
+)
 
 #: diagonals per grid step (SMEM stream block width). Env-overridable
 #: (GENOMICS_TPU_CHUNK) for hardware sweeps; must stay a multiple of
@@ -158,6 +164,7 @@ def _kernel_stream(
     is_local: bool,
     unroll: int,
     emit_dirs: bool = False,
+    kimura: bool = False,
 ):
     if is_local:
         (
@@ -230,6 +237,7 @@ def _kernel_stream(
     sx = scalars[1]
     gg = scalars[2]
     hh = scalars[3]
+    st = scalars[4] if kimura else None
     hg = hh + gg
 
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 0)
@@ -313,8 +321,9 @@ def _kernel_stream(
 
         # Identical factored recurrence to _kernel_batch; local mode
         # injects the reference's raw-0 lane inside every predecessor
-        # max (algo.rs:103).
-        sub = jnp.where(s1c1 == s2j, sm, sx)
+        # max (algo.rs:103). sub_score adds the kimura transition
+        # select (2 vector ops) only in kimura compile variants.
+        sub = sub_score(s1c1, s2j, sm, sx, st)
         if is_local:
             Inew = jnp.maximum(jnp.maximum(I0 + gg, P0 + hg), zero)
             Dnew = jnp.maximum(jnp.maximum(shQ + hg, shD + gg), zero)
@@ -514,10 +523,11 @@ def _stream_call(
         )
 
     # s1 panes, one per segment: flat index v holds s1[v-1] (0xFD at
-    # v=0 and beyond Lm never matches any s2 char or sentinel).
-    s1m = jnp.full((P, V), 0xFD, dtype=jnp.int32)
+    # v=0 and beyond Lm never matches any s2 char or sentinel; chars
+    # pass the active substitution encoding, ops/subst.py).
+    s1m = jnp.full((P, V), sentinel(0xFD, scores), dtype=jnp.int32)
     s1m = jax.lax.dynamic_update_slice(
-        s1m, s1eb.astype(jnp.int32), (jnp.int32(0), jnp.int32(1))
+        s1m, encode_chars(s1eb, scores), (jnp.int32(0), jnp.int32(1))
     )
     s1panes = s1m.reshape(P, ROWS, C)
 
@@ -529,8 +539,10 @@ def _stream_call(
     c = ks - t * L1
     tc = jnp.clip(t, 0, P - 1)
     charidx = jnp.clip(c - 1, 0, Ln - 1)
-    inj = jnp.take(s2eb.astype(jnp.int32).reshape(-1), tc * Ln + charidx)
-    inj = jnp.where((c >= 1) & (c <= Ln) & (t < P), inj, 0xFF)[None, :]
+    inj = jnp.take(encode_chars(s2eb, scores).reshape(-1), tc * Ln + charidx)
+    inj = jnp.where(
+        (c >= 1) & (c <= Ln) & (t < P), inj, sentinel(0xFF, scores)
+    )[None, :]
 
     # Row-0 boundary per step (reference algo.rs:193-219): corner
     # (0, 0) = 0 in all three matrices; I(0, c) = h + c*g, S/D = -inf.
@@ -574,6 +586,7 @@ def _stream_call(
         )
         extra_streams = (seam, probe)
 
+    kim = kimura_active(scores)
     scalars = jnp.stack(
         [
             jnp.int32(scores.s_match),
@@ -581,6 +594,7 @@ def _stream_call(
             gg,
             hh,
         ]
+        + ([jnp.int32(scores.s_transition)] if kim else [])
     )
 
     smem_chunk = pl.BlockSpec(
@@ -643,6 +657,7 @@ def _stream_call(
         is_local=is_local,
         unroll=unroll,
         emit_dirs=emit_dirs,
+        kimura=kim,
     )
     operands = (
         (s1panes, cinit, inj, topI, topSD)

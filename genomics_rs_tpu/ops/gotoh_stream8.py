@@ -69,6 +69,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from genomics_rs_tpu.config import Scores
+from genomics_rs_tpu.ops.subst import (
+    encode_chars,
+    kimura_active,
+    sentinel,
+    sub_score,
+)
 from genomics_rs_tpu.ops.gotoh_pallas import (
     ROWS,
     _round_up,
@@ -110,7 +116,7 @@ def _plan_stream8(Lm: int, Ln: int, P: int):
 
 
 def _kernel_stream8(
-    scalars,  # SMEM int32[4]: sm, sx, g, h
+    scalars,  # SMEM int32[4(+1)]: sm, sx, g, h [, st]
     s1pane_ref,  # VMEM int32 (1, 8, C): s1 panes of the cycle's segments
     lofs_ref,  # SMEM int32 (1, G): kmod at each chunk's first step
     s2i_in,  # VMEM int32 (1, 8, chunk): per-row injected s2 chars
@@ -122,6 +128,7 @@ def _kernel_stream8(
     L1: int,
     chunk: int,
     is_local: bool,
+    kimura: bool = False,
 ):
     if is_local:
         (
@@ -183,6 +190,7 @@ def _kernel_stream8(
     sx = scalars[1]
     gg = scalars[2]
     hh = scalars[3]
+    st = scalars[4] if kimura else None
     hg = hh + gg
 
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 1)
@@ -259,7 +267,7 @@ def _kernel_stream8(
         # `subst`, not `sub`: the unroll index `sub` is still live for
         # static pane-column slices — shadowing it would turn a later
         # slice into a traced-lane index Mosaic rejects.
-        subst = jnp.where(s1c1 == s2j, sm, sx)
+        subst = sub_score(s1c1, s2j, sm, sx, st)
         if is_local:
             Inew = jnp.maximum(jnp.maximum(I0 + gg, P0 + hg), zero)
             Dnew = jnp.maximum(jnp.maximum(shQ + hg, shD + gg), zero)
@@ -394,9 +402,9 @@ def _stream8_call(
 
     # s1 panes, one (8, C) per cycle: row r = segment q*8+r, flat
     # column c holds s1[c-1].
-    s1m = jnp.full((P8, C), 0xFD, dtype=jnp.int32)
+    s1m = jnp.full((P8, C), sentinel(0xFD, scores), dtype=jnp.int32)
     s1m = jax.lax.dynamic_update_slice(
-        s1m, s1eb.astype(jnp.int32), (jnp.int32(0), jnp.int32(1))
+        s1m, encode_chars(s1eb, scores), (jnp.int32(0), jnp.int32(1))
     )
     s1panes = s1m.reshape(Q, ROWS, C)
 
@@ -411,10 +419,12 @@ def _stream8_call(
 
     charidx = jnp.clip(c - 1, 0, Ln - 1)[None, :]
     inj = jnp.take(
-        s2eb.astype(jnp.int32).reshape(-1), segc * Ln + charidx
+        encode_chars(s2eb, scores).reshape(-1), segc * Ln + charidx
     )
     inj = jnp.where(
-        (c >= 1)[None, :] & (c <= Ln)[None, :] & live, inj, 0xFF
+        (c >= 1)[None, :] & (c <= Ln)[None, :] & live,
+        inj,
+        sentinel(0xFF, scores),
     )
 
     gg = jnp.int32(scores.g)
@@ -458,6 +468,7 @@ def _stream8_call(
         (jnp.arange(G, dtype=jnp.int32) * CHUNK) % L1
     )[None, :]
 
+    kim = kimura_active(scores)
     scalars = jnp.stack(
         [
             jnp.int32(scores.s_match),
@@ -465,6 +476,7 @@ def _stream8_call(
             gg,
             hh,
         ]
+        + ([jnp.int32(scores.s_transition)] if kim else [])
     )
 
     vmem_chunk = pl.BlockSpec(
@@ -506,7 +518,12 @@ def _stream8_call(
         scratch_shapes=scratch,
     )
     kernel = functools.partial(
-        _kernel_stream8, C=C, L1=L1, chunk=CHUNK, is_local=is_local
+        _kernel_stream8,
+        C=C,
+        L1=L1,
+        chunk=CHUNK,
+        is_local=is_local,
+        kimura=kim,
     )
     outs = pl.pallas_call(
         kernel,

@@ -28,6 +28,12 @@ import jax.numpy as jnp
 
 from genomics_rs_tpu.config import Scores
 from genomics_rs_tpu.ops.gotoh_scan import INT_MIN, NEG_INF, vary
+from genomics_rs_tpu.ops.subst import (
+    encode_chars,
+    kimura_active,
+    sentinel,
+    sub_score,
+)
 
 
 
@@ -89,15 +95,21 @@ def tile_fill(
     sx = jnp.int32(scores.s_mismatch)
     g = jnp.int32(scores.g)
     h = jnp.int32(scores.h)
+    st = (
+        jnp.int32(scores.s_transition) if kimura_active(scores) else None
+    )
     neg = jnp.int32(NEG_INF)
     int_min = jnp.int32(INT_MIN)
     zero_lane = jnp.int32(0) if is_local else neg
 
     iv = jnp.arange(R + 1, dtype=jnp.int32)
     s1m = jnp.concatenate(
-        [jnp.full((1,), 0xFD, dtype=jnp.int32), s1t.astype(jnp.int32)]
+        [
+            jnp.full((1,), sentinel(0xFD, scores), dtype=jnp.int32),
+            encode_chars(s1t, scores),
+        ]
     )
-    s2i = s2t.astype(jnp.int32)
+    s2i = encode_chars(s2t, scores)
     topI, topS, topD = top[0], top[1], top[2]
     leftI, leftS, leftD = left[0], left[1], left[2]
 
@@ -122,7 +134,7 @@ def tile_fill(
             jnp.maximum(Du + g, zero_lane),
         )
         s2j = jnp.take(s2i, jnp.clip(k - 1 - iv, 0, B - 1))
-        sub = jnp.where(s1m == s2j, sm, sx)
+        sub = sub_score(s1m, s2j, sm, sx, st)
         Snew = sub + jnp.maximum(
             jnp.maximum(Id, Sd), jnp.maximum(Dd, zero_lane)
         )

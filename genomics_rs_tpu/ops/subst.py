@@ -75,7 +75,11 @@ def encode_chars(arr, scores):
 
     Classic scoring: identity (byte equality is all kernels test).
     Kimura scoring: the XOR-friendly class encoding above. Works on
-    numpy or jax arrays; always returns int32.
+    numpy or jax arrays; always returns int32. The jax path uses a
+    select chain rather than a table gather so it stays transparent
+    under ``shard_map``'s varying-manual-axes typing (a constant LUT
+    operand would not share the indices' varying axes) — it runs once
+    per character in the wrapper, outside the DP loop.
     """
     if not kimura_active(scores):
         if isinstance(arr, np.ndarray):
@@ -83,7 +87,20 @@ def encode_chars(arr, scores):
         return arr.astype(jnp.int32)
     if isinstance(arr, np.ndarray):
         return KIMURA_ENC[arr]
-    return jnp.asarray(KIMURA_ENC)[arr.astype(jnp.int32)]
+    b = arr.astype(jnp.int32)
+    other = (b << 2) | 1024
+    code = jnp.where(
+        b == ord("A"),
+        0,
+        jnp.where(
+            b == ord("G"),
+            2,
+            jnp.where(
+                b == ord("C"), 1, jnp.where(b == ord("T"), 3, other)
+            ),
+        ),
+    )
+    return code
 
 
 def sentinel(value: int, scores) -> int:
@@ -111,6 +128,20 @@ def sub_score(c1, c2, sm, sx, st=None):
     return jnp.where(
         c1 == c2, sm, jnp.where((c1 ^ c2) == 2, st, sx)
     )
+
+
+def kimura_byte_lut(scores) -> np.ndarray:
+    """(256, 256) int32 byte-pair scores under kimura scoring — the
+    bridge that lets the LUT-based oracles (C++ ``gotoh_score_cpu_subst``,
+    scan ``subst_lut``) cross-check the kimura kernels."""
+    b = np.arange(256, dtype=np.uint8)
+    return sub_score_np(
+        b[:, None],
+        b[None, :],
+        scores.s_match,
+        scores.s_mismatch,
+        scores.s_transition,
+    ).astype(np.int32)
 
 
 def sub_score_np(a: np.ndarray, b, sm: int, sx: int, st=None):

@@ -290,6 +290,77 @@ def allpairs_scores(
     )
 
 
+def allpairs_matrix_scores(
+    container: SequenceContainer,
+    matrix,
+    g: int,
+    h: int,
+    is_local: bool = False,
+) -> AllPairsResult:
+    """All-pairs scores under a full substitution matrix (protein).
+
+    Same result layout as :func:`allpairs_scores`; each length bucket
+    dispatches one batched MXU+wavefront fill
+    (``ops/gotoh_matrix.gotoh_scores_matrix``). TPU-framework
+    extension — the reference has no substitution-matrix support.
+    """
+    from genomics_rs_tpu.ops.gotoh_matrix import gotoh_scores_matrix
+    from genomics_rs_tpu.sequence import PAD_S1, PAD_S2
+
+    names = [s.name for s in container.sequences]
+    num = len(names)
+    seqs = container.sequences
+    lens = np.array([len(s) for s in seqs], dtype=np.int32)
+    pairs = [(i, j) for j in range(num) for i in range(num) if i <= j]
+    total_cells = float(
+        sum((lens[i] + 1.0) * (lens[j] + 1.0) for i, j in pairs)
+    )
+    out = np.zeros((num, num), dtype=np.int64)
+
+    t0 = time.perf_counter()
+    groups = bucketize_pairs(pairs, lens)
+    padded_cells = 0.0
+    for key in sorted(groups):
+        sub = [pairs[k] for k in groups[key]]
+        Lm = max(int(lens[i]) for i, _ in sub)
+        Ln = max(int(lens[j]) for _, j in sub)
+        Lm = max(-(-Lm // 128) * 128, 128)
+        Ln = max(-(-Ln // 128) * 128, 128)
+        s1b = np.stack(
+            [seqs[i].encoded(pad_to=Lm, pad_value=PAD_S1) for i, _ in sub]
+        )
+        s2b = np.stack(
+            [seqs[j].encoded(pad_to=Ln, pad_value=PAD_S2) for _, j in sub]
+        )
+        ms = np.array([lens[i] for i, _ in sub], dtype=np.int32)
+        ns = np.array([lens[j] for _, j in sub], dtype=np.int32)
+        padded_cells += float(len(sub)) * (Lm + 1.0) * (Ln + 1.0)
+        sc, _, _ = gotoh_scores_matrix(
+            s1b, s2b, ms, ns, matrix, g=g, h=h, is_local=is_local
+        )
+        sc = np.asarray(sc)
+        for (i, j), v in zip(sub, sc):
+            out[j, i] = int(v)
+    elapsed = time.perf_counter() - t0
+
+    log.info(
+        "[AllPairs/matrix] %d pairs, %.3g cells in %.2fs (%.3g cells/s)",
+        len(pairs),
+        total_cells,
+        elapsed,
+        total_cells / elapsed,
+    )
+    return AllPairsResult(
+        names=names,
+        lengths=[int(x) for x in lens],
+        matrix=out,
+        elapsed_s=elapsed,
+        cells=total_cells,
+        cells_per_s=total_cells / elapsed,
+        padded_cells=padded_cells,
+    )
+
+
 def allpairs_scores_resumable(
     container: SequenceContainer,
     scores: Scores,

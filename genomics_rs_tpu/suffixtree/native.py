@@ -102,6 +102,18 @@ def _load_library() -> ctypes.CDLL | None:
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.gotoh_score_cpu_subst.restype = ctypes.c_int
+        lib.gotoh_score_cpu_subst.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.st_similarity.restype = ctypes.c_int
         lib.st_similarity.argtypes = [
             ctypes.c_char_p,
@@ -298,4 +310,38 @@ def gotoh_score_cpu(
     )
     if rc != 0:
         raise RuntimeError("gotoh_score_cpu failed")
+    return (int(out[0]), int(out[1]), int(out[2]))
+
+
+def gotoh_score_cpu_subst(
+    s1: bytes, s2: bytes, lut256, g: int, h: int, is_local: bool
+) -> tuple[int, int, int]:
+    """LUT-scored CPU Gotoh oracle: ``sub(a, b) = lut256[a, b]``.
+
+    Covers kimura transition scoring (``ops/subst.kimura_byte_lut``)
+    and full substitution matrices (``SubstMatrix.byte_lut``) — the
+    reference has no analog (two-score model only, algo.rs:245-248).
+    """
+    import numpy as _np
+
+    lib = _load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    lut = _np.ascontiguousarray(lut256, dtype=_np.int32)
+    if lut.shape != (256, 256):
+        raise ValueError(f"lut256 must be (256, 256), got {lut.shape}")
+    out = (ctypes.c_int64 * 3)()
+    rc = lib.gotoh_score_cpu_subst(
+        s1,
+        len(s1),
+        s2,
+        len(s2),
+        lut.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        g,
+        h,
+        1 if is_local else 0,
+        out,
+    )
+    if rc != 0:
+        raise RuntimeError("gotoh_score_cpu_subst failed")
     return (int(out[0]), int(out[1]), int(out[2]))

@@ -31,19 +31,40 @@ KIM = Scores(s_match=1, s_mismatch=-2, g=-1, h=-5, s_transition=-1)
 CLASSIC = Scores(s_match=1, s_mismatch=-2, g=-1, h=-5)
 
 
-def _scan_score(a: str, b: str, scores, is_local, subst_lut=None) -> int:
-    s1 = Sequence(name="a", sequence=a).encoded(pad_to=len(a) + 2)
-    s2 = Sequence(name="b", sequence=b).encoded(
-        pad_to=len(b) + 3, pad_value=PAD_S2
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("is_local",))
+def _fill_traced(s1, s2, m, n, scores, is_local, subst_lut=None):
+    """One compiled scan per (shape, mode, scoring structure): scores
+    and lengths ride as traced args, so the fuzz grids below do NOT
+    compile a fresh XLA program per random score set. (Besides being
+    faster, this sidesteps an XLA-CPU compiler segfault this suite
+    hit when the whole run's distinct-compile count crossed a
+    threshold — hundreds of constant-baked scan variants.)"""
+    return gotoh_fill_scan(
+        s1, s2, m, n, scores, is_local, emit_dirs=False,
+        subst_lut=subst_lut,
     )
-    res = gotoh_fill_scan(
+
+
+def _scan_score(a: str, b: str, scores, is_local, subst_lut=None) -> int:
+    # Fixed pad buckets: every call shares one compiled scan per
+    # (mode, scoring-structure) instead of one per length pair.
+    pad = max(64, len(a) + 2, len(b) + 3)
+    s1 = Sequence(name="a", sequence=a).encoded(pad_to=pad)
+    s2 = Sequence(name="b", sequence=b).encoded(
+        pad_to=pad, pad_value=PAD_S2
+    )
+    res = _fill_traced(
         jnp.asarray(s1),
         jnp.asarray(s2),
         len(a),
         len(b),
         scores,
         is_local,
-        emit_dirs=False,
         subst_lut=None if subst_lut is None else jnp.asarray(subst_lut),
     )
     return int(res.score)
@@ -142,6 +163,306 @@ class TestKimuraOracles:
         assert _scan_score(a, b, classic, False) == -4
 
 
+class TestKimuraKernels:
+    """Pallas kernels (interpret mode) vs the scan oracle, kimura."""
+
+    def _batch(self, rng, B, lo, hi, Lm, Ln):
+        ms = rng.integers(lo, hi + 1, B).astype(np.int32)
+        ns = rng.integers(lo, hi + 1, B).astype(np.int32)
+        s1b = np.stack(
+            [
+                Sequence("a", "".join(rng.choice(list("ACGTN"), m))).encoded(
+                    pad_to=Lm
+                )
+                for m in ms
+            ]
+        )
+        s2b = np.stack(
+            [
+                Sequence("b", "".join(rng.choice(list("ACGTN"), n))).encoded(
+                    pad_to=Ln, pad_value=PAD_S2
+                )
+                for n in ns
+            ]
+        )
+        return s1b, s2b, ms, ns
+
+    def _oracle(self, s1b, s2b, ms, ns, scores, is_local):
+        out = []
+        for i in range(len(ms)):
+            res = _fill_traced(
+                jnp.asarray(s1b[i]),
+                jnp.asarray(s2b[i]),
+                np.int32(ms[i]),
+                np.int32(ns[i]),
+                scores,
+                is_local,
+            )
+            out.append((int(res.score), int(res.start_i), int(res.start_j)))
+        return out
+
+    @pytest.mark.parametrize("is_local", [False, True])
+    def test_flat_batch_kernel(self, is_local):
+        from genomics_rs_tpu.ops.gotoh_pallas import (
+            gotoh_scores_pallas_batch,
+        )
+
+        rng = np.random.default_rng(21)
+        s1b, s2b, ms, ns = self._batch(rng, 4, 20, 60, 64, 64)
+        sc, si, sj = gotoh_scores_pallas_batch(
+            s1b, s2b, ms, ns, KIM, is_local, interpret=True
+        )
+        want = self._oracle(s1b, s2b, ms, ns, KIM, is_local)
+        got = list(
+            zip(
+                np.asarray(sc).tolist(),
+                np.asarray(si).tolist(),
+                np.asarray(sj).tolist(),
+            )
+        )
+        assert got == want
+
+    @pytest.mark.parametrize("is_local", [False, True])
+    def test_stream_kernel(self, is_local):
+        from genomics_rs_tpu.ops.gotoh_stream import _stream_call
+
+        rng = np.random.default_rng(22)
+        B, Lm, Ln = 3, 48, 48
+        s1b, s2b, ms, ns = self._batch(rng, B, 30, 48, Lm, Ln)
+        out = _stream_call(
+            s1b,
+            s2b,
+            ms,
+            ns,
+            KIM,
+            P=B,
+            Lm=Lm,
+            Ln=Ln,
+            is_local=is_local,
+            interpret=True,
+        )
+        want = self._oracle(s1b, s2b, ms, ns, KIM, is_local)
+        if is_local:
+            vs, is_, js = out
+            got = list(
+                zip(
+                    np.asarray(vs).tolist(),
+                    np.asarray(is_).tolist(),
+                    np.asarray(js).tolist(),
+                )
+            )
+            assert got == [(v, i, j) for (v, i, j) in want]
+        else:
+            got = np.asarray(out).tolist()
+            assert got == [v for (v, _, _) in want]
+
+    @pytest.mark.parametrize("is_local", [False, True])
+    def test_single_pair_fill_dirs_and_path(self, is_local):
+        # The full single-pair pallas fill (dirs emitted) must agree
+        # with the scan oracle on dirs-relevant outputs: score, start
+        # cell, and the walked path.
+        from genomics_rs_tpu.ops.gotoh_pallas import gotoh_fill_pallas
+        from genomics_rs_tpu.ops.traceback import traceback_host
+
+        rng = np.random.default_rng(23)
+        a = "".join(rng.choice(list("ACGT"), 40))
+        b = "".join(rng.choice(list("ACGT"), 37))
+        sq1, sq2 = Sequence("a", a), Sequence("b", b)
+        s1 = sq1.encoded(pad_to=48)
+        s2 = sq2.encoded(pad_to=48, pad_value=PAD_S2)
+        ref = gotoh_fill_scan(
+            jnp.asarray(s1), jnp.asarray(s2), 40, 37, KIM, is_local
+        )
+        got = gotoh_fill_pallas(
+            s1, s2, 40, 37, KIM, is_local, interpret=True
+        )
+        assert int(got.score) == int(ref.score)
+        assert int(got.start_i) == int(ref.start_i)
+        assert int(got.start_j) == int(ref.start_j)
+
+        def walk(res):
+            return traceback_host(
+                np.asarray(res.dirs),
+                int(res.start_i),
+                int(res.start_j),
+                int(res.score),
+                sq1,
+                sq2,
+                is_local,
+            )
+
+        aln_ref, aln_got = walk(ref), walk(got)
+        assert aln_ref.alignment == aln_got.alignment
+        assert aln_ref.score == aln_got.score
+
+    def test_blocked_kernel_kimura(self):
+        from genomics_rs_tpu.ops.gotoh_pallas import gotoh_scores_blocked
+
+        rng = np.random.default_rng(24)
+        s1b, s2b, ms, ns = self._batch(rng, 3, 40, 64, 64, 64)
+        for is_local in (False, True):
+            sc, si, sj = gotoh_scores_blocked(
+                s1b, s2b, ms, ns, KIM, is_local, R=16, interpret=True
+            )
+            want = self._oracle(s1b, s2b, ms, ns, KIM, is_local)
+            got = list(
+                zip(
+                    np.asarray(sc).tolist(),
+                    np.asarray(si).tolist(),
+                    np.asarray(sj).tolist(),
+                )
+            )
+            assert got == want
+
+
+class TestKimuraKernelsWide:
+    """Remaining engines vs the scan oracle with kimura scoring."""
+
+    def _mk(self, rng, B, lo, hi, Lm, Ln):
+        return TestKimuraKernels._batch(None, rng, B, lo, hi, Lm, Ln)
+
+    def _want(self, s1b, s2b, ms, ns, is_local):
+        return TestKimuraKernels._oracle(
+            None, s1b, s2b, ms, ns, KIM, is_local
+        )
+
+    @pytest.mark.parametrize("is_local", [False, True])
+    def test_segmented(self, is_local):
+        from genomics_rs_tpu.ops.gotoh_segmented import (
+            gotoh_scores_segmented,
+        )
+
+        rng = np.random.default_rng(31)
+        s1b, s2b, ms, ns = self._mk(rng, 5, 20, 60, 64, 64)
+        sc, si, sj = gotoh_scores_segmented(
+            s1b, s2b, ms, ns, KIM, is_local, interpret=True
+        )
+        got = list(
+            zip(
+                np.asarray(sc).tolist(),
+                np.asarray(si).tolist(),
+                np.asarray(sj).tolist(),
+            )
+        )
+        assert got == self._want(s1b, s2b, ms, ns, is_local)
+
+    @pytest.mark.parametrize("is_local", [False, True])
+    def test_shortread(self, is_local):
+        from genomics_rs_tpu.ops.gotoh_shortread import (
+            gotoh_scores_shortread,
+        )
+
+        rng = np.random.default_rng(32)
+        s1b, s2b, ms, ns = self._mk(rng, 6, 10, 30, 32, 32)
+        out = gotoh_scores_shortread(
+            s1b, s2b, ms, ns, KIM, is_local, interpret=True
+        )
+        sc, si, sj = out[:3]
+        got = list(
+            zip(
+                np.asarray(sc).tolist(),
+                np.asarray(si).tolist(),
+                np.asarray(sj).tolist(),
+            )
+        )
+        assert got == self._want(s1b, s2b, ms, ns, is_local)
+
+    @pytest.mark.parametrize("is_local", [False, True])
+    def test_stream8(self, is_local):
+        from genomics_rs_tpu.ops.gotoh_stream8 import _stream8_call
+
+        rng = np.random.default_rng(33)
+        B, Lm, Ln = 16, 32, 32
+        s1b, s2b, ms, ns = self._mk(rng, B, 20, 32, Lm, Ln)
+        out = _stream8_call(
+            s1b,
+            s2b,
+            ms,
+            ns,
+            KIM,
+            P=B,
+            Lm=Lm,
+            Ln=Ln,
+            is_local=is_local,
+            interpret=True,
+        )
+        want = self._want(s1b, s2b, ms, ns, is_local)
+        if is_local:
+            vs, is_, js = out
+            got = list(
+                zip(
+                    np.asarray(vs).tolist(),
+                    np.asarray(is_).tolist(),
+                    np.asarray(js).tolist(),
+                )
+            )
+            assert got == want
+        else:
+            assert np.asarray(out).tolist() == [v for v, _, _ in want]
+
+    def test_tile_fill(self):
+        from genomics_rs_tpu.ops.gotoh_tile import (
+            global_boundary_left,
+            global_boundary_top,
+            tile_fill,
+        )
+
+        rng = np.random.default_rng(34)
+        a = "".join(rng.choice(list("ACGT"), 30))
+        b = "".join(rng.choice(list("ACGT"), 28))
+        s1 = Sequence("a", a).encoded()
+        s2 = Sequence("b", b).encoded()
+        res = tile_fill(
+            jnp.asarray(s1),
+            jnp.asarray(s2),
+            global_boundary_top(0, len(b), KIM),
+            global_boundary_left(0, len(a), KIM),
+            KIM,
+            False,
+            0,
+            0,
+            len(a),
+            len(b),
+        )
+        assert int(res.at_mn) == _scan_score(a, b, KIM, False)
+
+    def test_banded_full_cover(self):
+        # Band >= n: banded == unrestricted global alignment.
+        from genomics_rs_tpu.models.banded import align_banded
+
+        rng = np.random.default_rng(35)
+        a = "".join(rng.choice(list("ACGT"), 200))
+        b = "".join(rng.choice(list("ACGT"), 180))
+        got = align_banded(
+            Sequence("a", a), Sequence("b", b), KIM, band=1024,
+            interpret=True,
+        )
+        assert got.score == _scan_score(a, b, KIM, False)
+
+    def test_aligner_end_to_end_kimura(self):
+        # Public aligner API: kimura vs classic scores differ exactly
+        # when transitions are on an optimal path; stats/path parity
+        # against the scan engine.
+        from genomics_rs_tpu.models.aligner import PairwiseAligner
+
+        rng = np.random.default_rng(36)
+        a = "".join(rng.choice(list("ACGT"), 120))
+        b = "".join(rng.choice(list("ACGT"), 110))
+        for is_local in (False, True):
+            scan = PairwiseAligner(
+                KIM, is_local=is_local, engine="scan"
+            ).align(Sequence("a", a), Sequence("b", b))
+            pal = PairwiseAligner(
+                KIM, is_local=is_local, engine="pallas", interpret=True
+            ).align(Sequence("a", a), Sequence("b", b))
+            assert scan.score == pal.score
+            assert scan.alignment == pal.alignment
+            assert (scan.matches, scan.mismatches) == (
+                pal.matches,
+                pal.mismatches,
+            )
+
+
 class TestSubstMatrix:
     def test_blosum62_shape_and_symmetry(self):
         m = blosum62()
@@ -204,6 +525,208 @@ class TestSubstMatrix:
             _scan_score("A", "A", KIM, False, subst_lut=blosum62().byte_lut())
 
 
+class TestKimuraModels:
+    """Batched and checkpointed alignment surfaces under kimura."""
+
+    def test_align_batch_parity(self):
+        from genomics_rs_tpu.models.aligner import (
+            PairwiseAligner,
+            align_batch,
+        )
+
+        rng = np.random.default_rng(51)
+        pairs = [
+            (
+                Sequence("a%d" % i, "".join(rng.choice(list("ACGT"), 90))),
+                Sequence("b%d" % i, "".join(rng.choice(list("ACGT"), 85))),
+            )
+            for i in range(3)
+        ]
+        for is_local in (False, True):
+            got = align_batch(
+                pairs, KIM, is_local=is_local, engine="pallas",
+                interpret=True,
+            )
+            ref = PairwiseAligner(KIM, is_local=is_local, engine="scan")
+            for (s1, s2), aln in zip(pairs, got):
+                want = ref.align(s1, s2)
+                assert aln.score == want.score
+                assert aln.alignment == want.alignment
+
+    def test_checkpointed_parity(self):
+        from genomics_rs_tpu.models.aligner import PairwiseAligner
+        from genomics_rs_tpu.models.longalign import align_checkpointed
+
+        rng = np.random.default_rng(52)
+        a = Sequence("a", "".join(rng.choice(list("ACGT"), 300)))
+        b = Sequence("b", "".join(rng.choice(list("ACGT"), 280)))
+        for is_local in (False, True):
+            got = align_checkpointed(
+                a, b, KIM, is_local=is_local, block_rows=127,
+                interpret=True,
+            )
+            want = PairwiseAligner(KIM, is_local=is_local, engine="scan").align(
+                a, b
+            )
+            assert got.score == want.score
+            assert got.alignment == want.alignment
+
+
+class TestMatrixEngine:
+    """MXU + sheared-subs wavefront batch engine vs the scan oracle."""
+
+    @pytest.mark.parametrize("is_local", [False, True])
+    def test_blosum_batch_vs_scan(self, is_local):
+        from genomics_rs_tpu.ops.gotoh_matrix import gotoh_scores_matrix
+
+        m = blosum62()
+        lut = jnp.asarray(m.byte_lut())
+        rng = np.random.default_rng(61)
+        aa = list("ARNDCQEGHILKMFPSTWYV")
+        B, Lm, Ln = 4, 48, 40
+        ms = rng.integers(20, Lm + 1, B).astype(np.int32)
+        ns = rng.integers(15, Ln + 1, B).astype(np.int32)
+        seqs1 = ["".join(rng.choice(aa, k)) for k in ms]
+        seqs2 = ["".join(rng.choice(aa, k)) for k in ns]
+        s1b = np.stack(
+            [Sequence("a", s).encoded(pad_to=Lm) for s in seqs1]
+        )
+        s2b = np.stack(
+            [
+                Sequence("b", s).encoded(pad_to=Ln, pad_value=PAD_S2)
+                for s in seqs2
+            ]
+        )
+        sc, si, sj = gotoh_scores_matrix(
+            s1b, s2b, ms, ns, m, g=-1, h=-5, is_local=is_local
+        )
+        for i in range(B):
+            res = _fill_traced(
+                jnp.asarray(s1b[i]),
+                jnp.asarray(s2b[i]),
+                np.int32(ms[i]),
+                np.int32(ns[i]),
+                CLASSIC,
+                is_local,
+                subst_lut=lut,
+            )
+            assert int(sc[i]) == int(res.score), i
+            if is_local:
+                assert int(si[i]) == int(res.start_i), i
+                assert int(sj[i]) == int(res.start_j), i
+
+    def test_unknown_bytes_match_byte_lut(self):
+        # Bytes outside the alphabet (here 'J' and '*'-less alphabet
+        # handling) must score exactly like SubstMatrix.byte_lut.
+        from genomics_rs_tpu.ops.gotoh_matrix import gotoh_scores_matrix
+
+        m = blosum62()
+        lut = jnp.asarray(m.byte_lut())
+        a, b = "WJHW", "WHJW"
+        s1 = Sequence("a", a).encoded(pad_to=8)
+        s2 = Sequence("b", b).encoded(pad_to=8, pad_value=PAD_S2)
+        sc, _, _ = gotoh_scores_matrix(
+            s1[None], s2[None], [4], [4], m, g=-1, h=-5
+        )
+        res = _fill_traced(
+            jnp.asarray(s1),
+            jnp.asarray(s2),
+            np.int32(4),
+            np.int32(4),
+            CLASSIC,
+            False,
+            subst_lut=lut,
+        )
+        assert int(sc[0]) == int(res.score)
+
+    def test_dna_matrix_matches_kimura_kernelwise(self):
+        from genomics_rs_tpu.ops.gotoh_matrix import gotoh_scores_matrix
+
+        rng = np.random.default_rng(62)
+        B, L = 3, 32
+        ms = np.full(B, L, np.int32)
+        seqs = [
+            ("".join(rng.choice(list("ACGT"), L)),
+             "".join(rng.choice(list("ACGT"), L)))
+            for _ in range(B)
+        ]
+        s1b = np.stack(
+            [Sequence("a", a).encoded(pad_to=L) for a, _ in seqs]
+        )
+        s2b = np.stack(
+            [
+                Sequence("b", b).encoded(pad_to=L, pad_value=PAD_S2)
+                for _, b in seqs
+            ]
+        )
+        sc, _, _ = gotoh_scores_matrix(
+            s1b, s2b, ms, ms, dna_matrix(KIM), g=KIM.g, h=KIM.h
+        )
+        for i, (a, b) in enumerate(seqs):
+            assert int(sc[i]) == _scan_score(a, b, KIM, False), i
+
+
+class TestCppOracle:
+    def _lib_or_skip(self):
+        from genomics_rs_tpu.suffixtree import native
+
+        if native._load_library() is None:
+            pytest.skip("native library not built")
+        return native
+
+    @pytest.mark.parametrize("is_local", [False, True])
+    def test_cpp_lut_vs_scan_kimura(self, is_local):
+        from genomics_rs_tpu.ops.subst import kimura_byte_lut
+
+        native = self._lib_or_skip()
+        rng = np.random.default_rng(41)
+        lut = kimura_byte_lut(KIM)
+        for _ in range(4):
+            a = "".join(rng.choice(list("ACGTN"), 50))
+            b = "".join(rng.choice(list("ACGTN"), 45))
+            got = native.gotoh_score_cpu_subst(
+                a.encode(), b.encode(), lut, KIM.g, KIM.h, is_local
+            )
+            want = _scan_score(a, b, KIM, is_local)
+            assert got[0] == want
+
+    @pytest.mark.parametrize("is_local", [False, True])
+    def test_cpp_lut_vs_scan_blosum(self, is_local):
+        native = self._lib_or_skip()
+        m = blosum62()
+        lut = m.byte_lut()
+        rng = np.random.default_rng(42)
+        aa = list("ARNDCQEGHILKMFPSTWYV")
+        for _ in range(4):
+            a = "".join(rng.choice(aa, 40))
+            b = "".join(rng.choice(aa, 35))
+            got = native.gotoh_score_cpu_subst(
+                a.encode(), b.encode(), lut, CLASSIC.g, CLASSIC.h, is_local
+            )
+            want = _scan_score(
+                a, b, CLASSIC, is_local, subst_lut=lut
+            )
+            assert got[0] == want
+
+    def test_cpp_lut_matches_classic_oracle(self):
+        # A classic-equivalent LUT reproduces gotoh_score_cpu exactly.
+        native = self._lib_or_skip()
+        from genomics_rs_tpu.ops.subst import sub_score_np
+
+        b = np.arange(256, dtype=np.uint8)
+        lut = sub_score_np(b[:, None], b[None, :], 1, -2).astype(np.int32)
+        rng = np.random.default_rng(43)
+        for _ in range(3):
+            a = "".join(rng.choice(list("ACGT"), 60))
+            c = "".join(rng.choice(list("ACGT"), 55))
+            for loc in (False, True):
+                assert native.gotoh_score_cpu_subst(
+                    a.encode(), c.encode(), lut, -1, -5, loc
+                ) == native.gotoh_score_cpu(
+                    a.encode(), c.encode(), 1, -2, -1, -5, loc
+                )
+
+
 class TestMatrixIO:
     def test_ncbi_round_trip(self, tmp_path):
         m = blosum62()
@@ -232,6 +755,136 @@ class TestMatrixIO:
         p.write_text("A B\nA 1 2\nC 3 4\n")
         with pytest.raises(ValueError):
             load_matrix_file(str(p))
+
+
+class TestCli:
+    """CLI surface: --matrix and the s_transition config key."""
+
+    def _run(self, args, cwd, config):
+        import os
+        import subprocess
+        import sys
+
+        from conftest import REPO_ROOT
+
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            PYTHONPATH=REPO_ROOT
+            + os.pathsep
+            + os.environ.get("PYTHONPATH", ""),
+        )
+        return subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "genomics_rs_tpu.cli",
+                "-c",
+                str(config),
+                *args,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=240,
+            cwd=str(cwd),
+            env=env,
+        )
+
+    @pytest.fixture
+    def classic_toml(self, tmp_path):
+        p = tmp_path / "c.toml"
+        p.write_text(
+            "[scores]\ns_match = 1\ns_mismatch = -2\ng = -1\nh = -5\n"
+        )
+        return p
+
+    @pytest.fixture
+    def kimura_toml(self, tmp_path):
+        p = tmp_path / "k.toml"
+        p.write_text(
+            "[scores]\ns_match = 1\ns_mismatch = -2\ng = -1\nh = -5\n"
+            "s_transition = -1\n"
+        )
+        return p
+
+    def test_align_kimura_config(self, tmp_path, kimura_toml, classic_toml):
+        fa = tmp_path / "pair.fasta"
+        fa.write_text(">a\nACGT\n>b\nACAT\n")  # G vs A = transition
+        r = self._run(
+            ["align", "-a", "global", "-f", str(fa), "--engine", "scan"],
+            tmp_path,
+            kimura_toml,
+        )
+        assert r.returncode == 0, r.stderr
+        assert "Alignment Score: 2" in r.stdout
+        r2 = self._run(
+            ["align", "-a", "global", "-f", str(fa), "--engine", "scan"],
+            tmp_path,
+            classic_toml,
+        )
+        assert "Alignment Score: 1" in r2.stdout
+
+    def test_align_matrix_blosum(self, tmp_path, classic_toml):
+        fa = tmp_path / "pep.fasta"
+        fa.write_text(">a\nWHW\n>b\nWHW\n")
+        r = self._run(
+            [
+                "align",
+                "-a",
+                "global",
+                "-f",
+                str(fa),
+                "--matrix",
+                "BLOSUM62",
+            ],
+            tmp_path,
+            classic_toml,
+        )
+        assert r.returncode == 0, r.stderr
+        assert "Alignment Score: 30" in r.stdout  # 11 + 8 + 11
+
+    def test_align_matrix_blosum_dir(self, tmp_path, classic_toml):
+        d = tmp_path / "prots"
+        d.mkdir()
+        (d / "a.fasta").write_text(">p1\nWHWHW\n")
+        (d / "b.fasta").write_text(">p2\nWHWHW\n")
+        r = self._run(
+            [
+                "align-matrix",
+                "-f",
+                str(d),
+                "--matrix",
+                "BLOSUM62",
+                "-o",
+                str(tmp_path / "out.tsv"),
+            ],
+            tmp_path,
+            classic_toml,
+        )
+        assert r.returncode == 0, r.stderr
+        # Self-pair: 3*11 + 2*8 = 49 on the diagonal of the TSV.
+        assert "49" in r.stdout
+
+    def test_matrix_band_exclusive(self, tmp_path, classic_toml):
+        fa = tmp_path / "pair.fasta"
+        fa.write_text(">a\nACGT\n>b\nACGT\n")
+        r = self._run(
+            [
+                "align",
+                "-a",
+                "global",
+                "-f",
+                str(fa),
+                "--matrix",
+                "BLOSUM62",
+                "--band",
+                "1024",
+            ],
+            tmp_path,
+            classic_toml,
+        )
+        assert r.returncode == 2
+        assert "mutually exclusive" in r.stderr
 
 
 class TestConfig:
