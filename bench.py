@@ -1274,20 +1274,31 @@ def run_smoke() -> int:
             )
             for i in range(B)
         ]
-        got = _retry(
-            lambda loc=loc: gotoh_scores_matrix(
-                p1, p2, ms, ns, b62, g=kim.g, h=kim.h, is_local=loc
-            ),
-            label="smoke matrix",
-        )
-        for i in range(B):
-            w = want_m[i]
-            gv = (int(got[0][i]), int(got[1][i]), int(got[2][i]))
-            ok = gv == w if loc else gv[0] == w[0]
-            status = "ok" if ok else f"MISMATCH got {gv} want {w}"
-            print(f"[smoke] matrix_blosum local={loc} pair{i}: {status}")
-            if not ok:
-                failures.append(("matrix_blosum", loc, i, gv, w))
+        for eng in ("pallas", "scan"):
+            got = _retry(
+                lambda loc=loc, eng=eng: gotoh_scores_matrix(
+                    p1,
+                    p2,
+                    ms,
+                    ns,
+                    b62,
+                    g=kim.g,
+                    h=kim.h,
+                    is_local=loc,
+                    engine=eng,
+                ),
+                label=f"smoke matrix {eng}",
+            )
+            for i in range(B):
+                w = want_m[i]
+                gv = (int(got[0][i]), int(got[1][i]), int(got[2][i]))
+                ok = gv == w if loc else gv[0] == w[0]
+                status = "ok" if ok else f"MISMATCH got {gv} want {w}"
+                print(
+                    f"[smoke] matrix_{eng} local={loc} pair{i}: {status}"
+                )
+                if not ok:
+                    failures.append((f"matrix_{eng}", loc, i, gv, w))
 
     # Streamed dirs fill (round 4): one continuous wavefront emitting
     # packed direction words; per-segment slices walked by the device

@@ -35,8 +35,16 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from genomics_rs_tpu.ops.gotoh_scan import INT_MIN, NEG_INF
+
+ROWS = 8  # pairs per register pane (one per sublane row)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
 def _alpha_code(matrix) -> np.ndarray:
@@ -64,6 +72,55 @@ def _ext_matrix(matrix) -> np.ndarray:
     return ext
 
 
+def _sheared_subs(s1b, s2b, code, mat, A: int):
+    """(K, B, Mp) int32 diagonal-major substitution scores.
+
+    MXU substitution planes + skew-by-reshape; see module docstring.
+    One tiny gather per CHARACTER (not per cell) maps bytes to
+    alphabet codes; the plane itself is two exact bf16 matmuls.
+    Out-of-range positions read zero padding or a neighbouring row's
+    tail — bounded values at cells the DP masks as boundary/invalid/
+    beyond-true-length. (A vmapped dynamic-slice shear prototyped
+    first was pure gather and dominated the runtime; this is bulk
+    copies only.)
+    """
+    B, Lm = s1b.shape
+    _, Ln = s2b.shape
+    Mp = Lm + 1
+    K = Lm + Ln + 1
+    c1 = jnp.take(code, s1b.astype(jnp.int32))  # (B, Lm)
+    c2 = jnp.take(code, s2b.astype(jnp.int32))  # (B, Ln)
+    oh1 = (
+        c1[:, :, None] == jnp.arange(A, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.bfloat16)  # (B, Lm, A)
+    oh2 = (
+        c2[:, :, None] == jnp.arange(A, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.bfloat16)  # (B, Ln, A)
+    rows = jnp.einsum(
+        "bma,ac->bmc", oh1, mat.astype(jnp.bfloat16)
+    )  # (B, Lm, A): row of M for each s1 char
+    subs = jnp.einsum("bmc,bnc->bmn", rows, oh2).astype(jnp.int32)
+
+    # Shear: sheared[k, b, l] = subs[b, l-1, k-l-1] via pad rows to
+    # width Ln+Mp, flatten, truncate one element per row, reshape —
+    # Q[b, r, c] = P[b, r, c-r] — then one bulk transpose.
+    Wp = Ln + Mp
+    P = jnp.concatenate(
+        [subs, jnp.zeros((B, Lm, Wp - Ln), dtype=jnp.int32)], axis=2
+    )
+    Q = (
+        P.reshape(B, Lm * Wp)[:, : Lm * (Wp - 1)]
+        .reshape(B, Lm, Wp - 1)
+    )  # Q[b, r, c] = P[b, r, c - r]
+    T = jnp.transpose(Q, (2, 0, 1))  # (Wp-1, B, Lm): T[c, b, r]
+    # sheared[k, b, l] = T[k-2, b, l-1]: two leading diagonals and one
+    # leading lane of padding, then trim/pad to (K, B, Mp).
+    return jnp.pad(
+        T,
+        ((2, max(0, K - (Wp - 1) - 2)), (0, 0), (1, 0)),
+    )[:K]
+
+
 @functools.partial(
     jax.jit, static_argnames=("is_local", "A")
 )
@@ -89,47 +146,7 @@ def _matrix_scores_call(
     neg = jnp.int32(NEG_INF)
     int_min = jnp.int32(INT_MIN)
 
-    # --- 1. MXU: substitution planes --------------------------------
-    # One tiny gather per CHARACTER (not per cell) maps bytes to
-    # alphabet codes; the plane itself is two exact bf16 matmuls.
-    c1 = jnp.take(code, s1b.astype(jnp.int32))  # (B, Lm)
-    c2 = jnp.take(code, s2b.astype(jnp.int32))  # (B, Ln)
-    oh1 = (
-        c1[:, :, None] == jnp.arange(A, dtype=jnp.int32)[None, None, :]
-    ).astype(jnp.bfloat16)  # (B, Lm, A)
-    oh2 = (
-        c2[:, :, None] == jnp.arange(A, dtype=jnp.int32)[None, None, :]
-    ).astype(jnp.bfloat16)  # (B, Ln, A)
-    rows = jnp.einsum(
-        "bma,ac->bmc", oh1, mat.astype(jnp.bfloat16)
-    )  # (B, Lm, A): row of M for each s1 char
-    subs = jnp.einsum("bmc,bnc->bmn", rows, oh2)  # (B, Lm, Ln)
-    subs = subs.astype(jnp.int32)
-
-    # --- 2. shear to diagonal-major --------------------------------
-    # sheared[k, b, l] = subs[b, l-1, k-l-1] via the classic
-    # skew-by-reshape: pad rows to width Ln+Mp, flatten, truncate one
-    # element per row, reshape — Q[b, r, c] = P[b, r, c-r] — then one
-    # bulk transpose. No gathers anywhere (a vmapped dynamic-slice
-    # version of this shear measured 30 ms of a 39 ms total at
-    # 128 x 384 aa; this is bulk copies only). Out-of-range positions
-    # read zero padding or a neighbouring row's tail — bounded values
-    # at cells the DP masks as boundary/invalid/beyond-true-length.
-    Wp = Ln + Mp
-    P = jnp.concatenate(
-        [subs, jnp.zeros((B, Lm, Wp - Ln), dtype=jnp.int32)], axis=2
-    )
-    Q = (
-        P.reshape(B, Lm * Wp)[:, : Lm * (Wp - 1)]
-        .reshape(B, Lm, Wp - 1)
-    )  # Q[b, r, c] = P[b, r, c - r]
-    T = jnp.transpose(Q, (2, 0, 1))  # (Wp-1, B, Lm): T[c, b, r]
-    # sheared[k, b, l] = T[k-2, b, l-1]: two leading diagonals and one
-    # leading lane of padding, then trim/pad to (K, B, Mp).
-    sheared = jnp.pad(
-        T,
-        ((2, max(0, K - (Wp - 1) - 2)), (0, 0), (1, 0)),
-    )[:K]
+    sheared = _sheared_subs(s1b, s2b, code, mat, A)
 
     # --- 3. VPU: batched wavefront ----------------------------------
     iv = jnp.arange(Mp, dtype=jnp.int32)[None, :]  # (1, Mp)
@@ -237,6 +254,268 @@ def _matrix_scores_call(
     return final, jnp.asarray(ms, jnp.int32), jnp.asarray(ns, jnp.int32)
 
 
+def _kernel_matrix_seg(
+    scalars,  # SMEM int32 (Bp, 8): m, n, g, h per pair (cols 0-3)
+    subs_ref,  # VMEM int8 (1, chunk, 8, C): this group's subs stream
+    bv_ref,  # out (1, 8, C)
+    bk_ref,  # out (1, 8, C)
+    fin_ref,  # out (1, 8, C)
+    Ip,
+    Sp,
+    Dp,
+    Qp,
+    shM,
+    bv_s,
+    bk_s,
+    fin_s,
+    *,
+    K: int,
+    chunk: int,
+    C: int,
+    is_local: bool,
+):
+    """Segmented-layout wavefront with a precomputed subs stream.
+
+    Identical geometry and semantics to ``gotoh_segmented._kernel_seg``
+    (pair g in sublane row g, lane l = DP row i, j = k - l), but the
+    substitution score arrives per step as an int8 VMEM pane instead
+    of being computed from characters — which is what makes arbitrary
+    substitution matrices kernel-representable at all.
+    """
+    b_id = pl.program_id(0)
+    g_id = pl.program_id(1)
+    base = b_id * ROWS
+
+    gg = scalars[base, 2]
+    hh = scalars[base, 3]
+    hg = hh + gg
+
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 1)
+    neg = jnp.int32(NEG_INF)
+    int_min = jnp.int32(INT_MIN)
+
+    mcol = jnp.stack(
+        [scalars[base + g, 0] for g in range(ROWS)]
+    ).reshape(ROWS, 1)
+    ncol = jnp.stack(
+        [scalars[base + g, 1] for g in range(ROWS)]
+    ).reshape(ROWS, 1)
+
+    row0_mask = col_idx == 0
+    nz_mask = col_idx > 0
+    Dcol = hh + col_idx * gg
+    lem_mask = col_idx <= mcol
+    eqm_mask = col_idx == mcol
+    mncol = mcol + ncol
+
+    @pl.when(g_id == 0)
+    def _init():
+        full_neg = jnp.full((ROWS, C), neg, dtype=jnp.int32)
+        Ip[:] = full_neg
+        Sp[:] = full_neg
+        Dp[:] = full_neg
+        Qp[:] = full_neg
+        shM[:] = full_neg
+        if is_local:
+            bv_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+            bk_s[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
+        fin_s[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+
+    zero_lane = jnp.int32(0) if is_local else neg
+
+    def body(t, _):
+        k = g_id * chunk + t
+
+        @pl.when(k < K)
+        def _step():
+            sub = subs_ref[0, t].astype(jnp.int32)
+            shQ = jnp.where(row0_mask, neg, pltpu.roll(Qp[:], 1, axis=1))
+            shD = jnp.where(row0_mask, neg, pltpu.roll(Dp[:], 1, axis=1))
+
+            if is_local:
+                Inew = jnp.maximum(
+                    jnp.maximum(Ip[:] + gg, Sp[:] + hg), zero_lane
+                )
+                Dnew = jnp.maximum(
+                    jnp.maximum(shQ + hg, shD + gg), zero_lane
+                )
+                Snew = sub + jnp.maximum(shM[:], zero_lane)
+            else:
+                # Padded lanes drift unclamped; they only feed other
+                # padded lanes and every output read is masked — see
+                # the headroom guard in the wrapper.
+                Inew = jnp.maximum(Ip[:] + gg, Sp[:] + hg)
+                Dnew = jnp.maximum(shQ + hg, shD + gg)
+                Snew = sub + shM[:]
+
+            # Boundaries (lane l = DP row i of its pair; j = k - l) —
+            # the reference's algo.rs:193-220 conditions.
+            eq = col_idx == k
+            gt = col_idx > k
+            col0 = eq & nz_mask
+            dead_IS = col0 | gt
+            topI_s = jnp.where(k == 0, 0, hh + k * gg)
+            topSD_s = jnp.where(k == 0, 0, neg)
+            Inew = jnp.where(row0_mask, topI_s, Inew)
+            Inew = jnp.where(dead_IS, neg, Inew)
+            Snew = jnp.where(row0_mask, topSD_s, Snew)
+            Snew = jnp.where(dead_IS, neg, Snew)
+            Dnew = jnp.where(col0, Dcol, Dnew)
+            Dnew = jnp.where(row0_mask, topSD_s, Dnew)
+            Dnew = jnp.where(gt, neg, Dnew)
+
+            Qnew = jnp.maximum(Inew, Snew)
+            if is_local:
+                cm = jnp.maximum(jnp.maximum(Qnew, Dnew), 0)
+                in_true = lem_mask & (~gt) & (col_idx >= k - ncol)
+                val = jnp.where(in_true, cm, int_min)
+                upd = val >= bv_s[:]
+                bv_s[:] = jnp.where(upd, val, bv_s[:])
+                bk_s[:] = jnp.where(upd, k, bk_s[:])
+            else:
+                probe = eqm_mask & (k == mncol)
+                fin_s[:] = jnp.where(
+                    probe, jnp.maximum(Qnew, Dnew), fin_s[:]
+                )
+
+            shM[:] = jnp.maximum(shQ, shD)
+            Ip[:] = Inew
+            Sp[:] = jnp.maximum(Snew, Dnew)
+            Dp[:] = Dnew
+            Qp[:] = Qnew
+
+        return 0
+
+    jax.lax.fori_loop(0, chunk, body, 0)
+
+    @pl.when(g_id == pl.num_programs(1) - 1)
+    def _finalize():
+        if is_local:
+            bv_ref[0] = bv_s[:]
+            bk_ref[0] = bk_s[:]
+        else:
+            bv_ref[0] = jnp.zeros((ROWS, C), dtype=jnp.int32)
+            bk_ref[0] = jnp.zeros((ROWS, C), dtype=jnp.int32)
+        fin_ref[0] = fin_s[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("is_local", "A", "interpret")
+)
+def _matrix_seg_call(
+    s1b,
+    s2b,
+    ms,
+    ns,
+    g,
+    h,
+    code,
+    mat,
+    is_local: bool,
+    A: int,
+    interpret: bool = False,
+):
+    B, Lm = s1b.shape
+    _, Ln = s2b.shape
+    Mp = Lm + 1
+    K = Lm + Ln + 1
+    C = max(_round_up(Mp, 128), 128)
+    chunk = 256
+    Kp = _round_up(K, chunk)
+
+    # Pad the batch to a pane multiple with trivial pairs FIRST so the
+    # subs planes of the pad pairs exist too (masked by m = n = 1).
+    Bp = _round_up(max(B, 1), ROWS)
+    if Bp != B:
+        pad = Bp - B
+        s1b = jnp.concatenate(
+            [s1b, jnp.full((pad, Lm), 0xFE, dtype=s1b.dtype)]
+        )
+        s2b = jnp.concatenate(
+            [s2b, jnp.full((pad, Ln), 0xFF, dtype=s2b.dtype)]
+        )
+        ms = jnp.concatenate(
+            [jnp.asarray(ms, jnp.int32), jnp.ones(pad, jnp.int32)]
+        )
+        ns = jnp.concatenate(
+            [jnp.asarray(ns, jnp.int32), jnp.ones(pad, jnp.int32)]
+        )
+    ms = jnp.asarray(ms, jnp.int32)
+    ns = jnp.asarray(ns, jnp.int32)
+    Bg = Bp // ROWS
+
+    # (K, Bp, Mp) int32 -> (Bg, Kp, 8, C) int8 stream (the wrapper
+    # guards |matrix| <= 127 before routing here).
+    sheared = _sheared_subs(s1b, s2b, code, mat, A)
+    sheared = jnp.pad(
+        sheared, ((0, Kp - K), (0, 0), (0, C - Mp))
+    ).astype(jnp.int8)
+    stream = jnp.transpose(
+        jnp.transpose(sheared, (1, 0, 2)).reshape(Bg, ROWS, Kp, C),
+        (0, 2, 1, 3),
+    )  # (Bg, Kp, 8, C)
+
+    scalars = jnp.stack(
+        [
+            ms,
+            ns,
+            jnp.full((Bp,), g, jnp.int32),
+            jnp.full((Bp,), h, jnp.int32),
+            jnp.zeros((Bp,), jnp.int32),
+            jnp.zeros((Bp,), jnp.int32),
+            jnp.zeros((Bp,), jnp.int32),
+            jnp.zeros((Bp,), jnp.int32),
+        ],
+        axis=1,
+    )
+
+    pane_out = pl.BlockSpec(
+        (1, ROWS, C), lambda b, g, s: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Bg, Kp // chunk),
+        in_specs=[
+            pl.BlockSpec(
+                (1, chunk, ROWS, C),
+                lambda b, g, s: (b, g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(pane_out, pane_out, pane_out),
+        scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)] * 8,
+    )
+    kernel = functools.partial(
+        _kernel_matrix_seg, K=K, chunk=chunk, C=C, is_local=is_local
+    )
+    bv, bk, fin = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((Bg, ROWS, C), jnp.int32)] * 3
+        ),
+        interpret=interpret,
+    )(scalars, stream)
+
+    col = jnp.arange(C, dtype=jnp.int32)[None, :]
+    finf = fin.reshape(Bp, C)
+    if is_local:
+        bvf = bv.reshape(Bp, C)
+        bkf = bk.reshape(Bp, C)
+        vmax = jnp.max(bvf, axis=1, keepdims=True)
+        i_best = jnp.max(jnp.where(bvf == vmax, col, -1), axis=1)
+        k_best = jnp.max(
+            jnp.where((bvf == vmax) & (col == i_best[:, None]), bkf, -1),
+            axis=1,
+        )
+        return (
+            vmax[:B, 0],
+            i_best[:B],
+            (k_best - i_best)[:B],
+        )
+    return jnp.max(finf, axis=1)[:B], ms[:B], ns[:B]
+
+
 def gotoh_scores_matrix(
     s1b,
     s2b,
@@ -246,6 +525,8 @@ def gotoh_scores_matrix(
     g: int,
     h: int,
     is_local: bool = False,
+    engine: str = "auto",
+    interpret: bool = False,
 ):
     """Score a batch of pairs under a full substitution matrix.
 
@@ -256,12 +537,48 @@ def gotoh_scores_matrix(
       matrix: a ``SubstMatrix`` (e.g. ``subst.blosum62()``).
       g, h: affine gap extension / open costs.
       is_local: Smith-Waterman (True) / Needleman-Wunsch.
+      engine: "pallas" (segmented kernel + int8 subs stream), "scan"
+        (the lax.scan twin — also the interpret-free CPU path), or
+        "auto" (pallas on TPU when the scores fit int8).
+      interpret: run the pallas kernel in interpret mode (CPU tests).
 
     Returns ``(score, start_i, start_j)`` of shape (B,) with the
     reference's exact local keep-last argmax semantics.
     """
     code = jnp.asarray(_alpha_code(matrix))
     ext = _ext_matrix(matrix)
+    A = int(ext.shape[0])
+    if engine == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        fits_i8 = int(np.abs(ext).max()) <= 127
+        engine = "pallas" if ((on_tpu or interpret) and fits_i8) else "scan"
+    if engine == "pallas":
+        if int(np.abs(ext).max()) > 127:
+            raise ValueError(
+                "pallas matrix engine streams int8 substitution "
+                f"scores; |matrix| max {int(np.abs(ext).max())} > 127"
+            )
+        # Global-mode padded lanes drift unclamped (segmented-kernel
+        # inheritance): bound the int32 headroom like every other
+        # wrapper.
+        K = s1b.shape[1] + s2b.shape[1] + 1
+        drift = 127 + abs(int(g)) + abs(int(h)) + 1
+        if K * drift >= 1 << 30:
+            engine = "scan"
+    if engine == "pallas":
+        return _matrix_seg_call(
+            jnp.asarray(s1b),
+            jnp.asarray(s2b),
+            jnp.asarray(ms, jnp.int32),
+            jnp.asarray(ns, jnp.int32),
+            int(g),
+            int(h),
+            code,
+            jnp.asarray(ext),
+            is_local,
+            A=A,
+            interpret=interpret,
+        )
     return _matrix_scores_call(
         jnp.asarray(s1b),
         jnp.asarray(s2b),
@@ -272,5 +589,5 @@ def gotoh_scores_matrix(
         code,
         jnp.asarray(ext),
         is_local,
-        A=int(ext.shape[0]),
+        A=A,
     )

@@ -575,8 +575,9 @@ class TestKimuraModels:
 class TestMatrixEngine:
     """MXU + sheared-subs wavefront batch engine vs the scan oracle."""
 
+    @pytest.mark.parametrize("engine", ["scan", "pallas"])
     @pytest.mark.parametrize("is_local", [False, True])
-    def test_blosum_batch_vs_scan(self, is_local):
+    def test_blosum_batch_vs_scan(self, is_local, engine):
         from genomics_rs_tpu.ops.gotoh_matrix import gotoh_scores_matrix
 
         m = blosum62()
@@ -598,7 +599,16 @@ class TestMatrixEngine:
             ]
         )
         sc, si, sj = gotoh_scores_matrix(
-            s1b, s2b, ms, ns, m, g=-1, h=-5, is_local=is_local
+            s1b,
+            s2b,
+            ms,
+            ns,
+            m,
+            g=-1,
+            h=-5,
+            is_local=is_local,
+            engine=engine,
+            interpret=engine == "pallas",
         )
         for i in range(B):
             res = _fill_traced(
@@ -614,6 +624,43 @@ class TestMatrixEngine:
             if is_local:
                 assert int(si[i]) == int(res.start_i), i
                 assert int(sj[i]) == int(res.start_j), i
+
+    @pytest.mark.parametrize("is_local", [False, True])
+    def test_pallas_vs_scan_engines_mixed_lengths(self, is_local):
+        # Non-pane-multiple batch (pads to 8) + mixed true lengths.
+        from genomics_rs_tpu.ops.gotoh_matrix import gotoh_scores_matrix
+
+        m = blosum62()
+        rng = np.random.default_rng(63)
+        aa = list("ARNDCQEGHILKMFPSTWYVBZX")
+        B, Lm, Ln = 5, 40, 56
+        ms = rng.integers(3, Lm + 1, B).astype(np.int32)
+        ns = rng.integers(3, Ln + 1, B).astype(np.int32)
+        s1b = np.stack(
+            [
+                Sequence("a", "".join(rng.choice(aa, k))).encoded(
+                    pad_to=Lm
+                )
+                for k in ms
+            ]
+        )
+        s2b = np.stack(
+            [
+                Sequence(
+                    "b", "".join(rng.choice(aa, k))
+                ).encoded(pad_to=Ln, pad_value=PAD_S2)
+                for k in ns
+            ]
+        )
+        kw = dict(g=-2, h=-7, is_local=is_local)
+        a = gotoh_scores_matrix(
+            s1b, s2b, ms, ns, m, engine="scan", **kw
+        )
+        b = gotoh_scores_matrix(
+            s1b, s2b, ms, ns, m, engine="pallas", interpret=True, **kw
+        )
+        for x, y in zip(a, b):
+            assert np.asarray(x).tolist() == np.asarray(y).tolist()
 
     def test_unknown_bytes_match_byte_lut(self):
         # Bytes outside the alphabet (here 'J' and '*'-less alphabet
