@@ -572,6 +572,89 @@ class TestKimuraModels:
             assert got.alignment == want.alignment
 
 
+class TestKimuraParallel:
+    """Kimura through the shard_map / mesh plumbing (8-dev CPU)."""
+
+    def test_batch_scores_sharded(self):
+        from genomics_rs_tpu.parallel.batch import batch_scores_sharded
+        from genomics_rs_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(71)
+        B, L = 8, 48
+        ms = np.full(B, L, np.int32)
+        seqs = [
+            ("".join(rng.choice(list("ACGT"), L)),
+             "".join(rng.choice(list("ACGT"), L)))
+            for _ in range(B)
+        ]
+        s1b = np.stack(
+            [Sequence("a", a).encoded(pad_to=64) for a, _ in seqs]
+        )
+        s2b = np.stack(
+            [
+                Sequence("b", b).encoded(pad_to=64, pad_value=PAD_S2)
+                for _, b in seqs
+            ]
+        )
+        mesh = make_mesh()
+        for is_local in (False, True):
+            out = batch_scores_sharded(
+                mesh, s1b, s2b, ms, ms, KIM, is_local
+            )
+            for i, (a, b) in enumerate(seqs):
+                assert int(out.score[i]) == _scan_score(
+                    a, b, KIM, is_local
+                ), i
+
+    def test_msa_kimura(self):
+        # The MSA pipeline plumbs Scores through batched fills and the
+        # star stage; each row's projection must reproduce its
+        # pairwise kimura alignment score.
+        from genomics_rs_tpu.models.aligner import PairwiseAligner
+        from genomics_rs_tpu.models.msa import center_star_msa
+
+        rng = np.random.default_rng(73)
+        seqs = [
+            Sequence(f"s{i}", "".join(rng.choice(list("ACGT"), 60)))
+            for i in range(3)
+        ]
+        from genomics_rs_tpu.sequence import SequenceContainer
+
+        res = center_star_msa(
+            SequenceContainer(sequences=list(seqs)), KIM
+        )
+        assert len(res.rows) == 3
+        assert all(len(r) == res.width for r in res.rows)
+        # Gap removal recovers inputs; the score matrix is the kimura
+        # pairwise global score for every pair.
+        for row, s in zip(res.rows, seqs):
+            assert row.replace("-", "") == s.sequence
+        ref = PairwiseAligner(KIM, engine="scan")
+        for j in range(3):
+            for i in range(j + 1):
+                want = ref.score_only(seqs[i], seqs[j])
+                assert res.score_matrix[j, i] == want, (i, j)
+
+    def test_allpairs_scores_kimura(self):
+        from genomics_rs_tpu.parallel.allpairs import allpairs_scores
+        from genomics_rs_tpu.sequence import SequenceContainer
+
+        rng = np.random.default_rng(72)
+        seqs = [
+            Sequence(f"s{i}", "".join(rng.choice(list("ACGT"), 40)))
+            for i in range(4)
+        ]
+        res = allpairs_scores(
+            SequenceContainer(sequences=list(seqs)), KIM, engine="scan"
+        )
+        for j in range(4):
+            for i in range(j + 1):
+                want = _scan_score(
+                    seqs[i].sequence, seqs[j].sequence, KIM, False
+                )
+                assert res.matrix[j, i] == want, (i, j)
+
+
 class TestMatrixEngine:
     """MXU + sheared-subs wavefront batch engine vs the scan oracle."""
 
