@@ -1310,6 +1310,60 @@ def run_smoke() -> int:
     from genomics_rs_tpu.ops.traceback_device import device_walk
     from genomics_rs_tpu.sequence import Sequence
 
+    # Kimura variant of the streamed dirs path (global mode): the
+    # fill + walk + classify pipeline under transition scoring must
+    # also match the monolithic kimura aligner (the consumers —
+    # align_batch, the MSA star stage — inherit Scores verbatim).
+    sres_k = _retry(
+        lambda: gotoh_stream_fill_dirs(
+            s1b, s2b, ms, ns, kim, is_local=False
+        ),
+        label="smoke stream dirs kimura",
+    )
+    if sres_k is None:
+        print("[smoke] stream_dirs_kimura: unexpectedly inapplicable — FAIL")
+        failures.append(("stream_dirs_kimura", False, 0, None, None))
+    else:
+        from genomics_rs_tpu.models.aligner import PairwiseAligner
+        from genomics_rs_tpu.ops.traceback import classify_moves
+        from genomics_rs_tpu.ops.traceback_device import device_walk
+        from genomics_rs_tpu.sequence import Sequence
+
+        mono_k = PairwiseAligner(kim, is_local=False)
+        sci_k = np.asarray(sres_k.start_i)
+        scj_k = np.asarray(sres_k.start_j)
+        for i in range(B):
+            q = Sequence("q", bytes(s1b[i][: ms[i]]).decode())
+            r = Sequence("r", bytes(s2b[i][: ns[i]]).decode())
+            want_k = mono_k.align(q, r)
+            codes_k, fi, fj, done_k = device_walk(
+                sres_k.segment_dirs(i),
+                np.int32(sci_k[i]),
+                np.int32(scj_k[i]),
+                np.int32(0),
+                max_steps=8192,
+            )
+            got_k = classify_moves(
+                np.asarray(codes_k),
+                int(sci_k[i]),
+                int(scj_k[i]),
+                int(np.asarray(sres_k.score)[i]),
+                q,
+                r,
+            )
+            ok = (
+                bool(done_k)
+                and (int(fi), int(fj)) == (0, 0)
+                and got_k.alignment == want_k.alignment
+                and got_k.score == want_k.score
+            )
+            print(
+                f"[smoke] stream_dirs_kimura pair{i}: "
+                f"{'ok' if ok else 'MISMATCH vs monolithic aligner'}"
+            )
+            if not ok:
+                failures.append(("stream_dirs_kimura", False, i, None, None))
+
     for loc in (False, True):
         sres = _retry(
             lambda loc=loc: gotoh_stream_fill_dirs(

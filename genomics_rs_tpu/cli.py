@@ -255,6 +255,12 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     ms.add_argument("--engine", default="auto", choices=["auto", "scan", "pallas"])
     ms.add_argument(
+        "--matrix",
+        default=None,
+        help="full substitution matrix (BLOSUM62 or an NCBI-format "
+        "file): protein MSA; gap costs from the config's g/h",
+    )
+    ms.add_argument(
         "--format", choices=["clustal", "fasta"], default="clustal"
     )
     ms.add_argument(
@@ -805,8 +811,21 @@ def main(argv: list[str] | None = None) -> int:
         if len(container.sequences) < 2:
             log.error("msa needs at least two sequences")
             return 1
+        msa_matrix = None
+        if args.matrix:
+            from genomics_rs_tpu.ops.subst import get_matrix
+
+            msa_matrix = get_matrix(args.matrix)
+            log.info(
+                "Substitution matrix: %s (%d chars)",
+                msa_matrix.name or args.matrix,
+                len(msa_matrix.alphabet),
+            )
         result = center_star_msa(
-            container, config.scores, engine=args.engine
+            container,
+            config.scores,
+            engine=args.engine,
+            matrix=msa_matrix,
         )
         log.info(
             "center: %s, alignment width %d",

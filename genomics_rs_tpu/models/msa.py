@@ -381,12 +381,19 @@ def center_star_msa(
     scores: Scores,
     engine: str = "auto",
     interpret: bool = False,
+    matrix=None,
 ) -> MSAResult:
     """Multiple alignment of every sequence in ``container``.
 
     The pairwise score pass runs as one batched device dispatch
     (``allpairs_scores``); the K-1 star alignments run through the
     routed :class:`PairwiseAligner` (global mode).
+
+    ``matrix`` (a ``SubstMatrix``) switches to full-matrix scoring —
+    protein MSA: the score pass uses the batched MXU matrix engine
+    and the star alignments run on the scan engine (matrix alignment
+    has no wavefront-kernel dirs path); gap costs still come from
+    ``scores.g``/``scores.h``.
     """
     from genomics_rs_tpu.parallel.allpairs import allpairs_scores
 
@@ -400,10 +407,20 @@ def center_star_msa(
         )
 
     with PhaseTimer("msa").span("compute the pairwise score matrix"):
-        ap = allpairs_scores(
-            container, scores, is_local=False, engine=engine,
-            interpret=interpret,
-        )
+        if matrix is not None:
+            from genomics_rs_tpu.parallel.allpairs import (
+                allpairs_matrix_scores,
+            )
+
+            ap = allpairs_matrix_scores(
+                container, matrix, g=scores.g, h=scores.h,
+                is_local=False,
+            )
+        else:
+            ap = allpairs_scores(
+                container, scores, is_local=False, engine=engine,
+                interpret=interpret,
+            )
     # Symmetrize the lower triangle (diagonal self-scores excluded
     # from the center sum: constant offset per row ranking otherwise).
     mat = ap.matrix
@@ -425,8 +442,17 @@ def center_star_msa(
         resolved = (
             "pallas" if jax.default_backend() == "tpu" else "scan"
         )
+    if matrix is not None:
+        # Matrix alignments run on the scan engine (protein-scale
+        # sequences); the batched star stage below is char-kernel
+        # territory and is skipped.
+        resolved = "scan"
     aligner = PairwiseAligner(
-        scores, is_local=False, engine=resolved, interpret=interpret
+        scores,
+        is_local=False,
+        engine=resolved,
+        interpret=interpret,
+        matrix=matrix,
     )
     # The batched path needs every pair's monolithic packed bitmap to
     # be buildable. Its budget is larger than the aligner's
@@ -444,6 +470,7 @@ def center_star_msa(
     with PhaseTimer("msa").span("align the corpus to the center"):
         if (
             resolved == "pallas"
+            and matrix is None
             and others
             and est_dirs <= STAR_PAIR_DIRS_BUDGET
         ):

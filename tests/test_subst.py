@@ -796,6 +796,39 @@ class TestMatrixEngine:
             assert int(sc[i]) == _scan_score(a, b, KIM, False), i
 
 
+class TestProteinMSA:
+    def test_center_star_blosum(self):
+        from genomics_rs_tpu.models.aligner import PairwiseAligner
+        from genomics_rs_tpu.models.msa import center_star_msa
+        from genomics_rs_tpu.sequence import SequenceContainer
+
+        m = blosum62()
+        rng = np.random.default_rng(81)
+        aa = list("ARNDCQEGHILKMFPSTWYV")
+        base = rng.choice(aa, 50)
+        seqs = []
+        for i in range(3):
+            mut = base.copy()
+            for _ in range(5):
+                mut[rng.integers(0, 50)] = rng.choice(aa)
+            seqs.append(Sequence(f"p{i}", "".join(mut)))
+        res = center_star_msa(
+            SequenceContainer(sequences=list(seqs)),
+            CLASSIC,
+            matrix=m,
+        )
+        assert len(res.rows) == 3
+        for row, s in zip(res.rows, seqs):
+            assert row.replace("-", "") == s.sequence
+        # Score matrix entries == matrix-mode pairwise scores.
+        ref = PairwiseAligner(CLASSIC, matrix=m)
+        for j in range(3):
+            for i in range(j + 1):
+                assert res.score_matrix[j, i] == ref.score_only(
+                    seqs[i], seqs[j]
+                ), (i, j)
+
+
 class TestCppOracle:
     def _lib_or_skip(self):
         from genomics_rs_tpu.suffixtree import native
@@ -994,6 +1027,18 @@ class TestCli:
         assert r.returncode == 0, r.stderr
         # Self-pair: 3*11 + 2*8 = 49 on the diagonal of the TSV.
         assert "49" in r.stdout
+
+    def test_msa_matrix_blosum(self, tmp_path, classic_toml):
+        fa = tmp_path / "peps.fasta"
+        fa.write_text(">p1\nWHWHWKL\n>p2\nWHWHWKL\n>p3\nWHAHWKL\n")
+        r = self._run(
+            ["msa", "-f", str(fa), "--matrix", "BLOSUM62"],
+            tmp_path,
+            classic_toml,
+        )
+        assert r.returncode == 0, r.stderr
+        assert "WHWHWKL" in r.stdout  # identical rows, no gaps needed
+        assert "Substitution matrix: BLOSUM62" in (r.stdout + r.stderr)
 
     def test_matrix_band_exclusive(self, tmp_path, classic_toml):
         fa = tmp_path / "pair.fasta"
