@@ -548,6 +548,16 @@ def gotoh_scores_matrix(
     code = jnp.asarray(_alpha_code(matrix))
     ext = _ext_matrix(matrix)
     A = int(ext.shape[0])
+    if int(np.abs(ext).max()) > 256:
+        # Both engines build the substitution planes with bf16
+        # one-hot matmuls; bf16 integers are exact only to 256 —
+        # larger entries would be silently rounded. Real matrices
+        # (BLOSUM/PAM families) are far below this.
+        raise ValueError(
+            "substitution-matrix entries must satisfy |v| <= 256 "
+            f"(bf16-exact one-hot selection); got max |v| = "
+            f"{int(np.abs(ext).max())}"
+        )
     if engine == "auto":
         on_tpu = jax.default_backend() == "tpu"
         fits_i8 = int(np.abs(ext).max()) <= 127

@@ -23,6 +23,8 @@ Kimura scoring therefore re-encodes characters **host-side** so the
 class test becomes one XOR:
 
     A -> 0, G -> 2 (purines, even)   C -> 1, T -> 3 (pyrimidines, odd)
+    a -> 4, g -> 6, c -> 5, t -> 7   (soft-masked lowercase: bit 2 =
+                                      case, bits 0-1 = class)
     any other byte b -> (b << 2) | 1024
 
 With that map, for encoded values x and y:
@@ -54,6 +56,13 @@ import numpy as np
 import jax.numpy as jnp
 
 #: Host-side kimura re-encoding table (int32[256]); see module docstring.
+#: Lowercase acgt (soft-masked FASTA) gets its own class codes 4-7:
+#: bit 2 carries the case, bits 0-1 the class, so x == y is still
+#: byte equality (reference parity: 'a' != 'A' is a mismatch,
+#: sequence.rs:102-115) while same-case transitions (a<->g, c<->t)
+#: XOR to 2 exactly like uppercase. Cross-case pairs score as
+#: ordinary mismatches (transversion) — consistent with their
+#: non-match status.
 KIMURA_ENC = ((np.arange(256, dtype=np.int32) << 2) | 1024).astype(
     np.int32
 )
@@ -61,6 +70,10 @@ KIMURA_ENC[ord("A")] = 0
 KIMURA_ENC[ord("G")] = 2
 KIMURA_ENC[ord("C")] = 1
 KIMURA_ENC[ord("T")] = 3
+KIMURA_ENC[ord("a")] = 4
+KIMURA_ENC[ord("g")] = 6
+KIMURA_ENC[ord("c")] = 5
+KIMURA_ENC[ord("t")] = 7
 
 
 def kimura_active(scores) -> bool:
@@ -88,18 +101,18 @@ def encode_chars(arr, scores):
     if isinstance(arr, np.ndarray):
         return KIMURA_ENC[arr]
     b = arr.astype(jnp.int32)
-    other = (b << 2) | 1024
-    code = jnp.where(
-        b == ord("A"),
-        0,
-        jnp.where(
-            b == ord("G"),
-            2,
-            jnp.where(
-                b == ord("C"), 1, jnp.where(b == ord("T"), 3, other)
-            ),
-        ),
-    )
+    code = (b << 2) | 1024
+    for ch, v in (
+        ("A", 0),
+        ("G", 2),
+        ("C", 1),
+        ("T", 3),
+        ("a", 4),
+        ("g", 6),
+        ("c", 5),
+        ("t", 7),
+    ):
+        code = jnp.where(b == ord(ch), v, code)
     return code
 
 

@@ -85,7 +85,9 @@ class TestKimuraEncoding:
         assert len(set(KIMURA_ENC.tolist())) == 256
 
     def test_transitions_only_for_acgt(self):
-        # x ^ y == 2 exactly for the two transition pairs.
+        # x ^ y == 2 exactly for the same-case transition pairs
+        # (soft-masked lowercase has its own class codes; cross-case
+        # pairs stay transversions — they are non-matches).
         enc = KIMURA_ENC
         pairs = {
             (i, j)
@@ -95,9 +97,20 @@ class TestKimuraEncoding:
         }
         expected = {
             (ord(a), ord(b))
-            for a, b in [("A", "G"), ("G", "A"), ("C", "T"), ("T", "C")]
+            for a, b in [
+                ("A", "G"), ("G", "A"), ("C", "T"), ("T", "C"),
+                ("a", "g"), ("g", "a"), ("c", "t"), ("t", "c"),
+            ]
         }
         assert pairs == expected
+
+    def test_lowercase_classes(self):
+        st_scores = Scores(1, -2, -1, -50, s_transition=-1)
+        # Same-case lowercase transition scores st; cross-case is a
+        # mismatch (transversion); lowercase self is a match.
+        assert _scan_score("ag", "ga", st_scores, False) == -2
+        assert _scan_score("a", "A", st_scores, False) == -2
+        assert _scan_score("a", "a", st_scores, False) == 1
 
     def test_pad_bytes_stay_distinct(self):
         assert KIMURA_ENC[PAD_S1] != KIMURA_ENC[PAD_S2]
