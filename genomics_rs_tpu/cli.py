@@ -298,6 +298,19 @@ def _build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    """CLI entry. Each invocation is one job: the device-operand cache
+    is dropped on the way out so in-process callers (tests, notebooks)
+    that run many subcommands over unrelated corpora don't accumulate
+    stale HBM residents (``utils/devcache``)."""
+    from genomics_rs_tpu.utils import devcache
+
+    try:
+        return _main(argv)
+    finally:
+        devcache.clear()
+
+
+def _main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
 
     logging.basicConfig(
@@ -853,19 +866,13 @@ def main(argv: list[str] | None = None) -> int:
         container = load_fasta_dir(args.fasta_dir)
         log.info("Number of sequences: %d", len(container.sequences))
         is_local = args.alignment_type in ("local", "1")
+        mx = None
         if args.matrix:
             from genomics_rs_tpu.ops.subst import get_matrix
             from genomics_rs_tpu.parallel.allpairs import (
                 allpairs_matrix_scores,
             )
 
-            if args.alignments_out:
-                print(
-                    "--matrix does not support --alignments-out yet "
-                    "(matrix scoring is score-only)",
-                    file=sys.stderr,
-                )
-                return 2
             mx = get_matrix(args.matrix)
             log.info(
                 "Substitution matrix: %s (%d chars)",
@@ -920,12 +927,28 @@ def main(argv: list[str] | None = None) -> int:
             alns: dict[tuple[int, int], object] = {}
             for key in sorted(groups):
                 sub = [idx[k] for k in groups[key]]
-                res = align_batch(
-                    [(seqs[i], seqs[j]) for i, j in sub],
-                    config.scores,
-                    is_local=is_local,
-                    engine=args.engine,
-                )
+                if mx is not None:
+                    # Full-matrix batched alignments: one 2-D packed
+                    # stream-dirs fill + one walk_many dispatch
+                    # (round 5; score-only before).
+                    from genomics_rs_tpu.models.aligner import (
+                        matrix_align_batch,
+                    )
+
+                    res = matrix_align_batch(
+                        [(seqs[i], seqs[j]) for i, j in sub],
+                        mx,
+                        g=config.scores.g,
+                        h=config.scores.h,
+                        is_local=is_local,
+                    )
+                else:
+                    res = align_batch(
+                        [(seqs[i], seqs[j]) for i, j in sub],
+                        config.scores,
+                        is_local=is_local,
+                        engine=args.engine,
+                    )
                 alns.update(zip(sub, res))
             for i, j in idx:
                 aln = alns[(i, j)]

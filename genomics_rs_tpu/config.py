@@ -35,6 +35,15 @@ class Scores:
     ``None`` (the default) is bit-exact reference behaviour — and a
     *structurally* different pytree, so jit compiles the classic
     kernels unchanged.
+
+    Soft-masked input caveat: matching stays case-sensitive for
+    reference parity (``sequence.rs:102-115`` — ``'a' != 'A'``), so
+    cross-case pairs like ``'a'`` vs ``'G'`` are ordinary mismatches
+    and score ``s_mismatch`` even when the base pair is biologically
+    a transition; same-case transitions (``a<->g``, ``c<->t``,
+    ``A<->G``, ``C<->T``) score ``s_transition``. Uppercase
+    soft-masked FASTA before loading if cross-case transition scoring
+    is wanted (``ops/subst.py`` module docs).
     """
 
     s_match: int = 1

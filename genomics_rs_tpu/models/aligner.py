@@ -230,6 +230,14 @@ class PairwiseAligner:
 
         s1e = seq1.encoded(pad_to=Lm, pad_value=PAD_S1)
         s2e = seq2.encoded(pad_to=Ln, pad_value=PAD_S2)
+        if self.matrix is not None:
+            from genomics_rs_tpu.ops.subst import warn_unknown_bytes
+
+            warn_unknown_bytes(
+                self.matrix,
+                np.concatenate([s1e[:m], s2e[:n]]),
+                where="align",
+            )
 
         # The pallas engine keeps the direction bitmap PACKED (2 bits
         # per cell) and chases it on device — only the O(m+n) move
@@ -540,6 +548,159 @@ def stream_walk_group(
             )
         moves.append(np.asarray(codes))
     return moves, scv, sci, scj
+
+
+def matrix_align_batch(
+    pairs: list[tuple[Sequence, Sequence]],
+    matrix,
+    g: int,
+    h: int,
+    is_local: bool = False,
+    interpret: bool = False,
+) -> list[AlignedSequences]:
+    """Full alignments (path + stats) for a batch of pairs under a
+    full substitution matrix — the protein counterpart of
+    :func:`align_batch` (round-4 matrix alignment was pinned to the
+    per-pair lax.scan engine; no reference analog —
+    ``algo.rs:151-282`` knows two scores only).
+
+    One 2-D packed continuous-stream fill emits every pair's packed
+    direction bitmap (``ops/gotoh_matrix_stream``), then ONE
+    ``walk_many`` dispatch chases all of them (per-pair word-row AND
+    lane offsets into the global stream array). Bit-identical to the
+    per-pair scan aligner (pinned by tests + the ``matrix_stream``
+    smoke rows). Falls back to the per-pair aligner when the stream
+    doesn't apply (empty/degenerate pairs, non-TPU without
+    interpret, giant matrices).
+    """
+    import jax.numpy as jnp
+
+    from genomics_rs_tpu.ops.gotoh_matrix_stream import (
+        _plan_mstream,
+        gotoh_matrix_stream_fill_dirs,
+    )
+    from genomics_rs_tpu.ops.traceback import classify_moves
+    from genomics_rs_tpu.ops.traceback_pallas import (
+        MAX_STEPS_CAP,
+        PKW,
+        unpack_moves,
+        walk_many,
+    )
+    from genomics_rs_tpu.utils.devcache import device_put_cached
+
+    def fallback(sub):
+        aligner = PairwiseAligner(
+            Scores(s_match=0, s_mismatch=0, g=g, h=h),
+            is_local=is_local,
+            engine="scan",
+            matrix=matrix,
+            interpret=interpret,
+        )
+        return [aligner.align(a, b) for a, b in sub]
+
+    usable = (
+        jax.default_backend() == "tpu" or interpret
+    ) and len(pairs) >= 1
+    if not usable:
+        return fallback(pairs)
+
+    Lm = max(
+        round_up(max((len(a) for a, _ in pairs), default=1), PAD_MULTIPLE),
+        PAD_MULTIPLE,
+    )
+    Ln = max(
+        round_up(max((len(b) for _, b in pairs), default=1), PAD_MULTIPLE),
+        PAD_MULTIPLE,
+    )
+    max_steps = min(round_up(Lm + Ln + 1, 1024), MAX_STEPS_CAP)
+    if Lm + Ln + 1 > MAX_STEPS_CAP:
+        return fallback(pairs)
+    # Group size: footprint per pair ~ L1*S/4 B dirs words + L1*S B
+    # int8 subs stream (+ transposed intermediates ~3x) + the walk
+    # move buffer; bound a group near 4 GB.
+    S, G, V, C, L1, T, K, Kp = _plan_mstream(Lm, Ln, max(len(pairs), 1))
+    per_pair = L1 * S * 4 + -(-max_steps // 16) * 128 * 4
+    group = max(int((4 << 30) // max(per_pair, 1)), 1)
+
+    out: list[AlignedSequences] = []
+    for g0 in range(0, len(pairs), group):
+        chunk = pairs[g0 : g0 + group]
+        s1b = np.stack(
+            [a.encoded(pad_to=Lm, pad_value=PAD_S1) for a, _ in chunk]
+        )
+        s2b = np.stack(
+            [b.encoded(pad_to=Ln, pad_value=PAD_S2) for _, b in chunk]
+        )
+        ms = np.array([len(a) for a, _ in chunk], np.int32)
+        ns = np.array([len(b) for _, b in chunk], np.int32)
+        res = gotoh_matrix_stream_fill_dirs(
+            device_put_cached(s1b),
+            device_put_cached(s2b),
+            ms,
+            ns,
+            matrix,
+            g,
+            h,
+            is_local=is_local,
+            interpret=interpret,
+        )
+        if res is None:
+            out.extend(fallback(chunk))
+            continue
+        B = len(chunk)
+        koffs = np.array([res.koff(p) for p in range(B)], np.int32)
+        loffs = np.array([res.loff(p) for p in range(B)], np.int32)
+        # Short pairs: the walker's DMA window needs KW >= PKW rows;
+        # reading past a short segment's words is safe (never
+        # consumed: k <= m+n), but the LAST segment may sit near the
+        # end of the global array — pad rows so every chase's window
+        # stays in bounds.
+        KW = max(res.KW, PKW)
+        need = int(koffs.max()) + KW
+        dirs = res.dirs
+        if need > dirs.shape[0]:
+            dirs = jnp.concatenate(
+                [
+                    dirs,
+                    jnp.zeros(
+                        (need - dirs.shape[0], dirs.shape[1]),
+                        dirs.dtype,
+                    ),
+                ]
+            )
+        words, counts, i_fs, j_fs, dones = jax.device_get(
+            walk_many(
+                dirs,
+                res.start_i.astype(np.int32),
+                res.start_j.astype(np.int32),
+                koffs,
+                KW=KW,
+                max_steps=max_steps,
+                interpret=interpret,
+                loffs=loffs,
+            )
+        )
+        scv = np.asarray(res.score)
+        for t, (a, b) in enumerate(chunk):
+            if not bool(dones[t]) or (
+                not is_local
+                and (int(i_fs[t]), int(j_fs[t])) != (0, 0)
+            ):
+                raise RuntimeError(
+                    "matrix batched retrace left the table at "
+                    f"({int(i_fs[t])}, {int(j_fs[t])})"
+                )
+            out.append(
+                classify_moves(
+                    unpack_moves(words[t], int(counts[t])),
+                    int(res.start_i[t]),
+                    int(res.start_j[t]),
+                    int(scv[t]),
+                    a,
+                    b,
+                )
+            )
+    return out
 
 
 def align_pair(

@@ -390,10 +390,12 @@ def center_star_msa(
     routed :class:`PairwiseAligner` (global mode).
 
     ``matrix`` (a ``SubstMatrix``) switches to full-matrix scoring —
-    protein MSA: the score pass uses the batched MXU matrix engine
-    and the star alignments run on the scan engine (matrix alignment
-    has no wavefront-kernel dirs path); gap costs still come from
-    ``scores.g``/``scores.h``.
+    protein MSA: the score pass uses the batched matrix stream engine
+    and the K-1 star alignments fill in ONE 2-D packed stream-dirs
+    dispatch + one ``walk_many`` dispatch
+    (``models.aligner.matrix_align_batch``, round 5 — they ran
+    per-pair on the lax.scan engine before); gap costs still come
+    from ``scores.g``/``scores.h``.
     """
     from genomics_rs_tpu.parallel.allpairs import allpairs_scores
 
@@ -443,9 +445,8 @@ def center_star_msa(
             "pallas" if jax.default_backend() == "tpu" else "scan"
         )
     if matrix is not None:
-        # Matrix alignments run on the scan engine (protein-scale
-        # sequences); the batched star stage below is char-kernel
-        # territory and is skipped.
+        # The per-pair matrix aligner (the batched path's fallback)
+        # runs on the scan engine.
         resolved = "scan"
     aligner = PairwiseAligner(
         scores,
@@ -468,7 +469,23 @@ def center_star_msa(
     )
     est_dirs = (Lm_est + Ln_est + 1) * _ru(Lm_est + 1, 1024) // 4
     with PhaseTimer("msa").span("align the corpus to the center"):
-        if (
+        if matrix is not None and others:
+            from genomics_rs_tpu.models.aligner import (
+                matrix_align_batch,
+            )
+
+            ops_list = [
+                _alignment_ops(al)
+                for al in matrix_align_batch(
+                    [(cseq, o) for o in others],
+                    matrix,
+                    g=scores.g,
+                    h=scores.h,
+                    is_local=False,
+                    interpret=interpret,
+                )
+            ]
+        elif (
             resolved == "pallas"
             and matrix is None
             and others

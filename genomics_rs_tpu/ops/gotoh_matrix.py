@@ -42,6 +42,11 @@ from genomics_rs_tpu.ops.gotoh_scan import INT_MIN, NEG_INF
 
 ROWS = 8  # pairs per register pane (one per sublane row)
 
+#: batches at least this large auto-route to the 2-D packed
+#: continuous-stream engine (``gotoh_matrix_stream``): below it the
+#: stream's chain setup doesn't amortize over the segmented kernel.
+STREAM_MIN_B = 8
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -537,9 +542,11 @@ def gotoh_scores_matrix(
       matrix: a ``SubstMatrix`` (e.g. ``subst.blosum62()``).
       g, h: affine gap extension / open costs.
       is_local: Smith-Waterman (True) / Needleman-Wunsch.
-      engine: "pallas" (segmented kernel + int8 subs stream), "scan"
+      engine: "stream" (2-D packed continuous-stream kernel,
+        ``gotoh_matrix_stream`` — the batch-throughput engine),
+        "pallas" (segmented kernel + int8 subs stream), "scan"
         (the lax.scan twin — also the interpret-free CPU path), or
-        "auto" (pallas on TPU when the scores fit int8).
+        "auto" (stream on TPU for real batches, else pallas/scan).
       interpret: run the pallas kernel in interpret mode (CPU tests).
 
     Returns ``(score, start_i, start_j)`` of shape (B,) with the
@@ -548,6 +555,19 @@ def gotoh_scores_matrix(
     code = jnp.asarray(_alpha_code(matrix))
     ext = _ext_matrix(matrix)
     A = int(ext.shape[0])
+    if isinstance(s1b, np.ndarray) and isinstance(s2b, np.ndarray):
+        # Host-side inputs: cheap to check that the batch is mostly
+        # in-alphabet (lowercase protein letters silently score as X
+        # otherwise). Pad bytes are excluded via the true lengths.
+        from genomics_rs_tpu.ops.subst import warn_unknown_bytes
+
+        ms_np = np.asarray(ms)
+        ns_np = np.asarray(ns)
+        live = np.concatenate(
+            [s1b[i, : ms_np[i]] for i in range(s1b.shape[0])]
+            + [s2b[i, : ns_np[i]] for i in range(s2b.shape[0])]
+        )
+        warn_unknown_bytes(matrix, live, where="matrix batch")
     if int(np.abs(ext).max()) > 256:
         # Both engines build the substitution planes with bf16
         # one-hot matmuls; bf16 integers are exact only to 256 —
@@ -561,7 +581,32 @@ def gotoh_scores_matrix(
     if engine == "auto":
         on_tpu = jax.default_backend() == "tpu"
         fits_i8 = int(np.abs(ext).max()) <= 127
-        engine = "pallas" if ((on_tpu or interpret) and fits_i8) else "scan"
+        B = int(np.shape(s1b)[0])
+        if (on_tpu or interpret) and fits_i8 and B >= STREAM_MIN_B:
+            engine = "stream"
+        else:
+            engine = (
+                "pallas" if ((on_tpu or interpret) and fits_i8) else "scan"
+            )
+    if engine == "stream":
+        from genomics_rs_tpu.ops.gotoh_matrix_stream import (
+            gotoh_scores_matrix_stream,
+        )
+
+        out = gotoh_scores_matrix_stream(
+            s1b,
+            s2b,
+            ms,
+            ns,
+            matrix,
+            g=int(g),
+            h=int(h),
+            is_local=is_local,
+            interpret=interpret,
+        )
+        if out is not None:
+            return out
+        engine = "pallas" if int(np.abs(ext).max()) <= 127 else "scan"
     if engine == "pallas":
         if int(np.abs(ext).max()) > 127:
             raise ValueError(

@@ -1,0 +1,756 @@
+"""Continuous-stream full-matrix (protein) Gotoh kernel: 2-D packing.
+
+The round-4 protein engine (``gotoh_matrix._kernel_matrix_seg``) pays
+~5x padding at protein shapes: lanes round the ~400-residue pane up to
+128 multiples, steps round to 256-chunks, and every pair pays its own
+anti-diagonal ramp. The DNA stream kernel (``gotoh_stream``) removed
+the ramp by chaining pairs along the STEP axis — but its geometry puts
+ONE pair across the whole lane vector, so short proteins would idle
+>90% of a big vector. This kernel packs pairs along BOTH axes:
+
+* **lane groups**: ``G = V // S`` independent pair chains stacked in
+  the lane vector with stride ``S = roundup(Lm+1, 128)`` — lane
+  ``v = g*S + i`` is DP row ``i`` of group ``g``'s current pair. The
+  shift firewall between adjacent groups is the row-0 boundary
+  override itself (a group's row-0 lane has every read value replaced
+  by the streamed top-boundary scalars, exactly like the stream
+  kernel's lane 0 — see ``gotoh_stream._kernel_stream``);
+* **step chaining**: each group processes ``T = ceil(B/G)`` pairs
+  back-to-back at stride ``L1 = roundup(max(Ln+1, S+CHUNK), CHUNK)``
+  with per-lane column-0 re-injection at the seam (the stream
+  kernel's trick). All groups share one column phase, so the seam
+  lane, the row-0 boundary and the column base remain per-step
+  *scalars*;
+* **substitution stream**: the per-cell score ``M[a, b]`` arrives as
+  a precomputed int8 VMEM pane per step (the segmented matrix
+  kernel's device-built diagonal-major stream, relaid into this
+  kernel's (step, lane) geometry by masked window overlay) — the DP
+  body does no table work at all.
+
+Scores are extracted without the stream kernel's scalar probe (G
+probes can collide on one step): every lane carries its current
+segment's ``(m, n)`` (loaded at the seam from a per-chain-position
+VMEM pane) and captures its ``(m, n)`` cell into a register, flushed
+to a per-chunk accumulator pane at the next seam — the local-mode
+argmax flush generalized to global mode. Local mode keeps the
+reference's exact keep-last row-major argmax (``algo.rs:311-322``):
+per-lane keep-last ``(best, column)``, host-side reduce over the
+segment's lanes with larger-row-then-larger-column tie-break.
+
+``emit_dirs`` packs the rowblock kernel's exact SUB>INS>DEL>STOP
+codes 16-per-word along the global step axis: cell (i, j) of the pair
+at chain position t, group g sits at word ``(t*L1 + i + j) // 16``,
+lane ``g*S + i`` — rows ``[t*L1/16, ...)`` with a lane offset are a
+diag16 bitmap, chased by ``traceback_pallas.walk_many(loffs=...)``
+with zero re-layout. This is what gives protein (matrix-mode)
+alignment a wavefront dirs path at all — round 4 pinned matrix
+alignment to the lax.scan engine (``models/aligner.py`` round-4
+routing; reference capability anchor ``algo.rs:151-282`` generalized
+beyond ``config.rs:6-18``'s two scores).
+
+Validated against the scan matrix engine (``_matrix_scores_call``)
+and the C++ LUT oracle (``native/gotoh_cpu.cpp::gotoh_score_cpu_subst``)
+in both modes; alignments bit-identical to the per-pair scan aligner.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from genomics_rs_tpu.ops.gotoh_matrix import (
+    _alpha_code,
+    _ext_matrix,
+    _sheared_subs,
+)
+from genomics_rs_tpu.ops.gotoh_pallas import (
+    PACK,
+    ROWS,
+    _round_up,
+    _shift_down_flat,
+)
+from genomics_rs_tpu.ops.gotoh_scan import (
+    DIR_DEL,
+    DIR_INS,
+    DIR_STOP,
+    DIR_SUB,
+    INT_MIN,
+    NEG_INF,
+)
+
+#: diagonals per grid step. Smaller than the DNA stream's 256: the
+#: chain stride L1 is floored at S + CHUNK, so a smaller chunk cuts
+#: the padded-column inflation at protein lengths. Must divide 1024
+#: and be a PACK multiple.
+MCHUNK = int(os.environ.get("GENOMICS_TPU_MCHUNK", "128"))
+#: SSA unroll (one scratch load/store set per UNROLL diagonals).
+MUNROLL = int(os.environ.get("GENOMICS_TPU_MUNROLL", "16"))
+#: lane-vector size target: ~V lanes per step amortize the measured
+#: ~300-400 ns dependent-step latency floor (docs/ROUND4.md §8) over
+#: many cells; beyond ~16k lanes per-step time starts to grow.
+VTARGET = int(os.environ.get("GENOMICS_TPU_MSTREAM_V", "12288"))
+
+if MUNROLL < 1 or MCHUNK % MUNROLL:
+    raise ValueError(
+        f"GENOMICS_TPU_MUNROLL={MUNROLL} must divide MCHUNK={MCHUNK}"
+    )
+if MCHUNK < 1 or 1024 % MCHUNK or MCHUNK % PACK:
+    raise ValueError(
+        f"GENOMICS_TPU_MCHUNK={MCHUNK} must divide 1024 and be a "
+        f"multiple of {PACK}"
+    )
+
+
+def _plan_mstream(Lm: int, Ln: int, B: int, vtarget: int | None = None):
+    """(S, G, V, C, L1, T, K, Kp) for a B-pair 2-D packed stream.
+
+    S: lane stride per pair (128-aligned so per-segment dirs lane
+    slices stay walker-addressable). G: pair chains stacked in the
+    vector. L1: chain stride — covers a segment's Ln+1 columns, bounds
+    one seam per group per step (L1 > S), keeps consecutive flush
+    windows chunk-disjoint (L1 >= S + CHUNK) and chunk-aligned. K runs
+    one extra S past the last chain position so every lane crosses a
+    final seam and flushes its capture.
+    """
+    vt = VTARGET if vtarget is None else vtarget
+    S = max(_round_up(Lm + 1, 128), 128)
+    G = max(1, min(vt // S, B))
+    V = max(_round_up(G * S, 1024), 1024)
+    L1 = _round_up(max(Ln + 1, S + MCHUNK), MCHUNK)
+    T = -(-B // G)
+    K = T * L1 + S
+    Kp = _round_up(K, MCHUNK)
+    return S, G, V, V // ROWS, L1, T, K, Kp
+
+
+def _kernel_mstream(
+    scalars,  # SMEM int32[2]: g, h
+    ivloc_ref,  # VMEM int32 (ROWS, C): lane -> group-local DP row
+    subs_ref,  # VMEM int8 (MCHUNK, ROWS, C): this chunk's subs panes
+    mpane_ref,  # VMEM int32 (1, ROWS, C): m of each lane's next segment
+    npane_ref,  # VMEM int32 (1, ROWS, C): n of each lane's next segment
+    cbase_ref,  # SMEM int32 (1, MCHUNK): k mod L1 per step
+    topI_ref,  # SMEM int32 (1, MCHUNK): row-0 I boundary per step
+    topSD_ref,  # SMEM int32 (1, MCHUNK): row-0 S/D boundary per step
+    *rest,  # outputs then scratch (mode-dependent)
+    C: int,
+    L1: int,
+    chunk: int,
+    is_local: bool,
+    unroll: int,
+    emit_dirs: bool,
+):
+    if is_local:
+        (cv_out, cj_out, *tail) = rest
+    else:
+        (cv_out, *tail) = rest
+    if emit_dirs:
+        dirs_out = tail[0]
+        tail = tail[1:]
+    (Ip, Pp, Dp, Qp, shM, mcp, ncp, *tail) = tail
+    if is_local:
+        bvp, bjp, cvs, cjs, *tail = tail
+    else:
+        capp, cvs, *tail = tail
+    if emit_dirs:
+        accs = tail[0]
+
+    g_id = pl.program_id(0)
+    gg = scalars[0]
+    hh = scalars[1]
+    hg = hh + gg
+
+    neg = jnp.int32(NEG_INF)
+    int_min = jnp.int32(INT_MIN)
+    zero = jnp.int32(0)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 0)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, C), 1)
+    ivloc = ivloc_ref[:]
+    row0_mask = ivloc == 0
+    Dcol = hh + ivloc * gg
+
+    @pl.when(g_id == 0)
+    def _init():
+        full_neg = jnp.full((ROWS, C), neg, dtype=jnp.int32)
+        Ip[:] = full_neg
+        Pp[:] = full_neg
+        Dp[:] = full_neg
+        Qp[:] = full_neg
+        shM[:] = full_neg
+        # m/n = -1 masks every lane until its first seam crossing
+        # loads the real bounds (the pre-start window).
+        mcp[:] = jnp.full((ROWS, C), -1, dtype=jnp.int32)
+        ncp[:] = jnp.full((ROWS, C), -1, dtype=jnp.int32)
+        if is_local:
+            bvp[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+            bjp[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
+        else:
+            capp[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+        if emit_dirs:
+            accs[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
+
+    # Per-chunk flush accumulators (each chunk reports only the lanes
+    # that crossed a seam during it — windows are chunk-disjoint).
+    cvs[:] = jnp.full((ROWS, C), int_min, dtype=jnp.int32)
+    if is_local:
+        cjs[:] = jnp.zeros((ROWS, C), dtype=jnp.int32)
+    mseg = mpane_ref[0]
+    nseg = npane_ref[0]
+
+    def step_ssa(state, t):
+        (I0, P0, D0, Q0, M0, mc0, nc0, *loc) = state
+        # Lane's segment-local column: all groups share one phase, so
+        # c = (cbase - i) mod L1 from the streamed per-step scalar.
+        cb = cbase_ref[0, t]
+        c = cb - ivloc
+        c = jnp.where(c < 0, c + L1, c)
+        col0 = c == 0
+
+        if is_local:
+            bv0, bj0, cv0, cj0, *dtail = loc
+            # Seam: flush the finished segment's per-lane best into
+            # the chunk accumulator, reset, load new (m, n).
+            cv0 = jnp.where(col0, bv0, cv0)
+            cj0 = jnp.where(col0, bj0, cj0)
+            bv0 = jnp.where(col0, int_min, bv0)
+        else:
+            cap0, cv0, *dtail = loc
+            cv0 = jnp.where(col0, cap0, cv0)
+            cap0 = jnp.where(col0, int_min, cap0)
+        mc0 = jnp.where(col0, mseg, mc0)
+        nc0 = jnp.where(col0, nseg, nc0)
+
+        sub = subs_ref[t].astype(jnp.int32)
+        shQ = _shift_down_flat(Q0, neg, row_idx, col_idx, C)
+        shD = _shift_down_flat(D0, neg, row_idx, col_idx, C)
+
+        # Identical factored recurrence to the DNA stream kernel;
+        # local mode injects the reference's raw-0 lane inside every
+        # predecessor max (algo.rs:103).
+        if is_local:
+            Inew = jnp.maximum(jnp.maximum(I0 + gg, P0 + hg), zero)
+            Dnew = jnp.maximum(jnp.maximum(shQ + hg, shD + gg), zero)
+            Snew = sub + jnp.maximum(M0, zero)
+        else:
+            Inew = jnp.maximum(I0 + gg, P0 + hg)
+            Dnew = jnp.maximum(shQ + hg, shD + gg)
+            Snew = sub + M0
+
+        # Column-0 boundary (I/S = -inf, D = h + i*g); the row-0
+        # scalars then override each group's row-0 lane on Q and D
+        # only — that lane's I/S/P garbage (fed by the group below)
+        # is never read, exactly like the stream kernel's lane 0.
+        Inew = jnp.where(col0, neg, Inew)
+        Snew = jnp.where(col0, neg, Snew)
+        Dnew = jnp.where(col0, Dcol, Dnew)
+        topI_s = topI_ref[0, t]
+        topSD_s = topSD_ref[0, t]
+        topQ = jnp.maximum(topI_s, topSD_s)
+        Dnew = jnp.where(row0_mask, topSD_s, Dnew)
+        Qnew = jnp.maximum(Inew, Snew)
+        Qnew = jnp.where(row0_mask, topQ, Qnew)
+
+        if is_local:
+            # Max-based keep-last argmax (see gotoh_stream: identical
+            # semantics, one-op loop-carried chain for bv).
+            cmc = jnp.maximum(jnp.maximum(Qnew, Dnew), zero)
+            val = jnp.where((ivloc <= mc0) & (c <= nc0), cmc, int_min)
+            bv0 = jnp.maximum(bv0, val)
+            bj0 = jnp.where(val == bv0, c, bj0)
+            tail = (mc0, nc0, bv0, bj0, cv0, cj0)
+        else:
+            Mnew = jnp.maximum(Qnew, Dnew)
+            hit = (ivloc == mc0) & (c == nc0)
+            cap0 = jnp.where(hit, Mnew, cap0)
+            tail = (mc0, nc0, cap0, cv0)
+        if emit_dirs:
+            # The rowblock kernel's exact code chain and tie order
+            # SUB > INS > DEL > STOP; row-0 cells are walked, so I/S
+            # read the row-0 stream fixes for the comparisons.
+            (acc0,) = dtail
+            ref_max = cmc if is_local else Mnew
+            Id = jnp.where(row0_mask, topI_s, Inew)
+            Sd = jnp.where(row0_mask, topSD_s, Snew)
+            dcode = jnp.where(
+                ref_max == Sd,
+                DIR_SUB,
+                jnp.where(
+                    ref_max == Id,
+                    DIR_INS,
+                    jnp.where(ref_max == Dnew, DIR_DEL, DIR_STOP),
+                ),
+            )
+            sp = t % PACK
+            acc0 = jnp.where(sp == 0, 0, acc0) | (dcode << (2 * sp))
+
+            @pl.when(sp == PACK - 1)
+            def _flush_dirs():
+                dirs_out[t // PACK] = acc0
+
+            tail = tail + (acc0,)
+        return (
+            Inew,
+            jnp.maximum(Snew, Dnew),
+            Dnew,
+            Qnew,
+            jnp.maximum(shQ, shD),
+        ) + tail
+
+    core_refs = (Ip, Pp, Dp, Qp, shM, mcp, ncp)
+    if is_local:
+        core_refs = core_refs + (bvp, bjp, cvs, cjs)
+    else:
+        core_refs = core_refs + (capp, cvs)
+    if emit_dirs:
+        core_refs = core_refs + (accs,)
+
+    def body(tt, _):
+        state = tuple(r[:] for r in core_refs)
+        for sub_i in range(unroll):
+            state = step_ssa(state, unroll * tt + sub_i)
+        for r, v in zip(core_refs, state):
+            r[:] = v
+        return 0
+
+    jax.lax.fori_loop(0, chunk // unroll, body, 0)
+    cv_out[0] = cvs[:]
+    if is_local:
+        cj_out[0] = cjs[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "B",
+        "Lm",
+        "Ln",
+        "A",
+        "is_local",
+        "interpret",
+        "emit_dirs",
+        "vtarget",
+    ),
+)
+def _mstream_call(
+    s1b: jax.Array,  # (B, Lm) uint8 ASCII
+    s2b: jax.Array,
+    ms: jax.Array,  # (B,) true lengths (also passed as numpy via plan)
+    ns: jax.Array,
+    g: jax.Array,
+    h: jax.Array,
+    code: jax.Array,  # (256,) byte -> alphabet index
+    mat: jax.Array,  # (A, A) int32
+    mpane: jax.Array,  # (T, ROWS, C) int32: per-chain-position m pane
+    npane: jax.Array,
+    ivloc: jax.Array,  # (ROWS, C) int32
+    B: int,
+    Lm: int,
+    Ln: int,
+    A: int,
+    is_local: bool,
+    interpret: bool,
+    emit_dirs: bool,
+    vtarget: int | None = None,
+):
+    S, G, V, C, L1, T, K, Kp = _plan_mstream(Lm, Ln, B, vtarget)
+    Bp = G * T
+    Mp = Lm + 1
+    Kpair = Lm + Ln + 1
+    neg = jnp.int32(NEG_INF)
+
+    # Pad the batch to the full G*T grid with trivial pairs (masked by
+    # m = n = 1; bytes map to the wildcard/min row — never read).
+    if Bp != B:
+        pad = Bp - B
+        s1b = jnp.concatenate(
+            [s1b, jnp.full((pad, Lm), 0xFE, dtype=s1b.dtype)]
+        )
+        s2b = jnp.concatenate(
+            [s2b, jnp.full((pad, Ln), 0xFF, dtype=s2b.dtype)]
+        )
+        ms = jnp.concatenate(
+            [jnp.asarray(ms, jnp.int32), jnp.ones(pad, jnp.int32)]
+        )
+        ns = jnp.concatenate(
+            [jnp.asarray(ns, jnp.int32), jnp.ones(pad, jnp.int32)]
+        )
+    ms = jnp.asarray(ms, jnp.int32)
+    ns = jnp.asarray(ns, jnp.int32)
+
+    # ---- substitution stream: (Kp, ROWS, C) int8 ------------------
+    # Masked per-pair diagonal-major planes, overlaid at chain stride
+    # L1. A pair's plane spans at most two chain windows (Kpair <=
+    # L1 + S), and valid cells of window-sharing neighbours are
+    # disjoint (window t offset d: pair t needs d > i, pair t-1 needs
+    # i > d), so overlay-by-addition of zero-masked planes is exact.
+    sheared = _sheared_subs(s1b, s2b, code, mat, A)  # (Kpair, Bp, Mp)
+    kkv = jnp.arange(Kpair, dtype=jnp.int32)[:, None, None]
+    lv = jnp.arange(Mp, dtype=jnp.int32)[None, None, :]
+    cvv = kkv - lv
+    validm = (
+        (lv >= 1)
+        & (lv <= ms[None, :, None])
+        & (cvv >= 1)
+        & (cvv <= ns[None, :, None])
+    )
+    sh8 = jnp.where(validm, sheared, 0).astype(jnp.int8)
+    sh8 = sh8.reshape(Kpair, T, G, Mp)
+    shp = jnp.pad(sh8, ((0, 2 * L1 - Kpair), (0, 0), (0, 0), (0, 0)))
+    partA = jnp.transpose(shp[:L1], (1, 0, 2, 3))  # (T, L1, G, Mp)
+    partB = jnp.transpose(shp[L1 : 2 * L1], (1, 0, 2, 3))
+    zrow = jnp.zeros((1, L1, G, Mp), jnp.int8)
+    W = jnp.concatenate([partA, zrow], 0) + jnp.concatenate(
+        [zrow, partB], 0
+    )  # (T+1, L1, G, Mp)
+    W = jnp.pad(W, ((0, 0), (0, 0), (0, 0), (0, S - Mp)))
+    W = W.reshape(T + 1, L1, G * S)
+    W = jnp.pad(W, ((0, 0), (0, 0), (0, V - G * S)))
+    stream = W.reshape((T + 1) * L1, ROWS, C)[:Kp]
+
+    # ---- per-step scalar streams ----------------------------------
+    ks = jnp.arange(Kp, dtype=jnp.int32)
+    t = ks // L1
+    cb = ks - t * L1
+    cbase = cb[None, :]
+    gg = jnp.int32(g)
+    hh = jnp.int32(h)
+    topI = jnp.where(cb == 0, 0, hh + cb * gg)
+    topI = jnp.where(t < T, topI, neg)[None, :]
+    topSD = jnp.where((cb == 0) & (t < T), 0, neg)[None, :]
+
+    scalars = jnp.stack([gg, hh])
+    Gc = Kp // MCHUNK
+
+    smem_chunk = pl.BlockSpec(
+        (1, MCHUNK), lambda gi, s: (0, gi), memory_space=pltpu.SMEM
+    )
+    pane_out = pl.BlockSpec(
+        (1, ROWS, C), lambda gi, s: (gi, 0, 0), memory_space=pltpu.VMEM
+    )
+    pane_arr = jax.ShapeDtypeStruct((Gc, ROWS, C), jnp.int32)
+    n_out = 2 if is_local else 1
+    out_specs: tuple = tuple([pane_out] * n_out)
+    out_shapes: tuple = tuple([pane_arr] * n_out)
+    if emit_dirs:
+        out_specs += (
+            pl.BlockSpec(
+                (MCHUNK // PACK, ROWS, C),
+                lambda gi, s: (gi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        out_shapes += (
+            jax.ShapeDtypeStruct((Kp // PACK, ROWS, C), jnp.int32),
+        )
+    n_scratch = (11 if is_local else 9) + (1 if emit_dirs else 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Gc,),
+        in_specs=[
+            pl.BlockSpec(
+                (ROWS, C), lambda gi, s: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (MCHUNK, ROWS, C),
+                lambda gi, s: (gi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, ROWS, C),
+                lambda gi, s: (
+                    jnp.minimum(gi * MCHUNK // L1, T - 1),
+                    0,
+                    0,
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, ROWS, C),
+                lambda gi, s: (
+                    jnp.minimum(gi * MCHUNK // L1, T - 1),
+                    0,
+                    0,
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + [smem_chunk] * 3,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((ROWS, C), jnp.int32)] * n_scratch,
+    )
+    unroll = min(MUNROLL, 2) if interpret else MUNROLL
+    kernel = functools.partial(
+        _kernel_mstream,
+        C=C,
+        L1=L1,
+        chunk=MCHUNK,
+        is_local=is_local,
+        unroll=unroll,
+        emit_dirs=emit_dirs,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(scalars, ivloc, stream, mpane, npane, cbase, topI, topSD)
+
+    # ---- reassembly ------------------------------------------------
+    pidx = jnp.arange(Bp, dtype=jnp.int32)
+    tch = pidx // G
+    grp = pidx - tch * G
+    if not is_local:
+        # Pair p's capture flushes when its group's lane m_p crosses
+        # the seam at step (t+1)*L1 + m_p.
+        fstep = (tch + 1) * L1 + ms
+        cvf = outs[0].reshape(Gc, V)
+        score = cvf[fstep // MCHUNK, grp * S + ms]
+        if emit_dirs:
+            return (score[:B], ms[:B], ns[:B]), outs[-1].reshape(
+                Kp // PACK, V
+            )
+        return score[:B], ms[:B], ns[:B]
+
+    # Local: gather every segment lane's flushed (value, column) and
+    # reduce with the reference keep-last tie-break (larger row, then
+    # larger column; the kernel already kept the last column per
+    # lane).
+    cvf = outs[0].reshape(Gc, V)
+    cjf = outs[1].reshape(Gc, V)
+    iidx = jnp.arange(S, dtype=jnp.int32)[None, :]
+    fstep = (tch[:, None] + 1) * L1 + iidx  # (Bp, S)
+    lanes = (grp * S)[:, None] + iidx
+    vals = cvf[fstep // MCHUNK, lanes]
+    cols = cjf[fstep // MCHUNK, lanes]
+    vmax = jnp.max(vals, axis=1)
+    ibest = jnp.max(
+        jnp.where(vals == vmax[:, None], iidx, -1), axis=1
+    )
+    jbest = jnp.max(
+        jnp.where(
+            (vals == vmax[:, None]) & (iidx == ibest[:, None]),
+            cols,
+            -1,
+        ),
+        axis=1,
+    )
+    if emit_dirs:
+        return (vmax[:B], ibest[:B], jbest[:B]), outs[-1].reshape(
+            Kp // PACK, V
+        )
+    return vmax[:B], ibest[:B], jbest[:B]
+
+
+def _stream_inputs(ms, ns, Lm: int, Ln: int, B: int, vtarget):
+    """Host-side prep shared by the score and dirs entries: geometry
+    plan + the (m, n) seam panes and the lane->row map."""
+    S, G, V, C, L1, T, K, Kp = _plan_mstream(Lm, Ln, B, vtarget)
+    Bp = G * T
+    ms_np = np.ones(Bp, np.int32)
+    ns_np = np.ones(Bp, np.int32)
+    ms_np[:B] = np.asarray(ms, np.int32)
+    ns_np[:B] = np.asarray(ns, np.int32)
+    lane_g = np.minimum(np.arange(V) // S, G - 1)
+    mpane = np.empty((T, V), np.int32)
+    npane = np.empty((T, V), np.int32)
+    for tt in range(T):
+        mpane[tt] = ms_np[tt * G + lane_g]
+        npane[tt] = ns_np[tt * G + lane_g]
+    ivloc = (np.arange(V, dtype=np.int32) % S).astype(np.int32)
+    return (
+        (S, G, V, C, L1, T, K, Kp),
+        mpane.reshape(T, ROWS, C),
+        npane.reshape(T, ROWS, C),
+        ivloc.reshape(ROWS, C),
+    )
+
+
+def _mstream_applicable(matrix, g: int, h: int, Lm: int, Ln: int, B: int):
+    """Geometry/headroom guards; returns False -> caller falls back."""
+    ext = _ext_matrix(matrix)
+    if int(np.abs(ext).max()) > 127:
+        return False  # int8 subs stream
+    S, G, V, C, L1, T, K, Kp = _plan_mstream(Lm, Ln, B)
+    if L1 % PACK or MCHUNK % PACK:
+        return False
+    # Padding lanes above G*S and garbage windows drift unclamped for
+    # at most the whole stream; seam-clamped lanes for at most 2*L1
+    # steps. NEG_INF sits ~2^30 above int32 min, so bound total drift.
+    drift = int(np.abs(ext).max()) + abs(int(g)) + abs(int(h)) + 1
+    if (K + 2) * drift >= 1 << 30:
+        return False
+    return True
+
+
+def gotoh_scores_matrix_stream(
+    s1b,
+    s2b,
+    ms,
+    ns,
+    matrix,
+    g: int,
+    h: int,
+    is_local: bool = False,
+    interpret: bool = False,
+    vtarget: int | None = None,
+):
+    """Score a batch of pairs under a full substitution matrix through
+    the 2-D packed continuous stream. Same contract as
+    ``gotoh_matrix.gotoh_scores_matrix``: ``(score, start_i, start_j)``
+    with the reference's exact local keep-last argmax. Returns ``None``
+    when the formulation doesn't apply (caller falls back to the
+    segmented/scan engines)."""
+    B, Lm = np.shape(s1b)
+    _, Ln = np.shape(s2b)
+    ms_np = np.asarray(ms, np.int32)
+    ns_np = np.asarray(ns, np.int32)
+    if B < 1 or np.any(ms_np < 1) or np.any(ns_np < 1):
+        return None
+    if not _mstream_applicable(matrix, g, h, Lm, Ln, B):
+        return None
+    code = jnp.asarray(_alpha_code(matrix))
+    ext = _ext_matrix(matrix)
+    _, mpane, npane, ivloc = _stream_inputs(
+        ms_np, ns_np, Lm, Ln, B, vtarget
+    )
+    return _mstream_call(
+        jnp.asarray(s1b),
+        jnp.asarray(s2b),
+        ms_np,
+        ns_np,
+        jnp.int32(g),
+        jnp.int32(h),
+        code,
+        jnp.asarray(ext),
+        jnp.asarray(mpane),
+        jnp.asarray(npane),
+        jnp.asarray(ivloc),
+        B=B,
+        Lm=Lm,
+        Ln=Ln,
+        A=int(ext.shape[0]),
+        is_local=is_local,
+        interpret=interpret,
+        emit_dirs=False,
+        vtarget=vtarget,
+    )
+
+
+class MatrixStreamDirsResult:
+    """Scores + packed direction words of a 2-D packed matrix fill.
+
+    ``dirs`` is the GLOBAL word array (Kp/16, V): the code of cell
+    (i, j) of pair ``p = t*G + g`` sits at word
+    ``((t*L1 + i + j) // 16)``, lane ``g*S + i`` — a diag16 bitmap at
+    word offset ``koff(p) = t*L1/16`` and lane offset
+    ``loff(p) = g*S`` (``traceback_pallas.walk_many`` takes both).
+    """
+
+    def __init__(
+        self, score, start_i, start_j, dirs, ms, ns,
+        S: int, G: int, L1: int, KW: int,
+    ):
+        self.score = score
+        self.start_i = np.asarray(start_i)
+        self.start_j = np.asarray(start_j)
+        self.dirs = dirs
+        self.ms = np.asarray(ms)
+        self.ns = np.asarray(ns)
+        self.S = S
+        self.G = G
+        self.L1 = L1
+        self.KW = KW
+
+    def koff(self, p: int) -> int:
+        return (p // self.G) * (self.L1 // PACK)
+
+    def loff(self, p: int) -> int:
+        return (p % self.G) * self.S
+
+    def segment_dirs(self, p: int):
+        """Pair ``p``'s (KW, S) diag16 bitmap (device-side slice)."""
+        return _slice_dirs2(
+            self.dirs,
+            jnp.int32(self.koff(p)),
+            jnp.int32(self.loff(p)),
+            self.KW,
+            self.S,
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("KW", "S"))
+def _slice_dirs2(dirs, word0, lane0, KW: int, S: int):
+    return jax.lax.dynamic_slice(dirs, (word0, lane0), (KW, S))
+
+
+def gotoh_matrix_stream_fill_dirs(
+    s1b,
+    s2b,
+    ms,
+    ns,
+    matrix,
+    g: int,
+    h: int,
+    is_local: bool = False,
+    interpret: bool = False,
+    vtarget: int | None = None,
+) -> MatrixStreamDirsResult | None:
+    """Streamed matrix fill that also emits packed direction bitmaps —
+    the alignment-returning protein counterpart of
+    ``gotoh_stream.gotoh_stream_fill_dirs`` (round 4 pinned matrix
+    alignment to the lax.scan engine). ``None`` when inapplicable."""
+    B, Lm = np.shape(s1b)
+    _, Ln = np.shape(s2b)
+    ms_np = np.asarray(ms, np.int32)
+    ns_np = np.asarray(ns, np.int32)
+    if B < 1 or np.any(ms_np < 1) or np.any(ns_np < 1):
+        return None
+    if not _mstream_applicable(matrix, g, h, Lm, Ln, B):
+        return None
+    code = jnp.asarray(_alpha_code(matrix))
+    ext = _ext_matrix(matrix)
+    plan, mpane, npane, ivloc = _stream_inputs(
+        ms_np, ns_np, Lm, Ln, B, vtarget
+    )
+    S, G, V, C, L1, T, K, Kp = plan
+    (score, si, sj), dirs = _mstream_call(
+        jnp.asarray(s1b),
+        jnp.asarray(s2b),
+        ms_np,
+        ns_np,
+        jnp.int32(g),
+        jnp.int32(h),
+        code,
+        jnp.asarray(ext),
+        jnp.asarray(mpane),
+        jnp.asarray(npane),
+        jnp.asarray(ivloc),
+        B=B,
+        Lm=Lm,
+        Ln=Ln,
+        A=int(ext.shape[0]),
+        is_local=is_local,
+        interpret=interpret,
+        emit_dirs=True,
+        vtarget=vtarget,
+    )
+    KW = (Lm + Ln) // PACK + 1
+    return MatrixStreamDirsResult(
+        score,
+        np.asarray(si) if is_local else ms_np,
+        np.asarray(sj) if is_local else ns_np,
+        dirs,
+        ms_np,
+        ns_np,
+        S=S,
+        G=G,
+        L1=L1,
+        KW=KW,
+    )

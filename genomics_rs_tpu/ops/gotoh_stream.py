@@ -354,11 +354,15 @@ def _kernel_stream(
             # Keep-last running argmax over the lane's true cells
             # (boundary cells clamp to 0 exactly like _kernel_batch;
             # see its cmc derivation for why that matches algo.rs).
+            # Max-based spelling (round 5): ``val >= bv_old`` iff
+            # ``val == max(bv_old, val)``, so bv's loop-carried chain
+            # is ONE max (was compare+select) and bj's select hangs
+            # off it — bit-identical keep-last semantics, shorter
+            # serialized chain (docs/ROUND4.md §8's structural gap).
             cmc = jnp.maximum(jnp.maximum(Qnew, Dnew), zero)
             val = jnp.where((iv <= mc0) & (c1 <= nc0), cmc, int_min)
-            upd = val >= bv0
-            bv0 = jnp.where(upd, val, bv0)
-            bj0 = jnp.where(upd, c1, bj0)
+            bv0 = jnp.maximum(bv0, val)
+            bj0 = jnp.where(val == bv0, c1, bj0)
             tail = (c1, bv0, bj0, mc0, nc0, cv0, cj0)
             if emit_dirs:
                 # Local dirs: the rowblock kernel's exact chain vs the

@@ -261,6 +261,44 @@ class SubstMatrix:
         idx = np.where(idx < 0, A, idx)
         return ext[np.ix_(idx, idx)]
 
+    def unknown_fraction(self, byte_arr) -> float:
+        """Fraction of ``byte_arr`` outside this matrix's alphabet.
+
+        Out-of-alphabet bytes (including lowercase/soft-masked
+        protein letters — the alphabet is case-sensitive) score as
+        the wildcard/minimum row, which silently flattens the
+        alignment. User-facing entry points call
+        :func:`warn_unknown_bytes` so that is loud, not silent.
+        """
+        a = np.asarray(byte_arr, dtype=np.uint8).reshape(-1)
+        if a.size == 0:
+            return 0.0
+        known = np.zeros(256, dtype=bool)
+        known[[ord(c) for c in self.alphabet]] = True
+        return float(np.count_nonzero(~known[a])) / a.size
+
+
+def warn_unknown_bytes(
+    matrix: "SubstMatrix", byte_arr, where: str = "", threshold=0.02
+) -> float:
+    """Log a warning when a significant fraction of ``byte_arr`` falls
+    outside ``matrix``'s alphabet (they all score as the wildcard /
+    matrix-minimum row — e.g. soft-masked lowercase protein input
+    would silently align as all-X). Returns the fraction."""
+    import logging
+
+    frac = matrix.unknown_fraction(byte_arr)
+    if frac > threshold:
+        logging.getLogger(__name__).warning(
+            "%s%.1f%% of input bytes are outside the %s alphabet "
+            "(case-sensitive) and score as the wildcard/minimum row; "
+            "uppercase soft-masked sequences if that is unintended",
+            f"{where}: " if where else "",
+            100 * frac,
+            matrix.name or "substitution-matrix",
+        )
+    return frac
+
 
 def blosum62() -> SubstMatrix:
     """The canonical NCBI BLOSUM62 matrix (24 x 24)."""

@@ -185,15 +185,31 @@ def walk_batch(
     return moves.T, counts, i_f, j_f, done
 
 
-def unpack_moves4(packed: np.ndarray, T: int) -> np.ndarray:
+def unpack_moves4(
+    packed: np.ndarray, T: int, counts: np.ndarray | None = None
+) -> np.ndarray:
     """Host unpack of ``walk_batch(packed_moves=True)`` output:
-    (B, ceil(T/4)) bytes -> (B, T) uint8 codes (0..3)."""
+    (B, ceil(T/4)) bytes -> (B, T) uint8 codes (0..3).
+
+    Caution: packing maps :data:`NO_MOVE` (255) to ``255 & 3 == 3``,
+    which collides with ``DIR_STOP`` — positions at or beyond a walk's
+    true move count unpack as phantom stop codes. Pass ``counts``
+    (``walk_batch``'s per-walk counts) to rewrite that padding back to
+    ``NO_MOVE``; callers that mask by counts themselves may omit it.
+    """
     packed = np.asarray(packed)
     B, P = packed.shape
     out = np.empty((B, P, 4), np.uint8)
     for s in range(4):
         out[:, :, s] = (packed >> (2 * s)) & 3
-    return out.reshape(B, P * 4)[:, :T]
+    codes = out.reshape(B, P * 4)[:, :T]
+    if counts is not None:
+        pad = (
+            np.arange(T, dtype=np.int64)[None, :]
+            >= np.asarray(counts).reshape(B, 1)
+        )
+        codes = np.where(pad, np.uint8(NO_MOVE), codes)
+    return codes
 
 
 #: CIGAR op characters by numeric run code (0 = padding, dropped).

@@ -78,6 +78,7 @@ def _run_chase(
     VG: int,
     max_steps: int,
     allow_exits: bool,
+    loff=None,  # lane offset of this chase's bitmap (group-stacked)
 ):
     """The shared windowed move chase (reference retrace semantics).
 
@@ -86,9 +87,14 @@ def _run_chase(
     leave the block upward or left), the batched ``walk_many`` kernel
     with ``i0 = j0 = 0``, per-walk ``koff`` into the global stream
     array, and exits statically impossible. ``kb`` stays in SEGMENT
-    word coordinates; only the DMA read offsets by ``koff``. Returns
-    the final (li, j, pos, done, exited, acc) state.
+    word coordinates; only the DMA read offsets by ``koff``. ``loff``
+    (group-stacked bitmaps, ``gotoh_matrix_stream``: lane = loff + i)
+    likewise offsets only the DMA lane addressing — the chase state
+    stays in segment-local rows. Returns the final (li, j, pos, done,
+    exited, acc) state.
     """
+    if loff is None:
+        loff = jnp.int32(0)
 
     def outer_cond(st):
         li, j, pos, done, exited, acc = st
@@ -99,7 +105,7 @@ def _run_chase(
         k0 = li + j
         kb = jnp.maximum(k0 // 16 - (PKW - 2), 0)
         kb = jnp.minimum(kb, KW - PKW)
-        lbi = jnp.maximum(li // 128 - 1, 0)
+        lbi = jnp.maximum((loff + li) // 128 - 1, 0)
         lbi = jnp.minimum(lbi, VG - 2)
         dma = pltpu.make_async_copy(
             dirs_ref.at[pl.ds(koff + kb, PKW), pl.ds(lbi, 2), :],
@@ -117,7 +123,7 @@ def _run_chase(
                 (done == 0)
                 & (exited == 0)
                 & (pos < max_steps)
-                & (li >= lb)
+                & (loff + li >= lb)
                 & (k // 16 >= kb)
             )
 
@@ -131,13 +137,13 @@ def _run_chase(
                 (done != 0)
                 | (exited != 0)
                 | (pos >= max_steps)
-                | (li < lb)
+                | (loff + li < lb)
                 | ((k >> 4) < kb)
             )
             # All divisors are powers of two: explicit shift/mask
             # spellings — the scalar core's integer divide is
             # many-cycle and this chain is the whole kernel.
-            lane = jnp.clip(li - lb, 0, 2 * 128 - 1)
+            lane = jnp.clip(loff + li - lb, 0, 2 * 128 - 1)
             row = jnp.clip((k >> 4) - kb, 0, PKW - 1)
             word = patch_ref[row, lane >> 7, lane & 127]
             code = (word >> (2 * (k & 15))) & 3
@@ -336,7 +342,7 @@ def walk_pallas(
 
 
 def _kernel_walk_many(
-    scalars,  # SMEM int32 (W, 4): start_li, start_j, koff, pad
+    scalars,  # SMEM int32 (W, 4): start_li, start_j, koff, loff
     dirs_ref,  # ANY (KW_total, V/128, 128): the GLOBAL stream words
     words_ref,  # VMEM (1, NW, 128) out block: this walk's packed moves
     meta_ref,  # VMEM (1, 8, 128) out block: pos, li, j, done, exited
@@ -370,6 +376,7 @@ def _kernel_walk_many(
         VG=VG,
         max_steps=max_steps,
         allow_exits=False,
+        loff=scalars[g, 3],
     )
 
     @pl.when(pos % MPW != 0)
@@ -395,6 +402,7 @@ def walk_many(
     KW: int,
     max_steps: int,
     interpret: bool = False,
+    loffs: jax.Array | None = None,
 ):
     """Chase W independent full-bitmap walks in ONE kernel dispatch.
 
@@ -408,6 +416,9 @@ def walk_many(
     offsets — no per-segment slice copies), from segment-local
     ``(start_li[w], start_j[w])`` to the segment origin (i0 = j0 = 0;
     full-width bitmaps only, so upward/left exits cannot occur).
+    ``loffs`` (optional, default 0): per-walk LANE offsets for
+    group-stacked bitmaps (``gotoh_matrix_stream``: segment row i
+    lives at lane ``loffs[w] + i``).
 
     Returns ``(words (W, NW), counts (W,), i_f (W,), j_f (W,),
     done (W,))``; decode walk w with ``unpack_moves(words[w],
@@ -433,7 +444,11 @@ def walk_many(
             jnp.asarray(start_li, jnp.int32),
             jnp.asarray(start_j, jnp.int32),
             jnp.asarray(koffs, jnp.int32),
-            jnp.zeros(W, jnp.int32),
+            (
+                jnp.zeros(W, jnp.int32)
+                if loffs is None
+                else jnp.asarray(loffs, jnp.int32)
+            ),
         ],
         axis=1,
     )

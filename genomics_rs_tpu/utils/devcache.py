@@ -36,9 +36,18 @@ _bytes = 0
 
 
 def device_put_cached(arr: np.ndarray) -> jax.Array:
-    """A device-resident copy of ``arr``, reused across calls."""
+    """A device-resident copy of ``arr``, reused across calls.
+
+    Operands larger than the whole cache bound are uploaded but never
+    retained (a single over-cap entry would otherwise survive the
+    LRU's ``len > 1`` stop condition forever). Long-lived processes
+    that move between unrelated corpora should call :func:`clear` at
+    job boundaries (the CLI does, per subcommand run).
+    """
     global _bytes
     a = np.ascontiguousarray(arr)
+    if a.nbytes > CAP_BYTES:
+        return jax.device_put(a)
     key = (
         a.shape,
         str(a.dtype),

@@ -133,3 +133,72 @@ def test_batched_2d_mesh(engine):
             s1b[i], s2b[i], ms[i], ns[i], SCORES, False
         )
         assert int(out.score[i]) == int(ref.score), i
+
+
+class TestAlignSharded:
+    """Multi-chip FULL traceback (round 5): path/stats bit-identical
+    to the single-chip aligners on the 8-device CPU mesh."""
+
+    @pytest.mark.parametrize("is_local", [False, True])
+    def test_matches_single_chip_aligner(self, is_local):
+        from genomics_rs_tpu.models.aligner import PairwiseAligner
+        from genomics_rs_tpu.parallel.longseq import align_sharded
+
+        mesh = make_mesh(8, axis_name=SEQ_AXIS)
+        rng = np.random.default_rng(23)
+        oracle = PairwiseAligner(SCORES, is_local=is_local, engine="scan")
+        for m, n in [(317, 211), (64, 290), (150, 150)]:
+            a = Sequence("a", "".join(rng.choice(list("ACGT"), m)))
+            b = Sequence("b", "".join(rng.choice(list("ACGT"), n)))
+            got = align_sharded(
+                mesh, a, b, SCORES, is_local=is_local,
+                engine="scan", interpret=True,
+            )
+            ref = oracle.align(a, b)
+            assert got.alignment == ref.alignment, (m, n, is_local)
+            assert got.score == ref.score
+            assert (
+                got.matches, got.mismatches,
+                got.gap_extensions, got.opening_gaps,
+            ) == (
+                ref.matches, ref.mismatches,
+                ref.gap_extensions, ref.opening_gaps,
+            )
+
+    def test_sub_blocked_backward(self):
+        # Force the window-local sub-forward (shards taller than
+        # sub_rows) and a multi-window walk.
+        from genomics_rs_tpu.models.aligner import PairwiseAligner
+        from genomics_rs_tpu.parallel.longseq import align_sharded
+
+        mesh = make_mesh(4, axis_name=SEQ_AXIS)
+        rng = np.random.default_rng(29)
+        m, n = 600, 500
+        a = Sequence("a", "".join(rng.choice(list("ACGT"), m)))
+        b = Sequence("b", "".join(rng.choice(list("ACGT"), n)))
+        got = align_sharded(
+            mesh, a, b, SCORES, engine="scan", interpret=True,
+            sub_rows=63,
+        )
+        ref = PairwiseAligner(SCORES, engine="scan").align(a, b)
+        assert got.alignment == ref.alignment
+        assert got.score == ref.score
+
+    def test_forced_left_exit(self):
+        # A long horizontal gap run out-runs the first window guess;
+        # the walk must left-exit and resume one stride wider.
+        from genomics_rs_tpu.models.aligner import PairwiseAligner
+        from genomics_rs_tpu.parallel.longseq import align_sharded
+
+        mesh = make_mesh(2, axis_name=SEQ_AXIS)
+        rng = np.random.default_rng(31)
+        core = "".join(rng.choice(list("ACGT"), 100))
+        ins = "".join(rng.choice(list("ACGT"), 400))
+        a = Sequence("a", core)
+        b = Sequence("b", core[:50] + ins + core[50:])
+        got = align_sharded(
+            mesh, a, b, SCORES, engine="scan", interpret=True
+        )
+        ref = PairwiseAligner(SCORES, engine="scan").align(a, b)
+        assert got.alignment == ref.alignment
+        assert got.score == ref.score
