@@ -950,6 +950,88 @@ def run_full() -> dict:
             "band_cells_per_s": (len(ch) + 1.0) * 2048 / dt,
         }
 
+    # --- BATCHED banded fills (round 5) -----------------------------
+    # The single-pair banded fill is dependent-step latency bound
+    # (~8e8 band-cells/s at any width — docs/ROUND4.md §8); the
+    # batched kernel advances 8 pairs per step. Workload: a 16-pair
+    # similar-sequence corpus (mutated CoV genomes) at W = 2048.
+    try:
+        from genomics_rs_tpu.ops.gotoh_banded_batch import (
+            gotoh_banded_batch,
+        )
+        from genomics_rs_tpu.ops.gotoh_banded import (
+            gotoh_banded as _gb_single,
+        )
+
+        brng = np.random.default_rng(23)
+        base_seq = container.sequences[0].sequence
+        BBn = 16
+        bW = 2048
+        bs1b, bs2b = [], []
+        for _ in range(BBn):
+            mb = np.frombuffer(base_seq.encode(), np.uint8).copy()
+            for _ in range(60):
+                mb[brng.integers(0, len(mb))] = ord(
+                    "ACGT"[brng.integers(0, 4)]
+                )
+            mb = np.delete(
+                mb, brng.integers(0, len(mb) - 100, size=3)
+            )
+            bs1b.append(base_seq)
+            bs2b.append(bytes(mb).decode())
+        bLm = max(round_up(max(len(s) for s in bs1b), 128), 128)
+        bLn = max(round_up(max(len(s) for s in bs2b), 128), 128)
+        b1 = np.stack(
+            [
+                Sequence("a", s).encoded(pad_to=bLm, pad_value=PAD_S1)
+                for s in bs1b
+            ]
+        )
+        b2 = np.stack(
+            [
+                Sequence("b", s).encoded(pad_to=bLn, pad_value=PAD_S2)
+                for s in bs2b
+            ]
+        )
+        bms = np.array([len(s) for s in bs1b], np.int32)
+        bns = np.array([len(s) for s in bs2b], np.int32)
+        band_cells = float(bms.sum()) * bW
+
+        def run_banded_batch():
+            outs = gotoh_banded_batch(
+                b1, b2, bms, bns, scores, W=bW
+            )
+            for r in outs:
+                np.asarray(r.score)
+            return outs
+
+        _retry(run_banded_batch, label="banded batch warmup")
+        dt = _median_time(run_banded_batch, reps=5)
+
+        def run_banded_single():
+            sc_, _ = _gb_single(
+                b1[0], b2[0], int(bms[0]), int(bns[0]), scores, V=bW
+            )
+            np.asarray(sc_)
+
+        _retry(run_banded_single, label="banded single warmup")
+        dt1 = _median_time(run_banded_single, reps=5)
+        rows["banded_batch"] = {
+            "pairs": BBn,
+            "band": bW,
+            "band_cells": band_cells,
+            "s": dt,
+            "band_cells_per_s": band_cells / dt,
+            "single_pair_ms": dt1 * 1e3,
+            "single_pair_band_cells_per_s": float(bms[0])
+            * bW
+            / dt1,
+            "vs_single_pair_aggregate": (band_cells / dt)
+            / (float(bms[0]) * bW / dt1),
+        }
+    except Exception as e:  # noqa: BLE001
+        rows["banded_batch"] = {"error": str(e)[:200]}
+
     # --- sequence-parallel pipeline on a 1-device mesh -------------
     from genomics_rs_tpu.ops.gotoh_pallas import gotoh_scores_pallas_batch
     from genomics_rs_tpu.parallel.longseq import sharded_gotoh_score
@@ -990,6 +1072,50 @@ def run_full() -> dict:
         "cells_per_s": pair_cells / dt,
         "flat_single_pair_ms": dt_flat * 1e3,
         "vs_flat_single_pair": dt / dt_flat,
+    }
+
+    # --- seq-parallel pipeline cost model (round 5) ------------------
+    # Step-count/bytes-exchanged arithmetic for the ppermute tile
+    # pipeline at P = 2/4/8 shards, anchored to the MEASURED n=1 mesh
+    # time above (which already pays the shard_map + tile-boundary
+    # overhead — the 1.27x vs the flat kernel). Model: a (m/P x n/C)
+    # tile fills in K_t = m/P + n/C + 1 dependent diagonal steps at
+    # the measured per-step latency tau = T1 / (m + n + 1); the
+    # pipeline runs P + C - 1 tile waves, each followed by one
+    # ppermute of the (3, B+1) int32 boundary row over ICI. Projected
+    # efficiency = T1 / (P * wall(P)).
+    tau = dt / (m + n + 1)
+    ici_bytes_per_s = 4.5e10  # one v5e ICI link per direction ~45 GB/s
+    model = []
+    for P_ in (2, 4, 8):
+        C_ = 8 * P_  # PIPELINE_BLOCKS * P: bubble < 1/8
+        R_ = -(-m // P_)
+        B_ = -(-n // C_)
+        waves = P_ + C_ - 1
+        steps_per_wave = R_ + B_ + 1
+        permute_bytes = 3 * (B_ + 1) * 4
+        wall = waves * (
+            steps_per_wave * tau + permute_bytes / ici_bytes_per_s
+        )
+        model.append(
+            {
+                "shards": P_,
+                "col_blocks": C_,
+                "tile_waves": waves,
+                "diag_steps_per_wave": steps_per_wave,
+                "ppermute_bytes_per_wave": permute_bytes,
+                "total_diag_steps": waves * steps_per_wave,
+                "projected_ms": wall * 1e3,
+                "projected_cells_per_s": pair_cells / wall,
+                "projected_efficiency_vs_1dev": dt / (P_ * wall),
+            }
+        )
+    rows["seqpar_model"] = {
+        "anchor": "seqpar_1dev_mesh.ms",
+        "tau_ns_per_diag_step": tau * 1e9,
+        "ici_bytes_per_s_assumed": ici_bytes_per_s,
+        "pair": [m, n],
+        "model": model,
     }
 
     # --- compare mode wall-clock (suffix-tree LCS semantics) -------
@@ -1094,6 +1220,35 @@ def run_full() -> dict:
                 per_pad.append(padded)
             cap = max(len(s) for s in shares)
             total_true = sum(true_c)
+
+            # Hybrid deal (round 5): oversized pairs split across
+            # host groups via the alignment-capable seq-parallel
+            # pipeline; loads include the pipeline-bubble overhead
+            # (split_cost) and the row records each split's group
+            # size so the device-count accounting is explicit.
+            from genomics_rs_tpu.parallel.distributed import (
+                hybrid_deal,
+                split_cost,
+            )
+
+            hshares = hybrid_deal(true_c, hosts)
+            hloads = [
+                sum(
+                    split_cost(true_c[u.index], u.nparts)
+                    if u.nparts > 1
+                    else true_c[u.index]
+                    for u in s
+                )
+                for s in hshares
+            ]
+            splits = sorted(
+                {
+                    (u.index, u.nparts)
+                    for s in hshares
+                    for u in s
+                    if u.nparts > 1
+                }
+            )
             return {
                 "hosts": hosts,
                 "pairs": len(pairs),
@@ -1102,6 +1257,20 @@ def run_full() -> dict:
                 "pad_inflation": sum(per_pad) / total_true,
                 "bottleneck_eff": total_true / hosts / max(per_pad),
                 "allgather_bytes": cap * 8 * hosts,
+                "hybrid_bottleneck_eff": total_true
+                / hosts
+                / max(hloads),
+                "hybrid_splits": [
+                    {
+                        "pair": pairs[idx],
+                        "cells": true_c[idx],
+                        "devices": parts,
+                        "per_host_cost": split_cost(
+                            true_c[idx], parts
+                        ),
+                    }
+                    for idx, parts in splits
+                ],
             }
 
         corpus = load_fasta_dir(os.path.join(REF, "comparison_data"))
@@ -1193,7 +1362,9 @@ FULL_SCHEMA = {
     "chr12_score": {"s", "s_warm", "cells_per_s"},
     "chr12_full_align": {"s", "s_warm", "cells_per_s_1pass_warm"},
     "chr12_banded_align": {"s_warm", "band_cells_per_s"},
+    "banded_batch": {"band_cells_per_s", "vs_single_pair_aggregate"},
     "seqpar_1dev_mesh": {"cells_per_s"},
+    "seqpar_model": {"tau_ns_per_diag_step", "model"},
     "compare_10genomes": {"s"},
     "msa_10genomes": {"s", "s_warm"},
     "work_balance": {"corpus_10x30kb", "mixed_plus_155kb"},
@@ -2074,6 +2245,64 @@ def run_smoke() -> int:
     )
     if not ok:
         failures.append(("banded_full_cover", False, 0, None, None))
+
+    # Batched banded (round 5): 8 pairs per pane, shared window; with
+    # W >= n the outputs must be bit-identical to the monolithic
+    # aligner per pair.
+    from genomics_rs_tpu.ops.gotoh_banded_batch import (
+        banded_align_batch,
+    )
+    from genomics_rs_tpu.ops.traceback import (
+        classify_moves as _cm_bb,
+    )
+
+    brng = np.random.default_rng(19)
+    bbase = bases[brng.integers(0, 4, 300)]
+    bs1, bs2 = [], []
+    for _ in range(5):
+        mutb = bbase.copy()
+        for _ in range(8):
+            mutb[brng.integers(0, 300)] = bases[brng.integers(0, 4)]
+        mutb = np.delete(mutb, brng.integers(0, 290))
+        bs1.append(bytes(bbase).decode())
+        bs2.append(bytes(mutb).decode())
+    from genomics_rs_tpu.sequence import Sequence as _SeqBB
+
+    bb1 = np.stack(
+        [
+            _SeqBB("a", s).encoded(pad_to=384, pad_value=PAD_S1)
+            for s in bs1
+        ]
+    )
+    bb2 = np.stack(
+        [
+            _SeqBB("b", s).encoded(pad_to=384, pad_value=PAD_S2)
+            for s in bs2
+        ]
+    )
+    bms = np.array([len(s) for s in bs1], np.int32)
+    bns = np.array([len(s) for s in bs2], np.int32)
+    got_bb = _retry(
+        lambda: banded_align_batch(bb1, bb2, bms, bns, scores, W=384),
+        label="smoke banded batch",
+    )
+    for i, (sc_i, mv_i) in enumerate(got_bb):
+        a = _SeqBB("a", bs1[i])
+        b = _SeqBB("b", bs2[i])
+        want_i = PairwiseAligner(scores).align(a, b)
+        got_i = _cm_bb(
+            np.asarray(mv_i), int(bms[i]), int(bns[i]), sc_i, a, b
+        )
+        ok = (
+            got_i.alignment == want_i.alignment
+            and got_i.score == want_i.score
+        )
+        print(
+            f"[smoke] banded_batch pair{i}: "
+            f"{'ok' if ok else 'MISMATCH'}"
+        )
+        if not ok:
+            failures.append(("banded_batch", False, i, None, None))
 
     if failures:
         print(f"[smoke] FAILED: {len(failures)} mismatches", file=sys.stderr)

@@ -768,7 +768,9 @@ def _walk_banded_jit(dirs, deltas, off_m: jax.Array, m: int, n: int,
     return moves, pos, done, oob
 
 
-def walk_banded(dirs, m: int, n: int, V: int):
+def walk_banded(
+    dirs, m: int, n: int, V: int, geom: tuple[int, int] | None = None
+):
     """Chase the banded direction words from (m, n) to the origin;
     returns the move codes in walk order (uint8). Raises on a path
     that leaves the band (corrupt words) or fails to terminate.
@@ -777,10 +779,17 @@ def walk_banded(dirs, m: int, n: int, V: int):
     the bitmap left in HBM (``_walk_banded_pallas``, the banded
     sibling of ``ops/traceback_pallas``), resumed per move-buffer
     fill; elsewhere as the XLA ``while_loop``.
+
+    ``geom``: optional (M, N) window geometry override — the batched
+    kernel (``gotoh_banded_batch``) rides a SHARED window planned
+    from the batch maxima, so the walk of a shorter pair derives
+    ``off(i)`` from the batch geometry while starting at the pair's
+    own (m, n).
     """
+    gM, gN = geom if geom is not None else (m, n)
     # deltas[i-1] = off(i) - off(i-1) for rows 1..m (host int64 math).
-    rows = np.arange(0, m + 1, dtype=np.int64)
-    offs = band_offset(rows, m, n, V)
+    rows = np.arange(0, max(m, gM) + 1, dtype=np.int64)
+    offs = band_offset(rows, gM, gN, V)
     deltas_h = np.diff(offs).astype(np.int32)
 
     KW, Vd = dirs.shape
@@ -798,7 +807,7 @@ def walk_banded(dirs, m: int, n: int, V: int):
         deltas2d = jnp.asarray(dl.reshape(D, 128))
         chunks = []
         i, j = int(m), int(n)
-        off = int(offs[-1])
+        off = int(offs[m])
         while True:
             out = _walk_banded_pallas(
                 dirs, deltas2d, np.int32(i), np.int32(j),
@@ -824,7 +833,7 @@ def walk_banded(dirs, m: int, n: int, V: int):
     moves, pos, done, oob = _walk_banded_jit(
         dirs,
         jnp.asarray(deltas_h),
-        np.int32(offs[-1]),
+        np.int32(offs[m]),
         m=int(m),
         n=int(n),
         V=int(V),

@@ -68,7 +68,7 @@ from jax.experimental.pallas import tpu as pltpu
 from genomics_rs_tpu.ops.gotoh_matrix import (
     _alpha_code,
     _ext_matrix,
-    _sheared_subs,
+    _sheared_subs8,
 )
 from genomics_rs_tpu.ops.gotoh_pallas import (
     PACK,
@@ -327,43 +327,37 @@ def _kernel_mstream(
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "B",
-        "Lm",
-        "Ln",
-        "A",
-        "is_local",
-        "interpret",
-        "emit_dirs",
-        "vtarget",
-    ),
+    static_argnames=("B", "Lm", "Ln", "A", "vtarget"),
 )
-def _mstream_call(
+def _mstream_build(
     s1b: jax.Array,  # (B, Lm) uint8 ASCII
     s2b: jax.Array,
-    ms: jax.Array,  # (B,) true lengths (also passed as numpy via plan)
+    ms: jax.Array,  # (B,) true lengths
     ns: jax.Array,
-    g: jax.Array,
-    h: jax.Array,
     code: jax.Array,  # (256,) byte -> alphabet index
     mat: jax.Array,  # (A, A) int32
-    mpane: jax.Array,  # (T, ROWS, C) int32: per-chain-position m pane
-    npane: jax.Array,
-    ivloc: jax.Array,  # (ROWS, C) int32
     B: int,
     Lm: int,
     Ln: int,
     A: int,
-    is_local: bool,
-    interpret: bool,
-    emit_dirs: bool,
     vtarget: int | None = None,
 ):
+    """Build the (Kp, ROWS, C) int8 substitution stream.
+
+    Per-pair diagonal-major planes (int8, true-length masked inside
+    the one-hot encodings — ``gotoh_matrix._sheared_subs8``), overlaid
+    at chain stride L1. A pair's plane spans at most two chain windows
+    (Kpair <= L1 + S), and valid cells of window-sharing neighbours
+    are disjoint (window t offset d: pair t needs d > i, pair t-1
+    needs i > d), so overlay-by-addition of zero-masked planes is
+    exact. A separate jit from the kernel so the two stages are
+    independently measurable (the round-4 int32 build cost more than
+    the DP it fed).
+    """
     S, G, V, C, L1, T, K, Kp = _plan_mstream(Lm, Ln, B, vtarget)
     Bp = G * T
     Mp = Lm + 1
     Kpair = Lm + Ln + 1
-    neg = jnp.int32(NEG_INF)
 
     # Pad the batch to the full G*T grid with trivial pairs (masked by
     # m = n = 1; bytes map to the wildcard/min row — never read).
@@ -384,23 +378,7 @@ def _mstream_call(
     ms = jnp.asarray(ms, jnp.int32)
     ns = jnp.asarray(ns, jnp.int32)
 
-    # ---- substitution stream: (Kp, ROWS, C) int8 ------------------
-    # Masked per-pair diagonal-major planes, overlaid at chain stride
-    # L1. A pair's plane spans at most two chain windows (Kpair <=
-    # L1 + S), and valid cells of window-sharing neighbours are
-    # disjoint (window t offset d: pair t needs d > i, pair t-1 needs
-    # i > d), so overlay-by-addition of zero-masked planes is exact.
-    sheared = _sheared_subs(s1b, s2b, code, mat, A)  # (Kpair, Bp, Mp)
-    kkv = jnp.arange(Kpair, dtype=jnp.int32)[:, None, None]
-    lv = jnp.arange(Mp, dtype=jnp.int32)[None, None, :]
-    cvv = kkv - lv
-    validm = (
-        (lv >= 1)
-        & (lv <= ms[None, :, None])
-        & (cvv >= 1)
-        & (cvv <= ns[None, :, None])
-    )
-    sh8 = jnp.where(validm, sheared, 0).astype(jnp.int8)
+    sh8 = _sheared_subs8(s1b, s2b, ms, ns, code, mat, A)
     sh8 = sh8.reshape(Kpair, T, G, Mp)
     shp = jnp.pad(sh8, ((0, 2 * L1 - Kpair), (0, 0), (0, 0), (0, 0)))
     partA = jnp.transpose(shp[:L1], (1, 0, 2, 3))  # (T, L1, G, Mp)
@@ -412,7 +390,101 @@ def _mstream_call(
     W = jnp.pad(W, ((0, 0), (0, 0), (0, 0), (0, S - Mp)))
     W = W.reshape(T + 1, L1, G * S)
     W = jnp.pad(W, ((0, 0), (0, 0), (0, V - G * S)))
-    stream = W.reshape((T + 1) * L1, ROWS, C)[:Kp]
+    return W.reshape((T + 1) * L1, ROWS, C)[:Kp]
+
+
+def _mstream_call(
+    s1b: jax.Array,  # (B, Lm) uint8 ASCII
+    s2b: jax.Array,
+    ms: jax.Array,  # (B,) true lengths (concrete)
+    ns: jax.Array,
+    g: jax.Array,
+    h: jax.Array,
+    code: jax.Array,  # (256,) byte -> alphabet index
+    mat: jax.Array,  # (A, A) int32
+    mpane: jax.Array,  # (T, ROWS, C) int32: per-chain-position m pane
+    npane: jax.Array,
+    ivloc: jax.Array,  # (ROWS, C) int32
+    B: int,
+    Lm: int,
+    Ln: int,
+    A: int,
+    is_local: bool,
+    interpret: bool,
+    emit_dirs: bool,
+    vtarget: int | None = None,
+):
+    """Build + fill + reassemble (two jits; see ``_mstream_build``)."""
+    stream = _mstream_build(
+        jnp.asarray(s1b),
+        jnp.asarray(s2b),
+        jnp.asarray(ms, jnp.int32),
+        jnp.asarray(ns, jnp.int32),
+        code,
+        mat,
+        B=B,
+        Lm=Lm,
+        Ln=Ln,
+        A=A,
+        vtarget=vtarget,
+    )
+    _, G, _, _, _, T, _, _ = _plan_mstream(Lm, Ln, B, vtarget)
+    Bp = G * T
+    ms_p = np.ones(Bp, np.int32)
+    ns_p = np.ones(Bp, np.int32)
+    ms_p[:B] = np.asarray(ms, np.int32)
+    ns_p[:B] = np.asarray(ns, np.int32)
+    return _mstream_fill(
+        stream,
+        jnp.asarray(ms_p),
+        jnp.asarray(ns_p),
+        jnp.asarray(g, jnp.int32),
+        jnp.asarray(h, jnp.int32),
+        mpane,
+        npane,
+        ivloc,
+        B=B,
+        Lm=Lm,
+        Ln=Ln,
+        is_local=is_local,
+        interpret=interpret,
+        emit_dirs=emit_dirs,
+        vtarget=vtarget,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "B",
+        "Lm",
+        "Ln",
+        "is_local",
+        "interpret",
+        "emit_dirs",
+        "vtarget",
+    ),
+)
+def _mstream_fill(
+    stream: jax.Array,  # (Kp, ROWS, C) int8 substitution stream
+    ms: jax.Array,  # (Bp,) padded true lengths
+    ns: jax.Array,
+    g: jax.Array,
+    h: jax.Array,
+    mpane: jax.Array,
+    npane: jax.Array,
+    ivloc: jax.Array,
+    B: int,
+    Lm: int,
+    Ln: int,
+    is_local: bool,
+    interpret: bool,
+    emit_dirs: bool,
+    vtarget: int | None = None,
+):
+    S, G, V, C, L1, T, K, Kp = _plan_mstream(Lm, Ln, B, vtarget)
+    Bp = G * T
+    neg = jnp.int32(NEG_INF)
 
     # ---- per-step scalar streams ----------------------------------
     ks = jnp.arange(Kp, dtype=jnp.int32)
@@ -640,6 +712,145 @@ def gotoh_scores_matrix_stream(
         interpret=interpret,
         emit_dirs=False,
         vtarget=vtarget,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "NB", "B0", "Lm", "Ln", "A", "is_local", "interpret", "vtarget"
+    ),
+)
+def _mstream_grouped_call(
+    s1g,  # (NB, B0, Lm) uint8
+    s2g,  # (NB, B0, Ln)
+    msg,  # (NB, Bp) padded true lengths
+    nsg,
+    g,
+    h,
+    code,
+    mat,
+    mpanes,  # (NB, T, ROWS, C)
+    npanes,
+    ivloc,
+    NB: int,
+    B0: int,
+    Lm: int,
+    Ln: int,
+    A: int,
+    is_local: bool,
+    interpret: bool,
+    vtarget: int | None,
+):
+    def body(_, xs):
+        s1b, s2b, msp, nsp, mpane, npane = xs
+        stream = _mstream_build(
+            s1b, s2b, msp[:B0], nsp[:B0], code, mat,
+            B=B0, Lm=Lm, Ln=Ln, A=A, vtarget=vtarget,
+        )
+        outs = _mstream_fill(
+            stream, msp, nsp, g, h, mpane, npane, ivloc,
+            B=B0, Lm=Lm, Ln=Ln, is_local=is_local,
+            interpret=interpret, emit_dirs=False, vtarget=vtarget,
+        )
+        return 0, outs
+
+    _, outs = jax.lax.scan(
+        body, 0, (s1g, s2g, msg, nsg, mpanes, npanes)
+    )
+    return outs
+
+
+def gotoh_scores_matrix_stream_grouped(
+    s1b,
+    s2b,
+    ms,
+    ns,
+    matrix,
+    g: int,
+    h: int,
+    is_local: bool = False,
+    group_size: int = 1024,
+    interpret: bool = False,
+    vtarget: int | None = None,
+):
+    """Score a LARGE batch through the stream kernel in sub-batches
+    scanned inside ONE jit — a single dispatch regardless of group
+    count, with peak device memory of one group's stream. Production
+    value: fewer host round trips and a bounded footprint; on this
+    environment's tunnel it is also the only honest way to measure
+    steady-state throughput past the ~27 ms per-dispatch floor.
+    Score-only (dirs need per-group walks — use the ungrouped entry).
+    Returns ``(score, start_i, start_j)`` of shape (B,) like
+    :func:`gotoh_scores_matrix_stream`, or ``None`` when inapplicable.
+    """
+    s1b = np.asarray(s1b)
+    s2b = np.asarray(s2b)
+    B, Lm = s1b.shape
+    _, Ln = s2b.shape
+    ms_np = np.asarray(ms, np.int32)
+    ns_np = np.asarray(ns, np.int32)
+    if B < 1 or np.any(ms_np < 1) or np.any(ns_np < 1):
+        return None
+    if not _mstream_applicable(matrix, g, h, Lm, Ln, B):
+        return None
+    B0 = min(group_size, B)
+    NB = -(-B // B0)
+    Bt = NB * B0
+    if Bt != B:
+        s1b = np.concatenate(
+            [s1b, np.full((Bt - B, Lm), 0xFE, s1b.dtype)]
+        )
+        s2b = np.concatenate(
+            [s2b, np.full((Bt - B, Ln), 0xFF, s2b.dtype)]
+        )
+        ms_np = np.concatenate(
+            [ms_np, np.ones(Bt - B, np.int32)]
+        )
+        ns_np = np.concatenate(
+            [ns_np, np.ones(Bt - B, np.int32)]
+        )
+    plan = _plan_mstream(Lm, Ln, B0, vtarget)
+    S, G, V, C, L1, T, K, Kp = plan
+    Bp = G * T
+    code = jnp.asarray(_alpha_code(matrix))
+    ext = _ext_matrix(matrix)
+    msg = np.ones((NB, Bp), np.int32)
+    nsg = np.ones((NB, Bp), np.int32)
+    msg[:, :B0] = ms_np.reshape(NB, B0)
+    nsg[:, :B0] = ns_np.reshape(NB, B0)
+    lane_g = np.minimum(np.arange(V) // S, G - 1)
+    mpanes = np.empty((NB, T, V), np.int32)
+    npanes = np.empty((NB, T, V), np.int32)
+    for tt in range(T):
+        mpanes[:, tt] = msg[:, tt * G + lane_g]
+        npanes[:, tt] = nsg[:, tt * G + lane_g]
+    ivloc = (np.arange(V, dtype=np.int32) % S).reshape(ROWS, C)
+    score, si, sj = _mstream_grouped_call(
+        jnp.asarray(s1b.reshape(NB, B0, Lm)),
+        jnp.asarray(s2b.reshape(NB, B0, Ln)),
+        jnp.asarray(msg),
+        jnp.asarray(nsg),
+        jnp.int32(g),
+        jnp.int32(h),
+        code,
+        jnp.asarray(ext),
+        jnp.asarray(mpanes.reshape(NB, T, ROWS, C)),
+        jnp.asarray(npanes.reshape(NB, T, ROWS, C)),
+        jnp.asarray(ivloc),
+        NB=NB,
+        B0=B0,
+        Lm=Lm,
+        Ln=Ln,
+        A=int(ext.shape[0]),
+        is_local=is_local,
+        interpret=interpret,
+        vtarget=vtarget,
+    )
+    return (
+        score.reshape(-1)[:B],
+        si.reshape(-1)[:B],
+        sj.reshape(-1)[:B],
     )
 
 

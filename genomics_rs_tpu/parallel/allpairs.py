@@ -335,10 +335,24 @@ def allpairs_matrix_scores(
         ms = np.array([lens[i] for i, _ in sub], dtype=np.int32)
         ns = np.array([lens[j] for _, j in sub], dtype=np.int32)
         padded_cells += float(len(sub)) * (Lm + 1.0) * (Ln + 1.0)
-        sc, _, _ = gotoh_scores_matrix(
-            s1b, s2b, ms, ns, matrix, g=g, h=h, is_local=is_local
-        )
-        sc = np.asarray(sc)
+        out3 = None
+        if len(sub) > 1024 and jax.default_backend() == "tpu":
+            # Very large protein buckets: sub-batches scanned inside
+            # ONE dispatch (bounded stream memory, one host round
+            # trip; round 5).
+            from genomics_rs_tpu.ops.gotoh_matrix_stream import (
+                gotoh_scores_matrix_stream_grouped,
+            )
+
+            out3 = gotoh_scores_matrix_stream_grouped(
+                s1b, s2b, ms, ns, matrix, g=g, h=h,
+                is_local=is_local,
+            )
+        if out3 is None:
+            out3 = gotoh_scores_matrix(
+                s1b, s2b, ms, ns, matrix, g=g, h=h, is_local=is_local
+            )
+        sc = np.asarray(out3[0])
         for (i, j), v in zip(sub, sc):
             out[j, i] = int(v)
     elapsed = time.perf_counter() - t0
