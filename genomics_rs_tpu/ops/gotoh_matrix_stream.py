@@ -826,17 +826,22 @@ def gotoh_scores_matrix_stream_grouped(
         mpanes[:, tt] = msg[:, tt * G + lane_g]
         npanes[:, tt] = nsg[:, tt * G + lane_g]
     ivloc = (np.arange(V, dtype=np.int32) % S).reshape(ROWS, C)
+    # Repeat corpus jobs re-submit identical operand stacks; keep them
+    # device-resident (the digest-keyed cache) instead of re-uploading
+    # tens of MB per call.
+    from genomics_rs_tpu.utils.devcache import device_put_cached
+
     score, si, sj = _mstream_grouped_call(
-        jnp.asarray(s1b.reshape(NB, B0, Lm)),
-        jnp.asarray(s2b.reshape(NB, B0, Ln)),
-        jnp.asarray(msg),
-        jnp.asarray(nsg),
+        device_put_cached(s1b.reshape(NB, B0, Lm)),
+        device_put_cached(s2b.reshape(NB, B0, Ln)),
+        device_put_cached(msg),
+        device_put_cached(nsg),
         jnp.int32(g),
         jnp.int32(h),
         code,
         jnp.asarray(ext),
-        jnp.asarray(mpanes.reshape(NB, T, ROWS, C)),
-        jnp.asarray(npanes.reshape(NB, T, ROWS, C)),
+        device_put_cached(mpanes.reshape(NB, T, ROWS, C)),
+        device_put_cached(npanes.reshape(NB, T, ROWS, C)),
         jnp.asarray(ivloc),
         NB=NB,
         B0=B0,
