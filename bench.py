@@ -444,8 +444,8 @@ def run_full() -> dict:
     AB = 256
     apairs = [
         (
-            _PSeq(f"a{i}", bytes(u1[i]).decode()),
-            _PSeq(f"b{i}", bytes(u2[i]).decode()),
+            _PSeq(f"a{i}", bytes(ug1[i]).decode()),
+            _PSeq(f"b{i}", bytes(ug2[i]).decode()),
         )
         for i in range(AB)
     ]

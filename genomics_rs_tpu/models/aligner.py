@@ -650,6 +650,58 @@ def matrix_align_batch(
         B = len(chunk)
         koffs = np.array([res.koff(p) for p in range(B)], np.int32)
         loffs = np.array([res.loff(p) for p in range(B)], np.int32)
+        scv = np.asarray(res.score)
+        if B >= 16:
+            # Many short walks: the scalar-core chase is ~0.6 us/move
+            # SEQUENTIALLY per walk (a 1024-pair protein batch would
+            # spend ~0.5 s walking) — the LOCKSTEP vector walker
+            # advances every walk per step instead. Per-pair bitmaps
+            # are gathered into (B, KW, S) diag16 stacks first.
+            from genomics_rs_tpu.ops.traceback_batch import (
+                unpack_moves4,
+                walk_batch,
+            )
+
+            stacked = _gather_pair_dirs(
+                res.dirs,
+                jnp.asarray(koffs),
+                jnp.asarray(loffs),
+                KW=res.KW,
+                S=res.S,
+            )
+            packed, counts, i_fs, j_fs, dones = jax.device_get(
+                walk_batch(
+                    stacked,
+                    jnp.asarray(res.start_i, jnp.int32),
+                    jnp.asarray(res.start_j, jnp.int32),
+                    Scores(0, 0, g, h),
+                    is_local,
+                    "diag16",
+                    max_steps=max_steps,
+                    packed_moves=True,
+                )
+            )
+            moves_all = unpack_moves4(packed, max_steps)
+            for t, (a, b) in enumerate(chunk):
+                if not bool(dones[t]) or (
+                    not is_local
+                    and (int(i_fs[t]), int(j_fs[t])) != (0, 0)
+                ):
+                    raise RuntimeError(
+                        "matrix batched retrace left the table at "
+                        f"({int(i_fs[t])}, {int(j_fs[t])})"
+                    )
+                out.append(
+                    classify_moves(
+                        moves_all[t, : int(counts[t])],
+                        int(res.start_i[t]),
+                        int(res.start_j[t]),
+                        int(scv[t]),
+                        a,
+                        b,
+                    )
+                )
+            continue
         # Short pairs: the walker's DMA window needs KW >= PKW rows;
         # reading past a short segment's words is safe (never
         # consumed: k <= m+n), but the LAST segment may sit near the
@@ -680,7 +732,6 @@ def matrix_align_batch(
                 loffs=loffs,
             )
         )
-        scv = np.asarray(res.score)
         for t, (a, b) in enumerate(chunk):
             if not bool(dones[t]) or (
                 not is_local
@@ -701,6 +752,17 @@ def matrix_align_batch(
                 )
             )
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("KW", "S"))
+def _gather_pair_dirs(dirs, koffs, loffs, KW: int, S: int):
+    """(B, KW, S) diag16 stacks from the global stream bitmap (one
+    vmapped dynamic-slice = one gather op)."""
+
+    def one(k0, l0):
+        return jax.lax.dynamic_slice(dirs, (k0, l0), (KW, S))
+
+    return jax.vmap(one)(koffs, loffs)
 
 
 def align_pair(

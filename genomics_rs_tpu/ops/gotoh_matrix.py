@@ -126,34 +126,62 @@ def _sheared_subs(s1b, s2b, code, mat, A: int):
     )[:K]
 
 
-def _sheared_subs8(s1b, s2b, ms, ns, code, mat, A: int):
+def _alpha_bytes(matrix):
+    """(alphabet byte values (A0,) uint8, fallback index, ext dim A)
+    for the byte-compare one-hot path (no 256-entry gather)."""
+    A0 = len(matrix.alphabet)
+    fallback = (
+        matrix.alphabet.index("X") if "X" in matrix.alphabet else A0
+    )
+    ab = np.frombuffer(
+        matrix.alphabet.encode("latin-1"), dtype=np.uint8
+    ).copy()
+    A = A0 if "X" in matrix.alphabet else A0 + 1
+    return ab, fallback, A
+
+
+def _onehot_bytes(sb, lens, ab, fallback: int, A: int):
+    """(B, L, A) bf16 one-hot straight from ASCII bytes.
+
+    Compares bytes against the alphabet's byte values instead of
+    gathering through a 256-entry code table — the round-5 HLO showed
+    the two per-call gathers costing more than the MXU matmuls they
+    fed. Out-of-alphabet bytes one-hot to the fallback (wildcard)
+    column; positions at or beyond the true length one-hot to NOTHING
+    (the plane masking trick of ``_sheared_subs8``).
+    """
+    L = sb.shape[1]
+    eq = sb[:, :, None] == jnp.asarray(ab)[None, None, :]
+    known = jnp.any(eq, axis=-1)
+    A0 = ab.shape[0]
+    if A0 < A:
+        eq = jnp.pad(eq, ((0, 0), (0, 0), (0, A - A0)))
+    fb = (~known)[:, :, None] & (
+        jnp.arange(A, dtype=jnp.int32)[None, None, :] == fallback
+    )
+    valid = (
+        jnp.arange(L, dtype=jnp.int32)[None, :] < lens[:, None]
+    )[:, :, None]
+    return ((eq | fb) & valid).astype(jnp.bfloat16)
+
+
+def _sheared_subs8(s1b, s2b, ms, ns, ab, mat, A: int, fallback: int):
     """(K, B, Mp) int8 diagonal-major substitution scores, ZERO at
     every invalid cell (row > m, col > n, boundary row/col).
 
     The int8 twin of :func:`_sheared_subs` for the |M| <= 127 engines
     (segmented + stream): the true-length mask is folded into the
     one-hot encodings (an out-of-range position one-hots to nothing,
-    so its plane entry is exactly 0 — no separate mask pass), and the
-    whole skew chain runs at int8 width. Measured on v5e at
-    1024 x 383 aa: 57 ms (int32, mask-after) -> ~6 ms.
+    so its plane entry is exactly 0 — no separate mask pass), the
+    one-hots come from byte compares (no code-table gather), and the
+    whole skew chain runs at int8 width.
     """
     B, Lm = s1b.shape
     _, Ln = s2b.shape
     Mp = Lm + 1
     K = Lm + Ln + 1
-    c1 = jnp.where(
-        jnp.arange(Lm, dtype=jnp.int32)[None, :] < ms[:, None],
-        jnp.take(code, s1b.astype(jnp.int32)),
-        -1,
-    )
-    c2 = jnp.where(
-        jnp.arange(Ln, dtype=jnp.int32)[None, :] < ns[:, None],
-        jnp.take(code, s2b.astype(jnp.int32)),
-        -1,
-    )
-    ar = jnp.arange(A, dtype=jnp.int32)[None, None, :]
-    oh1 = (c1[:, :, None] == ar).astype(jnp.bfloat16)
-    oh2 = (c2[:, :, None] == ar).astype(jnp.bfloat16)
+    oh1 = _onehot_bytes(s1b, ms, ab, fallback, A)
+    oh2 = _onehot_bytes(s2b, ns, ab, fallback, A)
     rows = jnp.einsum("bma,ac->bmc", oh1, mat.astype(jnp.bfloat16))
     subs8 = jnp.einsum("bmc,bnc->bmn", rows, oh2).astype(jnp.int8)
 
@@ -451,7 +479,7 @@ def _kernel_matrix_seg(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("is_local", "A", "interpret")
+    jax.jit, static_argnames=("is_local", "A", "fallback", "interpret")
 )
 def _matrix_seg_call(
     s1b,
@@ -460,10 +488,11 @@ def _matrix_seg_call(
     ns,
     g,
     h,
-    code,
+    ab,
     mat,
     is_local: bool,
     A: int,
+    fallback: int,
     interpret: bool = False,
 ):
     B, Lm = s1b.shape
@@ -500,7 +529,7 @@ def _matrix_seg_call(
     # width with the true-length mask folded into the one-hots
     # (round 5: the int32 mask-after build cost 57 ms at 1024x383 —
     # more than the DP kernel it feeds).
-    sheared = _sheared_subs8(s1b, s2b, ms, ns, code, mat, A)
+    sheared = _sheared_subs8(s1b, s2b, ms, ns, ab, mat, A, fallback)
     sheared = jnp.pad(sheared, ((0, Kp - K), (0, 0), (0, C - Mp)))
     stream = jnp.transpose(
         jnp.transpose(sheared, (1, 0, 2)).reshape(Bg, ROWS, Kp, C),
@@ -668,6 +697,7 @@ def gotoh_scores_matrix(
         if K * drift >= 1 << 30:
             engine = "scan"
     if engine == "pallas":
+        ab, fallback, _ = _alpha_bytes(matrix)
         return _matrix_seg_call(
             jnp.asarray(s1b),
             jnp.asarray(s2b),
@@ -675,10 +705,11 @@ def gotoh_scores_matrix(
             jnp.asarray(ns, jnp.int32),
             int(g),
             int(h),
-            code,
+            jnp.asarray(ab),
             jnp.asarray(ext),
             is_local,
             A=A,
+            fallback=fallback,
             interpret=interpret,
         )
     return _matrix_scores_call(

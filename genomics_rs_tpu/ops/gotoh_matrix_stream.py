@@ -66,7 +66,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from genomics_rs_tpu.ops.gotoh_matrix import (
-    _alpha_code,
+    _alpha_bytes,
     _ext_matrix,
     _sheared_subs8,
 )
@@ -327,19 +327,20 @@ def _kernel_mstream(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("B", "Lm", "Ln", "A", "vtarget"),
+    static_argnames=("B", "Lm", "Ln", "A", "fallback", "vtarget"),
 )
 def _mstream_build(
     s1b: jax.Array,  # (B, Lm) uint8 ASCII
     s2b: jax.Array,
     ms: jax.Array,  # (B,) true lengths
     ns: jax.Array,
-    code: jax.Array,  # (256,) byte -> alphabet index
+    ab: jax.Array,  # (A0,) alphabet byte values
     mat: jax.Array,  # (A, A) int32
     B: int,
     Lm: int,
     Ln: int,
     A: int,
+    fallback: int = 0,
     vtarget: int | None = None,
 ):
     """Build the (Kp, ROWS, C) int8 substitution stream.
@@ -378,7 +379,7 @@ def _mstream_build(
     ms = jnp.asarray(ms, jnp.int32)
     ns = jnp.asarray(ns, jnp.int32)
 
-    sh8 = _sheared_subs8(s1b, s2b, ms, ns, code, mat, A)
+    sh8 = _sheared_subs8(s1b, s2b, ms, ns, ab, mat, A, fallback)
     sh8 = sh8.reshape(Kpair, T, G, Mp)
     shp = jnp.pad(sh8, ((0, 2 * L1 - Kpair), (0, 0), (0, 0), (0, 0)))
     partA = jnp.transpose(shp[:L1], (1, 0, 2, 3))  # (T, L1, G, Mp)
@@ -400,7 +401,7 @@ def _mstream_call(
     ns: jax.Array,
     g: jax.Array,
     h: jax.Array,
-    code: jax.Array,  # (256,) byte -> alphabet index
+    ab: jax.Array,  # (A0,) alphabet byte values
     mat: jax.Array,  # (A, A) int32
     mpane: jax.Array,  # (T, ROWS, C) int32: per-chain-position m pane
     npane: jax.Array,
@@ -409,6 +410,7 @@ def _mstream_call(
     Lm: int,
     Ln: int,
     A: int,
+    fallback: int,
     is_local: bool,
     interpret: bool,
     emit_dirs: bool,
@@ -420,12 +422,13 @@ def _mstream_call(
         jnp.asarray(s2b),
         jnp.asarray(ms, jnp.int32),
         jnp.asarray(ns, jnp.int32),
-        code,
+        ab,
         mat,
         B=B,
         Lm=Lm,
         Ln=Ln,
         A=A,
+        fallback=fallback,
         vtarget=vtarget,
     )
     _, G, _, _, _, T, _, _ = _plan_mstream(Lm, Ln, B, vtarget)
@@ -687,7 +690,7 @@ def gotoh_scores_matrix_stream(
         return None
     if not _mstream_applicable(matrix, g, h, Lm, Ln, B):
         return None
-    code = jnp.asarray(_alpha_code(matrix))
+    ab, fallback, _ = _alpha_bytes(matrix)
     ext = _ext_matrix(matrix)
     _, mpane, npane, ivloc = _stream_inputs(
         ms_np, ns_np, Lm, Ln, B, vtarget
@@ -699,7 +702,7 @@ def gotoh_scores_matrix_stream(
         ns_np,
         jnp.int32(g),
         jnp.int32(h),
-        code,
+        jnp.asarray(ab),
         jnp.asarray(ext),
         jnp.asarray(mpane),
         jnp.asarray(npane),
@@ -708,6 +711,7 @@ def gotoh_scores_matrix_stream(
         Lm=Lm,
         Ln=Ln,
         A=int(ext.shape[0]),
+        fallback=fallback,
         is_local=is_local,
         interpret=interpret,
         emit_dirs=False,
@@ -718,7 +722,8 @@ def gotoh_scores_matrix_stream(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "NB", "B0", "Lm", "Ln", "A", "is_local", "interpret", "vtarget"
+        "NB", "B0", "Lm", "Ln", "A", "fallback", "is_local",
+        "interpret", "vtarget",
     ),
 )
 def _mstream_grouped_call(
@@ -728,7 +733,7 @@ def _mstream_grouped_call(
     nsg,
     g,
     h,
-    code,
+    ab,
     mat,
     mpanes,  # (NB, T, ROWS, C)
     npanes,
@@ -738,6 +743,7 @@ def _mstream_grouped_call(
     Lm: int,
     Ln: int,
     A: int,
+    fallback: int,
     is_local: bool,
     interpret: bool,
     vtarget: int | None,
@@ -745,8 +751,9 @@ def _mstream_grouped_call(
     def body(_, xs):
         s1b, s2b, msp, nsp, mpane, npane = xs
         stream = _mstream_build(
-            s1b, s2b, msp[:B0], nsp[:B0], code, mat,
-            B=B0, Lm=Lm, Ln=Ln, A=A, vtarget=vtarget,
+            s1b, s2b, msp[:B0], nsp[:B0], ab, mat,
+            B=B0, Lm=Lm, Ln=Ln, A=A, fallback=fallback,
+            vtarget=vtarget,
         )
         outs = _mstream_fill(
             stream, msp, nsp, g, h, mpane, npane, ivloc,
@@ -813,7 +820,7 @@ def gotoh_scores_matrix_stream_grouped(
     plan = _plan_mstream(Lm, Ln, B0, vtarget)
     S, G, V, C, L1, T, K, Kp = plan
     Bp = G * T
-    code = jnp.asarray(_alpha_code(matrix))
+    ab, fallback, _ = _alpha_bytes(matrix)
     ext = _ext_matrix(matrix)
     msg = np.ones((NB, Bp), np.int32)
     nsg = np.ones((NB, Bp), np.int32)
@@ -838,7 +845,7 @@ def gotoh_scores_matrix_stream_grouped(
         device_put_cached(nsg),
         jnp.int32(g),
         jnp.int32(h),
-        code,
+        jnp.asarray(ab),
         jnp.asarray(ext),
         device_put_cached(mpanes.reshape(NB, T, ROWS, C)),
         device_put_cached(npanes.reshape(NB, T, ROWS, C)),
@@ -848,6 +855,7 @@ def gotoh_scores_matrix_stream_grouped(
         Lm=Lm,
         Ln=Ln,
         A=int(ext.shape[0]),
+        fallback=fallback,
         is_local=is_local,
         interpret=interpret,
         vtarget=vtarget,
@@ -930,7 +938,7 @@ def gotoh_matrix_stream_fill_dirs(
         return None
     if not _mstream_applicable(matrix, g, h, Lm, Ln, B):
         return None
-    code = jnp.asarray(_alpha_code(matrix))
+    ab, fallback, _ = _alpha_bytes(matrix)
     ext = _ext_matrix(matrix)
     plan, mpane, npane, ivloc = _stream_inputs(
         ms_np, ns_np, Lm, Ln, B, vtarget
@@ -943,7 +951,7 @@ def gotoh_matrix_stream_fill_dirs(
         ns_np,
         jnp.int32(g),
         jnp.int32(h),
-        code,
+        jnp.asarray(ab),
         jnp.asarray(ext),
         jnp.asarray(mpane),
         jnp.asarray(npane),
@@ -952,6 +960,7 @@ def gotoh_matrix_stream_fill_dirs(
         Lm=Lm,
         Ln=Ln,
         A=int(ext.shape[0]),
+        fallback=fallback,
         is_local=is_local,
         interpret=interpret,
         emit_dirs=True,

@@ -275,3 +275,36 @@ class TestMSA:
         b = center_star_msa(cont, sc, matrix=mat, interpret=False)
         assert a.rows == b.rows
         np.testing.assert_array_equal(a.score_matrix, b.score_matrix)
+
+
+class TestLockstepWalks:
+    @pytest.mark.parametrize("is_local", [False, True])
+    def test_large_batch_uses_lockstep_walker(self, is_local):
+        # B >= 16 routes the walks through the lockstep vector walker
+        # (walk_batch diag16) — outputs must stay bit-identical to the
+        # per-pair scan aligner.
+        rng = np.random.default_rng(24)
+        pairs = []
+        for k in range(18):
+            la = int(rng.integers(10, 80))
+            lb = int(rng.integers(10, 80))
+            pairs.append(
+                (
+                    Sequence(f"a{k}", "".join(rng.choice(list(PROT), la))),
+                    Sequence(f"b{k}", "".join(rng.choice(list(PROT), lb))),
+                )
+            )
+        mat = blosum62()
+        outs = matrix_align_batch(
+            pairs, mat, -1, -5, is_local=is_local, interpret=True
+        )
+        oracle = PairwiseAligner(
+            Scores(0, 0, -1, -5),
+            is_local=is_local,
+            engine="scan",
+            matrix=mat,
+        )
+        for (a, b), got in zip(pairs, outs):
+            ref = oracle.align(a, b)
+            assert got.alignment == ref.alignment
+            assert got.score == ref.score
