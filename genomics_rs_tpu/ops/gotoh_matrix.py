@@ -165,6 +165,19 @@ def _onehot_bytes(sb, lens, ab, fallback: int, A: int):
     return ((eq | fb) & valid).astype(jnp.bfloat16)
 
 
+def _codes_bytes(sb, lens, ab, fallback: int):
+    """(B, L) int8 alphabet codes straight from ASCII bytes: unknown
+    bytes -> the wildcard fallback, positions at or beyond the true
+    length -> -1 (a code that one-hots to nothing downstream)."""
+    L = sb.shape[1]
+    eq = sb[:, :, None] == jnp.asarray(ab)[None, None, :]
+    c = jnp.where(
+        jnp.any(eq, axis=-1), jnp.argmax(eq, axis=-1), fallback
+    )
+    valid = jnp.arange(L, dtype=jnp.int32)[None, :] < lens[:, None]
+    return jnp.where(valid, c, -1).astype(jnp.int8)
+
+
 def _sheared_subs8(s1b, s2b, ms, ns, ab, mat, A: int, fallback: int):
     """(K, B, Mp) int8 diagonal-major substitution scores, ZERO at
     every invalid cell (row > m, col > n, boundary row/col).

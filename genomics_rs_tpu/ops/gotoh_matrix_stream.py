@@ -67,6 +67,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from genomics_rs_tpu.ops.gotoh_matrix import (
     _alpha_bytes,
+    _codes_bytes,
     _ext_matrix,
     _sheared_subs8,
 )
@@ -121,8 +122,12 @@ def _plan_mstream(Lm: int, Ln: int, B: int, vtarget: int | None = None):
     """
     vt = VTARGET if vtarget is None else vtarget
     S = max(_round_up(Lm + 1, 128), 128)
-    G = max(1, min(vt // S, B))
-    V = max(_round_up(G * S, 1024), 1024)
+    # G is a multiple of 8 so V = G*S exactly (1024-aligned: S is a
+    # 128-multiple) and every pane row holds whole pairs
+    # (C = V/8 = (G/8)*S) — the assembler kernel's block geometry
+    # requires a pair's S lanes never to straddle a pane row.
+    G = 8 * max(1, min(vt // S // 8, -(-B // 8)))
+    V = G * S
     L1 = _round_up(max(Ln + 1, S + MCHUNK), MCHUNK)
     T = -(-B // G)
     K = T * L1 + S
@@ -394,6 +399,266 @@ def _mstream_build(
     return W.reshape((T + 1) * L1, ROWS, C)[:Kp]
 
 
+# ---------------------------------------------------------------------
+# Pallas stream assembler: the fused build path.
+#
+# The XLA build above moves the whole stream (~0.2 GB per 1024-pair
+# group) through an unfused pad/flatten/transpose/overlay chain at an
+# effective 30-70 GB/s — measured ~27 ms per group against a 3.5 ms DP
+# fill (docs/ROUND5.md §2). The assembler replaces everything past the
+# tiny one-hot encode with ONE kernel pass:
+#
+# * XLA prep (tiny, ~KBs): padded per-pair CODE arrays — alphabet
+#   index per byte, wildcard fallback, -1 past the true length (-1
+#   one-hots to nothing, so all masking is free downstream).
+# * kernel (`_kernel_massemble`), grid (T+1, Gr): per (window,
+#   column band) it builds each pane row's pair IN VMEM — transpose
+#   the code row to a column, one-hot it against a lane iota, MXU
+#   the "query profile" (prof[i, :] = matrix row of s1[i-1], the
+#   classic striped-SW profile), then one MXU contraction
+#   (oh2 @ prof^T — every output element selects one matrix entry,
+#   so bf16 accumulation is exact) for the substitution plane — and
+#   shears it diagonal-major in registers: a static circular roll
+#   per 128-lane block plus 7 masked power-of-two rolls (lane i
+#   needs its column rolled down by i), writing the (L1, S) window
+#   slab straight into the stream's (step, pane-row, col) layout.
+#   The two-window overlay is the A/B split of the SAME
+#   circular-roll structure: unwrapped rows (k >= i) are this
+#   window's cells; the previous window's pair finishes its tail
+#   diagonals in rows k < i.
+#
+# Bit-identical to `_mstream_build` (the fuzz/equality tests pin it);
+# requires the planner's V = G*S pane geometry (a pair's S lanes
+# never straddle a pane row).
+# ---------------------------------------------------------------------
+
+#: kill-switch for the fused assembler (fall back to the XLA build).
+MASSEMBLE = os.environ.get("GENOMICS_TPU_MASSEMBLE", "1") != "0"
+
+
+def _use_assembler(interpret: bool) -> bool:
+    """The assembler is a Mosaic kernel: TPU or interpret mode only
+    (the same condition that routes batches to the stream engine)."""
+    return MASSEMBLE and (
+        interpret or jax.default_backend() == "tpu"
+    )
+
+
+def _shear_roll_down(x, extent: int, nlb: int, skip: int = 0):
+    """Per-lane circular roll-down of ``x`` (extent, nlb*128) int32:
+    column i (pair DP row i) rolls down by i — static coarse roll per
+    128-lane block + 7 masked power-of-two rolls. The first ``skip``
+    lane blocks are emitted as zeros (caller proved their post-mask
+    content is zero)."""
+    il = jax.lax.broadcasted_iota(jnp.int32, (extent, 128), 1)
+    blocks = []
+    for lb in range(nlb):
+        blk = x[:, lb * 128 : (lb + 1) * 128]
+        if lb < skip:
+            blocks.append(jnp.zeros_like(blk))
+            continue
+        sh = (lb * 128) % extent
+        if sh:
+            blk = pltpu.roll(blk, sh, axis=0)
+        for bit in range(7):
+            s = 1 << bit
+            rolled = pltpu.roll(blk, s, axis=0)
+            blk = jnp.where((il & s) != 0, rolled, blk)
+        blocks.append(blk)
+    return jnp.concatenate(blocks, axis=1)
+
+
+def _kernel_massemble(
+    s1cA_ref,  # (8, S) int8: window-w row-mates' s1 codes (-1 pad)
+    s2cA_ref,  # (8, L1) int8: their s2 codes (-1 pad)
+    s1cB_ref,  # (8, S) int8: window-(w-1) row-mates'
+    s2cB_ref,  # (8, L1) int8
+    mat_ref,  # (A, A) bf16 substitution matrix
+    out_ref,  # (L1, 8, S) int8 stream slab (one column band)
+    *,
+    S: int,
+    L1: int,
+    T: int,
+    A: int,
+    bskip: int,
+):
+    w = pl.program_id(0)
+    nlb = S // 128
+
+    def onehot_col(col, n):
+        # (n, 1) int32 codes -> (n, A) bf16 one-hot; -1 pads match
+        # nothing, so length/boundary masking is free.
+        return (
+            col
+            == jax.lax.broadcasted_iota(jnp.int32, (n, A), 1)
+        ).astype(jnp.bfloat16)
+
+    i_lane = jax.lax.broadcasted_iota(jnp.int32, (L1, S), 1)
+    k_io = jax.lax.broadcasted_iota(jnp.int32, (L1, S), 0)
+    # Dedicated (S, S) iotas for the B mask: SLICING an iota value
+    # (k_io[:S]) SIGABRTs this Mosaic version's compiler.
+    i_s = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    k_s = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    matb = mat_ref[:].astype(jnp.bfloat16)
+
+    def prof_mm(oh1):
+        # per-lane profile rows: prof[i, :] = mat[c1[i], :]
+        return jax.lax.dot_general(
+            oh1, matb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+
+    def plane_mm(oh2, prof):
+        # One-hot selection: every output element is a single matrix
+        # entry, so bf16 accumulation is exact (|v| <= 127). The
+        # shear datapath runs at int32 — Mosaic has no int8 vector
+        # ALU and its rotate only takes 32-bit vectors; int8 appears
+        # only at the HBM boundaries (loads + the final store).
+        return jax.lax.dot_general(
+            oh2, prof, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+
+    for r in range(ROWS):
+        # A-part: this window's pair in pane row r, diagonals [0, L1).
+        c1A = jnp.transpose(
+            s1cA_ref[r : r + 1, :], (1, 0)
+        ).astype(jnp.int32)  # (S, 1)
+        profA = prof_mm(onehot_col(c1A, S))  # (S, A)
+        c2A = jnp.transpose(
+            s2cA_ref[r : r + 1, :], (1, 0)
+        ).astype(jnp.int32)  # (L1, 1)
+        scA = plane_mm(onehot_col(c2A, L1), profA)  # (L1, S): [j, i]
+        bufA = _shear_roll_down(scA, L1, nlb)
+        resA = jnp.where((k_io >= i_lane) & (w < T), bufA, 0)
+
+        # B-part: the previous window's pair finishing diagonals
+        # [L1, Kpair) — the tail S rows of its plane, rolled on
+        # extent S; valid exactly where the roll wrapped (k < i).
+        c1B = jnp.transpose(
+            s1cB_ref[r : r + 1, :], (1, 0)
+        ).astype(jnp.int32)
+        profB = prof_mm(onehot_col(c1B, S))
+        c2B = jnp.transpose(
+            s2cB_ref[r : r + 1, L1 - S :], (1, 0)
+        ).astype(jnp.int32)  # (S, 1): tail columns only
+        scB = plane_mm(onehot_col(c2B, S), profB)  # (S, S)
+        bufB = _shear_roll_down(scB, S, nlb, skip=bskip)
+        resB = jnp.where((k_s < i_s) & (w > 0), bufB, 0)
+
+        out_ref[:S, r, :] = (resA[:S] + resB).astype(jnp.int8)
+        out_ref[S:, r, :] = resA[S:].astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "B", "Lm", "Ln", "A", "fallback", "vtarget", "interpret"
+    ),
+)
+def _mstream_build_fast(
+    s1b: jax.Array,  # (B, Lm) uint8 ASCII
+    s2b: jax.Array,
+    ms: jax.Array,  # (B,) true lengths
+    ns: jax.Array,
+    ab: jax.Array,  # (A0,) alphabet byte values
+    mat: jax.Array,  # (A, A) int32
+    B: int,
+    Lm: int,
+    Ln: int,
+    A: int,
+    fallback: int = 0,
+    vtarget: int | None = None,
+    interpret: bool = False,
+):
+    """Fused twin of :func:`_mstream_build` (same contract, same
+    bits): XLA profile/one-hot prep + one Pallas assembler pass."""
+    S, G, V, C, L1, T, K, Kp = _plan_mstream(Lm, Ln, B, vtarget)
+    Bp = G * T
+    Gr = G // ROWS  # pairs per pane row (planner: C = Gr * S)
+
+    if Bp != B:
+        pad = Bp - B
+        s1b = jnp.concatenate(
+            [s1b, jnp.full((pad, Lm), 0xFE, dtype=s1b.dtype)]
+        )
+        s2b = jnp.concatenate(
+            [s2b, jnp.full((pad, Ln), 0xFF, dtype=s2b.dtype)]
+        )
+        ms = jnp.concatenate(
+            [jnp.asarray(ms, jnp.int32), jnp.ones(pad, jnp.int32)]
+        )
+        ns = jnp.concatenate(
+            [jnp.asarray(ns, jnp.int32), jnp.ones(pad, jnp.int32)]
+        )
+    ms = jnp.asarray(ms, jnp.int32)
+    ns = jnp.asarray(ns, jnp.int32)
+
+    # Permute pairs so a program's 8 pane-row-mates are contiguous:
+    # original pair (t, g = r*Gr + cb) -> prep slot t*G + cb*8 + r
+    # (Mosaic block dims: the out block must span the full 8-row pane,
+    # so one program assembles one column band's 8 pairs).
+    qt, qrem = np.divmod(np.arange(Bp), G)
+    cb_, r_ = np.divmod(qrem, ROWS)
+    src = jnp.asarray(qt * G + r_ * Gr + cb_, jnp.int32)
+    s1b = jnp.take(s1b, src, axis=0)
+    s2b = jnp.take(s2b, src, axis=0)
+    ms_p = jnp.take(ms, src)
+    ns_p = jnp.take(ns, src)
+
+    # Tiny prep: padded CODE arrays (one-hot/profile/plane work all
+    # happens inside the kernel — the XLA profile prep measured
+    # ~3.5 ms/group, all of it layout shuffling of small arrays).
+    # Codes: alphabet index, wildcard fallback for unknown bytes, -1
+    # past the true length / at the boundary row & column (-1 one-hots
+    # to nothing, so masking is free downstream).
+    c1 = _codes_bytes(s1b, ms_p, ab, fallback)  # (Bp, Lm) int8
+    s1c = jnp.pad(
+        c1, ((0, 0), (1, S - Lm - 1)), constant_values=-1
+    )  # (Bp, S)
+    c2 = _codes_bytes(s2b, ns_p, ab, fallback)
+    s2c = jnp.pad(
+        c2, ((0, 0), (1, L1 - Ln - 1)), constant_values=-1
+    )  # (Bp, L1)
+
+    # B-part lane blocks that are provably zero: lane i's B cells are
+    # (i, j = k' + L1 - i) with 0 <= k' < i and j <= Ln, so block lb
+    # is all-zero when lb*128 + 127 < L1 - Ln.
+    nlb = S // 128
+    bskip = 0
+    while bskip < nlb and bskip * 128 + 127 < L1 - Ln:
+        bskip += 1
+
+    pairA = lambda w, cb: (jnp.minimum(w, T - 1) * Gr + cb, 0)
+    pairB = lambda w, cb: (jnp.maximum(w - 1, 0) * Gr + cb, 0)
+    grid_spec = pl.GridSpec(
+        grid=(T + 1, Gr),
+        in_specs=[
+            pl.BlockSpec((ROWS, S), pairA, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, L1), pairA, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, S), pairB, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, L1), pairB, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (A, A), lambda w, cb: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (L1, ROWS, S),
+            lambda w, cb: (w, 0, cb),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    kernel = functools.partial(
+        _kernel_massemble, S=S, L1=L1, T=T, A=A, bskip=bskip
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Kp, ROWS, C), jnp.int8),
+        interpret=interpret,
+    )(s1c, s2c, s1c, s2c, mat.astype(jnp.bfloat16))
+
+
 def _mstream_call(
     s1b: jax.Array,  # (B, Lm) uint8 ASCII
     s2b: jax.Array,
@@ -403,9 +668,6 @@ def _mstream_call(
     h: jax.Array,
     ab: jax.Array,  # (A0,) alphabet byte values
     mat: jax.Array,  # (A, A) int32
-    mpane: jax.Array,  # (T, ROWS, C) int32: per-chain-position m pane
-    npane: jax.Array,
-    ivloc: jax.Array,  # (ROWS, C) int32
     B: int,
     Lm: int,
     Ln: int,
@@ -417,7 +679,12 @@ def _mstream_call(
     vtarget: int | None = None,
 ):
     """Build + fill + reassemble (two jits; see ``_mstream_build``)."""
-    stream = _mstream_build(
+    build = (
+        functools.partial(_mstream_build_fast, interpret=interpret)
+        if _use_assembler(interpret)
+        else _mstream_build
+    )
+    stream = build(
         jnp.asarray(s1b),
         jnp.asarray(s2b),
         jnp.asarray(ms, jnp.int32),
@@ -443,9 +710,6 @@ def _mstream_call(
         jnp.asarray(ns_p),
         jnp.asarray(g, jnp.int32),
         jnp.asarray(h, jnp.int32),
-        mpane,
-        npane,
-        ivloc,
         B=B,
         Lm=Lm,
         Ln=Ln,
@@ -474,9 +738,6 @@ def _mstream_fill(
     ns: jax.Array,
     g: jax.Array,
     h: jax.Array,
-    mpane: jax.Array,
-    npane: jax.Array,
-    ivloc: jax.Array,
     B: int,
     Lm: int,
     Ln: int,
@@ -488,6 +749,20 @@ def _mstream_fill(
     S, G, V, C, L1, T, K, Kp = _plan_mstream(Lm, Ln, B, vtarget)
     Bp = G * T
     neg = jnp.int32(NEG_INF)
+
+    # Per-lane (m, n) seam panes and lane->row map, computed on
+    # device: round 5 first built these on the HOST as (T, V) int32
+    # arrays — ~13 MB per group that the operand cache then HASHED
+    # and uploaded per call, several ms of pure overhead per group.
+    lane_g = jnp.minimum(
+        jnp.arange(V, dtype=jnp.int32) // S, G - 1
+    )
+    pidx2 = jnp.arange(T, dtype=jnp.int32)[:, None] * G + lane_g[None, :]
+    mpane = jnp.asarray(ms, jnp.int32)[pidx2].reshape(T, ROWS, C)
+    npane = jnp.asarray(ns, jnp.int32)[pidx2].reshape(T, ROWS, C)
+    ivloc = (
+        jnp.arange(V, dtype=jnp.int32) % S
+    ).reshape(ROWS, C)
 
     # ---- per-step scalar streams ----------------------------------
     ks = jnp.arange(Kp, dtype=jnp.int32)
@@ -623,30 +898,6 @@ def _mstream_fill(
     return vmax[:B], ibest[:B], jbest[:B]
 
 
-def _stream_inputs(ms, ns, Lm: int, Ln: int, B: int, vtarget):
-    """Host-side prep shared by the score and dirs entries: geometry
-    plan + the (m, n) seam panes and the lane->row map."""
-    S, G, V, C, L1, T, K, Kp = _plan_mstream(Lm, Ln, B, vtarget)
-    Bp = G * T
-    ms_np = np.ones(Bp, np.int32)
-    ns_np = np.ones(Bp, np.int32)
-    ms_np[:B] = np.asarray(ms, np.int32)
-    ns_np[:B] = np.asarray(ns, np.int32)
-    lane_g = np.minimum(np.arange(V) // S, G - 1)
-    mpane = np.empty((T, V), np.int32)
-    npane = np.empty((T, V), np.int32)
-    for tt in range(T):
-        mpane[tt] = ms_np[tt * G + lane_g]
-        npane[tt] = ns_np[tt * G + lane_g]
-    ivloc = (np.arange(V, dtype=np.int32) % S).astype(np.int32)
-    return (
-        (S, G, V, C, L1, T, K, Kp),
-        mpane.reshape(T, ROWS, C),
-        npane.reshape(T, ROWS, C),
-        ivloc.reshape(ROWS, C),
-    )
-
-
 def _mstream_applicable(matrix, g: int, h: int, Lm: int, Ln: int, B: int):
     """Geometry/headroom guards; returns False -> caller falls back."""
     ext = _ext_matrix(matrix)
@@ -654,6 +905,11 @@ def _mstream_applicable(matrix, g: int, h: int, Lm: int, Ln: int, B: int):
         return False  # int8 subs stream
     S, G, V, C, L1, T, K, Kp = _plan_mstream(Lm, Ln, B)
     if L1 % PACK or MCHUNK % PACK:
+        return False
+    if V > 24576:
+        # G >= 8 forces V = 8*S even for a single chain; very long
+        # proteins would blow the VMEM stream-chunk budget — fall
+        # back (scan handles any length).
         return False
     # Padding lanes above G*S and garbage windows drift unclamped for
     # at most the whole stream; seam-clamped lanes for at most 2*L1
@@ -692,9 +948,6 @@ def gotoh_scores_matrix_stream(
         return None
     ab, fallback, _ = _alpha_bytes(matrix)
     ext = _ext_matrix(matrix)
-    _, mpane, npane, ivloc = _stream_inputs(
-        ms_np, ns_np, Lm, Ln, B, vtarget
-    )
     return _mstream_call(
         jnp.asarray(s1b),
         jnp.asarray(s2b),
@@ -704,9 +957,6 @@ def gotoh_scores_matrix_stream(
         jnp.int32(h),
         jnp.asarray(ab),
         jnp.asarray(ext),
-        jnp.asarray(mpane),
-        jnp.asarray(npane),
-        jnp.asarray(ivloc),
         B=B,
         Lm=Lm,
         Ln=Ln,
@@ -723,7 +973,7 @@ def gotoh_scores_matrix_stream(
     jax.jit,
     static_argnames=(
         "NB", "B0", "Lm", "Ln", "A", "fallback", "is_local",
-        "interpret", "vtarget",
+        "interpret", "use_fast", "vtarget",
     ),
 )
 def _mstream_grouped_call(
@@ -735,9 +985,6 @@ def _mstream_grouped_call(
     h,
     ab,
     mat,
-    mpanes,  # (NB, T, ROWS, C)
-    npanes,
-    ivloc,
     NB: int,
     B0: int,
     Lm: int,
@@ -746,25 +993,29 @@ def _mstream_grouped_call(
     fallback: int,
     is_local: bool,
     interpret: bool,
+    use_fast: bool,
     vtarget: int | None,
 ):
     def body(_, xs):
-        s1b, s2b, msp, nsp, mpane, npane = xs
-        stream = _mstream_build(
+        s1b, s2b, msp, nsp = xs
+        build = (
+            functools.partial(_mstream_build_fast, interpret=interpret)
+            if use_fast
+            else _mstream_build
+        )
+        stream = build(
             s1b, s2b, msp[:B0], nsp[:B0], ab, mat,
             B=B0, Lm=Lm, Ln=Ln, A=A, fallback=fallback,
             vtarget=vtarget,
         )
         outs = _mstream_fill(
-            stream, msp, nsp, g, h, mpane, npane, ivloc,
+            stream, msp, nsp, g, h,
             B=B0, Lm=Lm, Ln=Ln, is_local=is_local,
             interpret=interpret, emit_dirs=False, vtarget=vtarget,
         )
         return 0, outs
 
-    _, outs = jax.lax.scan(
-        body, 0, (s1g, s2g, msg, nsg, mpanes, npanes)
-    )
+    _, outs = jax.lax.scan(body, 0, (s1g, s2g, msg, nsg))
     return outs
 
 
@@ -826,13 +1077,6 @@ def gotoh_scores_matrix_stream_grouped(
     nsg = np.ones((NB, Bp), np.int32)
     msg[:, :B0] = ms_np.reshape(NB, B0)
     nsg[:, :B0] = ns_np.reshape(NB, B0)
-    lane_g = np.minimum(np.arange(V) // S, G - 1)
-    mpanes = np.empty((NB, T, V), np.int32)
-    npanes = np.empty((NB, T, V), np.int32)
-    for tt in range(T):
-        mpanes[:, tt] = msg[:, tt * G + lane_g]
-        npanes[:, tt] = nsg[:, tt * G + lane_g]
-    ivloc = (np.arange(V, dtype=np.int32) % S).reshape(ROWS, C)
     # Repeat corpus jobs re-submit identical operand stacks; keep them
     # device-resident (the digest-keyed cache) instead of re-uploading
     # tens of MB per call.
@@ -847,9 +1091,6 @@ def gotoh_scores_matrix_stream_grouped(
         jnp.int32(h),
         jnp.asarray(ab),
         jnp.asarray(ext),
-        device_put_cached(mpanes.reshape(NB, T, ROWS, C)),
-        device_put_cached(npanes.reshape(NB, T, ROWS, C)),
-        jnp.asarray(ivloc),
         NB=NB,
         B0=B0,
         Lm=Lm,
@@ -858,6 +1099,7 @@ def gotoh_scores_matrix_stream_grouped(
         fallback=fallback,
         is_local=is_local,
         interpret=interpret,
+        use_fast=_use_assembler(interpret),
         vtarget=vtarget,
     )
     return (
@@ -940,10 +1182,7 @@ def gotoh_matrix_stream_fill_dirs(
         return None
     ab, fallback, _ = _alpha_bytes(matrix)
     ext = _ext_matrix(matrix)
-    plan, mpane, npane, ivloc = _stream_inputs(
-        ms_np, ns_np, Lm, Ln, B, vtarget
-    )
-    S, G, V, C, L1, T, K, Kp = plan
+    S, G, V, C, L1, T, K, Kp = _plan_mstream(Lm, Ln, B, vtarget)
     (score, si, sj), dirs = _mstream_call(
         jnp.asarray(s1b),
         jnp.asarray(s2b),
@@ -953,9 +1192,6 @@ def gotoh_matrix_stream_fill_dirs(
         jnp.int32(h),
         jnp.asarray(ab),
         jnp.asarray(ext),
-        jnp.asarray(mpane),
-        jnp.asarray(npane),
-        jnp.asarray(ivloc),
         B=B,
         Lm=Lm,
         Ln=Ln,

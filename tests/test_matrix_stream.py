@@ -277,6 +277,52 @@ class TestMSA:
         np.testing.assert_array_equal(a.score_matrix, b.score_matrix)
 
 
+class TestAssembler:
+    def test_fused_build_matches_xla_build(self):
+        # The Pallas stream assembler must produce the EXACT stream
+        # bytes of the XLA build (pad pairs and garbage windows
+        # included) across lane-block / pane-row geometries.
+        from genomics_rs_tpu.ops.gotoh_matrix import (
+            _alpha_bytes,
+            _ext_matrix,
+        )
+        from genomics_rs_tpu.ops.gotoh_matrix_stream import (
+            _mstream_build,
+            _mstream_build_fast,
+        )
+
+        rng = np.random.default_rng(25)
+        mat = blosum62()
+        ab, fallback, A = _alpha_bytes(mat)
+        ext = _ext_matrix(mat)
+        for B, Lm, Ln, vt in [
+            (9, 60, 45, 512),  # S=128, one lane block, Gr=1
+            (20, 33, 61, 1024),  # T=3 chains
+            (5, 200, 300, 4096),  # S=256, nlb=2
+            (10, 250, 250, 6144),  # S=256, Gr=3, nlb=2
+        ]:
+            s1b, s2b, ms, ns = _prot_batch(rng, B, Lm, Ln, lo=1)
+            ref = np.asarray(
+                _mstream_build(
+                    jnp.asarray(s1b), jnp.asarray(s2b), ms, ns,
+                    jnp.asarray(ab), jnp.asarray(ext),
+                    B=B, Lm=Lm, Ln=Ln, A=A, fallback=fallback,
+                    vtarget=vt,
+                )
+            )
+            got = np.asarray(
+                _mstream_build_fast(
+                    jnp.asarray(s1b), jnp.asarray(s2b), ms, ns,
+                    jnp.asarray(ab), jnp.asarray(ext),
+                    B=B, Lm=Lm, Ln=Ln, A=A, fallback=fallback,
+                    vtarget=vt, interpret=True,
+                )
+            )
+            np.testing.assert_array_equal(
+                got, ref, err_msg=f"B={B} Lm={Lm} Ln={Ln} vt={vt}"
+            )
+
+
 class TestLockstepWalks:
     @pytest.mark.parametrize("is_local", [False, True])
     def test_large_batch_uses_lockstep_walker(self, is_local):
