@@ -684,6 +684,7 @@ def run_full() -> dict:
         "reads": n_full,
         "read_len": L,
         "s": dt_full,
+        "reps": [round(t, 3) for t in times_rf],
         "reads_per_s": n_full / dt_full,
     }
 
@@ -1324,9 +1325,15 @@ def run_full() -> dict:
             st = int(rng.integers(0, len(chr12) - L))
             pats.append(chr12[st : st + L])
         fm.count_batch(pats)  # warm: jit is keyed on the (B, Lp) shape
-        t0 = time.perf_counter()
-        counts = fm.count_batch(pats)
-        t_search = time.perf_counter() - t0
+        # Median of 3: host prep + tunnel H2D dominate this row and
+        # swing 2-5x with environment load bursts (round-5 isolation:
+        # the stage sum is ~1.0 s — prep 0.6, H2D 0.2, device 0.13).
+        times_fm = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            counts = fm.count_batch(pats)
+            times_fm.append(time.perf_counter() - t0)
+        t_search = float(np.median(times_fm))
         if not (counts >= 1).all():
             raise AssertionError("sampled pattern missed its own text")
         from genomics_rs_tpu.suffixtree.native import native_available
@@ -1337,6 +1344,7 @@ def run_full() -> dict:
             "host_sais": bool(native_available()),
             "patterns": len(pats),
             "search_s": t_search,
+            "search_reps": [round(t, 3) for t in times_fm],
             "patterns_per_s": len(pats) / t_search,
         }
     except Exception as e:  # noqa: BLE001
@@ -1613,6 +1621,56 @@ def run_smoke() -> int:
                 )
                 if not ok:
                     failures.append((f"matrix_{eng}", loc, i, gv, w))
+
+    # Stream assembler (round 5): the fused Pallas build must produce
+    # the XLA build's stream BYTE-FOR-BYTE on chip (pad pairs and
+    # garbage windows included).
+    from genomics_rs_tpu.ops.gotoh_matrix import (
+        _alpha_bytes as _ab_m,
+    )
+    from genomics_rs_tpu.ops.gotoh_matrix import (
+        _ext_matrix as _ext_m,
+    )
+    from genomics_rs_tpu.ops.gotoh_matrix_stream import (
+        _mstream_build,
+        _mstream_build_fast,
+    )
+
+    import jax.numpy as jnp
+
+    abv, fb_m, _A_m = _ab_m(b62)
+    ext_m = _ext_m(b62)
+    akw = dict(
+        B=B,
+        Lm=int(p1.shape[1]),
+        Ln=int(p2.shape[1]),
+        A=int(ext_m.shape[0]),
+        fallback=fb_m,
+    )
+    st_ref = _retry(
+        lambda: np.asarray(
+            _mstream_build(
+                jnp.asarray(p1), jnp.asarray(p2), ms, ns,
+                jnp.asarray(abv), jnp.asarray(ext_m), **akw,
+            )
+        ),
+        label="smoke massemble ref",
+    )
+    st_got = _retry(
+        lambda: np.asarray(
+            _mstream_build_fast(
+                jnp.asarray(p1), jnp.asarray(p2), ms, ns,
+                jnp.asarray(abv), jnp.asarray(ext_m), **akw,
+            )
+        ),
+        label="smoke massemble",
+    )
+    ok = np.array_equal(st_ref, st_got)
+    print(f"[smoke] massemble: {'ok' if ok else 'MISMATCH'}")
+    if not ok:
+        failures.append(
+            ("massemble", int((st_ref != st_got).sum()), 0, 0, 0)
+        )
 
     # Matrix stream dirs (round 5): the 2-D packed stream fill + ONE
     # walk_many dispatch (word-row + lane offsets) must reproduce the

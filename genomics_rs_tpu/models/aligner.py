@@ -682,7 +682,7 @@ def matrix_align_batch(
                 )
             )
             moves_all = unpack_moves4(packed, max_steps)
-            for t, (a, b) in enumerate(chunk):
+            for t in range(B):
                 if not bool(dones[t]) or (
                     not is_local
                     and (int(i_fs[t]), int(j_fs[t])) != (0, 0)
@@ -691,16 +691,20 @@ def matrix_align_batch(
                         "matrix batched retrace left the table at "
                         f"({int(i_fs[t])}, {int(j_fs[t])})"
                     )
-                out.append(
-                    classify_moves(
-                        moves_all[t, : int(counts[t])],
-                        int(res.start_i[t]),
-                        int(res.start_j[t]),
-                        int(scv[t]),
-                        a,
-                        b,
-                    )
+            from genomics_rs_tpu.ops.traceback import (
+                classify_moves_batch,
+            )
+
+            out.extend(
+                classify_moves_batch(
+                    moves_all,
+                    counts,
+                    res.start_i,
+                    res.start_j,
+                    scv,
+                    chunk,
                 )
+            )
             continue
         # Short pairs: the walker's DMA window needs KW >= PKW rows;
         # reading past a short segment's words is safe (never

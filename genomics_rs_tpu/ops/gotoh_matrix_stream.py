@@ -1203,10 +1203,13 @@ def gotoh_matrix_stream_fill_dirs(
         vtarget=vtarget,
     )
     KW = (Lm + Ln) // PACK + 1
+    # ONE device_get round trip: separate np.asarray pulls of score /
+    # start_i / start_j each pay the ~25 ms tunnel sync.
+    score, si, sj = jax.device_get((score, si, sj))
     return MatrixStreamDirsResult(
         score,
-        np.asarray(si) if is_local else ms_np,
-        np.asarray(sj) if is_local else ns_np,
+        si if is_local else ms_np,
+        sj if is_local else ns_np,
         dirs,
         ms_np,
         ns_np,

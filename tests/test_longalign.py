@@ -175,3 +175,59 @@ def test_classify_moves_vectorized_matches_loop():
             slow.matches, slow.mismatches,
             slow.opening_gaps, slow.gap_extensions,
         ), trial
+
+
+def test_classify_moves_batch_matches_per_pair():
+    """classify_moves_batch (round 5, one 2-D pass for B pairs) is
+    bit-identical to per-pair classify_moves, padding included."""
+    from genomics_rs_tpu.ops.traceback import (
+        classify_moves,
+        classify_moves_batch,
+    )
+
+    rng = np.random.default_rng(92)
+    for trial in range(8):
+        B = int(rng.integers(1, 12))
+        T = int(rng.integers(1, 70))
+        pairs = []
+        moves = np.full((B, T), 255, np.uint8)
+        counts = np.zeros(B, np.int64)
+        si = np.zeros(B, np.int64)
+        sj = np.zeros(B, np.int64)
+        scores = rng.integers(-50, 50, B)
+        for b in range(B):
+            m, n = int(rng.integers(0, 40)), int(rng.integers(0, 40))
+            pairs.append(
+                (
+                    Sequence("a", "".join(rng.choice(list("ACGT"), m))),
+                    Sequence("b", "".join(rng.choice(list("ACGT"), n))),
+                )
+            )
+            c = int(rng.integers(0, T + 1))
+            counts[b] = c
+            moves[b, :c] = rng.integers(0, 3, c).astype(np.uint8)
+            si[b], sj[b] = m, n
+        got = classify_moves_batch(moves, counts, si, sj, scores, pairs)
+        for b, (a, s) in enumerate(pairs):
+            want = classify_moves(
+                moves[b, : int(counts[b])],
+                int(si[b]),
+                int(sj[b]),
+                int(scores[b]),
+                a,
+                s,
+            )
+            assert got[b].alignment == want.alignment, (trial, b)
+            assert (
+                got[b].score,
+                got[b].matches,
+                got[b].mismatches,
+                got[b].opening_gaps,
+                got[b].gap_extensions,
+            ) == (
+                want.score,
+                want.matches,
+                want.mismatches,
+                want.opening_gaps,
+                want.gap_extensions,
+            ), (trial, b)
