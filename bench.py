@@ -434,6 +434,26 @@ def run_full() -> dict:
         "vs_segmented": (ucells / dt_seg and (gcells / dt) / (ucells / dt_seg)),
     }
 
+    # Local (Smith-Waterman) protein, same grouped batch: exact
+    # keep-last argmax start cells at scale.
+    def run_prot_stream_local():
+        out = gotoh_scores_matrix_stream_grouped(
+            ug1, ug2, gms_, gms_, b62, g=scores.g, h=scores.h,
+            group_size=1024, is_local=True,
+        )
+        np.asarray(out[0][0])
+        return out
+
+    _retry(run_prot_stream_local, label="protein stream local warmup")
+    dt_loc = _median_time(run_prot_stream_local)
+    rows["protein_stream_local"] = {
+        "pairs": GPB,
+        "aa_len": SL,
+        "cells": gcells,
+        "ms": dt_loc * 1e3,
+        "cells_per_s": gcells / dt_loc,
+    }
+
     # --- protein batched FULL alignments (round 5): stream dirs ----
     # matrix_align_batch: ONE 2-D packed stream-dirs fill + ONE
     # walk_many dispatch (word-row + lane offsets) for the whole
@@ -1365,6 +1385,7 @@ FULL_SCHEMA = {
     "headline_kimura": {"cells_per_s"},
     "protein_blosum_batch": {"cells_per_s"},
     "protein_stream_batch": {"cells_per_s", "vs_segmented"},
+    "protein_stream_local": {"cells_per_s"},
     "protein_align_batch": {"cells_per_s", "aligns_per_s"},
     "protein_msa": {"s", "s_warm"},
     "local_batch_stream": {"cells_per_s"},

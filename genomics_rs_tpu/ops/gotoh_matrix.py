@@ -47,6 +47,11 @@ ROWS = 8  # pairs per register pane (one per sublane row)
 #: stream's chain setup doesn't amortize over the segmented kernel.
 STREAM_MIN_B = 8
 
+#: batches at least this large route through the GROUPED stream call
+#: (sub-batches scanned inside one jit: single dispatch, one group's
+#: peak stream memory).
+STREAM_GROUPED_MIN_B = 2048
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -680,19 +685,37 @@ def gotoh_scores_matrix(
     if engine == "stream":
         from genomics_rs_tpu.ops.gotoh_matrix_stream import (
             gotoh_scores_matrix_stream,
+            gotoh_scores_matrix_stream_grouped,
         )
 
-        out = gotoh_scores_matrix_stream(
-            s1b,
-            s2b,
-            ms,
-            ns,
-            matrix,
-            g=int(g),
-            h=int(h),
-            is_local=is_local,
-            interpret=interpret,
-        )
+        out = None
+        if int(np.shape(s1b)[0]) >= STREAM_GROUPED_MIN_B:
+            # Large corpora: sub-batches scanned inside ONE jit —
+            # single dispatch, one group's peak stream memory (the
+            # 1e10 cells/s protein path).
+            out = gotoh_scores_matrix_stream_grouped(
+                s1b,
+                s2b,
+                ms,
+                ns,
+                matrix,
+                g=int(g),
+                h=int(h),
+                is_local=is_local,
+                interpret=interpret,
+            )
+        if out is None:
+            out = gotoh_scores_matrix_stream(
+                s1b,
+                s2b,
+                ms,
+                ns,
+                matrix,
+                g=int(g),
+                h=int(h),
+                is_local=is_local,
+                interpret=interpret,
+            )
         if out is not None:
             return out
         engine = "pallas" if int(np.abs(ext).max()) <= 127 else "scan"

@@ -153,6 +153,32 @@ class TestScores:
             )
             assert int(np.asarray(out[0])[b]) == int(fr.score)
 
+    def test_large_batches_route_grouped(self, monkeypatch):
+        # B >= STREAM_GROUPED_MIN_B routes the public wrapper through
+        # the grouped single-dispatch call — values must match scan.
+        import genomics_rs_tpu.ops.gotoh_matrix as gm
+
+        monkeypatch.setattr(gm, "STREAM_GROUPED_MIN_B", 16)
+        rng = np.random.default_rng(14)
+        mat = blosum62()
+        s1b, s2b, ms, ns = _prot_batch(rng, 20, 40, 40)
+        ref = gotoh_scores_matrix(
+            s1b, s2b, ms, ns, mat, -1, -5, engine="scan"
+        )
+        for loc in (False, True):
+            refl = gotoh_scores_matrix(
+                s1b, s2b, ms, ns, mat, -1, -5, engine="scan",
+                is_local=loc,
+            )
+            out = gotoh_scores_matrix(
+                s1b, s2b, ms, ns, mat, -1, -5, engine="stream",
+                is_local=loc, interpret=True,
+            )
+            for k in range(3):
+                np.testing.assert_array_equal(
+                    np.asarray(out[k]), np.asarray(refl[k])
+                )
+
     def test_auto_engine_routes_stream(self, monkeypatch):
         # engine="stream" through the public wrapper returns the same
         # values as scan.
